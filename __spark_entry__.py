@@ -1,38 +1,37 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over goeventstream_spark.queries (the declared operator
+registry). entry() runs the flagship stream_replay composition on
+sf0.001; queries()/oracle_sql() expose every declared operator for the
+driver's DuckDB-oracle correctness gate.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from goeventstream_spark import queries as q  # noqa: E402
+from goeventstream_spark.operators import stream_ops as so  # noqa: E402
+from goeventstream_spark.sources import load_table  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: deterministic stream replay (SURVEY.md §7 phase 0) —
+    tick assignment (R3), 10 s-gap connect/disconnect synthesis (R4/R5),
+    delta window scan (R9) in one DataFrame plan."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    return so.stream_replay(events, gap_s=so.CLIENT_TIMEOUT_S, t_lo=q.T_LO, t_hi=q.T_HI)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(q.ORACLES)

@@ -1,0 +1,22 @@
+"""Every declared query with an oracle must hash-match DuckDB — the
+local mirror of the driver's CORRECTNESS gate (at sf0.001 for speed;
+the driver re-runs at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from goeventstream_spark import queries as q
+from tests.oracle import assert_frames_match, run_oracle
+
+
+@pytest.mark.parametrize("name", sorted(q.QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    fn = q.QUERIES[name]
+    sdf = fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if name not in q.ORACLES:
+        assert len(spark_pdf) >= 0  # rows-only check, mirroring the driver
+        return
+    oracle_pdf = run_oracle(q.ORACLES[name], sf_dir)
+    assert_frames_match(spark_pdf, oracle_pdf, name)
