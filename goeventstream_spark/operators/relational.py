@@ -1,0 +1,166 @@
+"""Relational operators the reference lacks entirely (SURVEY.md §2a
+"explicitly absent": no joins, aggregations, windows, sorts, set ops).
+This module supplies the non-trivial compositions; thin one-liner
+surface (plain joins/aggs/windows) lives directly in queries.py.
+
+Scale discipline:
+- ``asof_join`` is the union-merge form: ONE shuffle on the key, no
+  per-row subqueries, no cross product. This is the only as-of shape
+  that survives 100 TB (a correlated/theta formulation explodes).
+- ``range_join`` bucketizes the band so the physical plan is an
+  *equi*-join on (key?, bucket) + residual filter — Spark would
+  otherwise fall back to BroadcastNestedLoopJoin, which is O(n*m).
+- ``topk_per_group`` is rank-then-filter: the window's partial sort
+  runs map-side per partition after one hash exchange; never a global
+  sort + limit per group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ms(col: str | Column) -> Column:
+    """Epoch milliseconds of a timestamp column. Parquet
+    isAdjustedToUTC=0 columns surface as TIMESTAMP_NTZ in Spark 4,
+    which unix_millis rejects; the cast to TIMESTAMP interprets them in
+    the session timezone, which sources.load_table pins to UTC — same
+    wall-clock-as-UTC reading DuckDB's epoch_ms applies."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """Nearest-earlier (as-of backward) join: for every left row, the
+    latest right row with ``right_ts <= left_ts`` on the same keys.
+
+    Spark has no built-in as-of join; this is the scalable union-merge
+    composition: tag both sides, union, and carry right values forward
+    with last(..., ignorenulls) over (keys ORDER BY ts, side) — right
+    rows sort before left rows at equal ts, giving <= semantics.
+    One shuffle on ``keys``; state per key is a single carried row.
+
+    value_cols are emitted as ``asof_<name>`` plus ``asof_ts``.
+    """
+    lcols = left.columns
+    # _ts/_r_ts must be computed inside each select, from the ORIGINAL
+    # side's columns — the right-side projection nulls out left column
+    # names (which may collide with right_ts, e.g. both sides "ts").
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in value_cols
+        ],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        *[F.col(k) for k in keys],
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_ts"),
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        *lcols,
+        "_side",
+        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.where(F.col("_side") == 1).drop("_side")
+    if tolerance_ms is not None:
+        within = (
+            ms(left_ts) - ms("asof_ts")
+            <= F.lit(tolerance_ms)
+        )
+        out = out.select(
+            *lcols,
+            F.when(within, F.col("asof_ts")).alias("asof_ts"),
+            *[F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}") for c in value_cols],
+        )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_ms: int,
+    upper_ms: int,
+    bucket_ms: int | None = None,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Band join: pairs where ``left_ts + lower_ms <= right_ts <
+    left_ts + upper_ms`` (and optional equi-keys).
+
+    Implemented as bucketized equi-join: each left row explodes to the
+    few time buckets its band overlaps, joins right rows on bucket
+    (hash shuffle — never a nested-loop cross product), then applies
+    the exact band as a residual filter. Bucket width defaults to the
+    band width, bounding the explode factor at 2.
+    """
+    width = bucket_ms or max(upper_ms - lower_ms, 1)
+    lo = F.floor((ms(left_ts) + F.lit(lower_ms)) / width)
+    hi = F.floor((ms(left_ts) + F.lit(upper_ms) - 1) / width)
+    l_b = left.withColumn("_bucket", F.explode(F.sequence(lo, hi)))
+    r_b = right.withColumn("_bucket", F.floor(ms(right_ts) / width))
+    cond = [l_b["_bucket"] == r_b["_bucket"]] + [l_b[k] == r_b[k] for k in keys]
+    band = (
+        F.unix_millis(r_b[right_ts].cast("timestamp")) >= F.unix_millis(l_b[left_ts].cast("timestamp")) + F.lit(lower_ms)
+    ) & (F.unix_millis(r_b[right_ts].cast("timestamp")) < F.unix_millis(l_b[left_ts].cast("timestamp")) + F.lit(upper_ms))
+    joined = l_b.join(r_b, cond + [band], "inner")
+    return joined.drop("_bucket")
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Per-group top-k via rank-then-filter; ``order_cols`` must make
+    the order total (include a unique tiebreak) for determinism."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .withColumn("rk", F.col("_rn").cast("long"))
+        .drop("_rn")
+    )
+
+
+def dec_sum(col: str | Column, scale: int = 2, alias: str | None = None) -> Column:
+    """Exact-decimal sum cast back to double.
+
+    Float sums are order-dependent and Spark/DuckDB would disagree in
+    the last bits; summing as DECIMAL is exact and order-independent,
+    so the final double is bit-identical on both engines. Decimal
+    aggregation stays JVM-side (whole-stage codegen supports it).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+    return out.alias(alias) if alias else out

@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from goeventstream_spark.operators import relational as rel
 from goeventstream_spark.operators import stream_ops as so
 from goeventstream_spark.sources import load_table
 
@@ -207,3 +208,442 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return so.stream_replay(_events(spark, sf_dir), gap_s=so.CLIENT_TIMEOUT_S)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2b group 2 — absent from the reference,
+# required for a real analytics engine over the event log)
+# ---------------------------------------------------------------------------
+#
+# Double-precision discipline: money aggregates are summed as DECIMAL
+# (exact, order-independent) and cast to DOUBLE at the end, so Spark and
+# DuckDB produce bit-identical values; ratios divide those identical
+# doubles, which is IEEE-deterministic. See relational.dec_sum.
+
+_SUM_QTY = "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+_SUM_BASE = "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+_SUM_DISC_PRICE = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)"
+)
+_SUM_CHARGE = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))"
+    " * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE)"
+)
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_SUM_QTY} AS sum_qty,
+           {_SUM_BASE} AS sum_base_price,
+           {_SUM_DISC_PRICE} AS sum_disc_price,
+           {_SUM_CHARGE} AS sum_charge,
+           {_SUM_QTY} / count(*) AS avg_qty,
+           {_SUM_BASE} / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter (pushed to parquet) + hash agg with
+    map-side partials. The heaviest relational pattern at 100 TB; no
+    shuffle beyond the single agg exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(_SUM_QTY).alias("sum_qty"),
+            F.expr(_SUM_BASE).alias("sum_base_price"),
+            F.expr(_SUM_DISC_PRICE).alias("sum_disc_price"),
+            F.expr(_SUM_CHARGE).alias("sum_charge"),
+            (F.expr(_SUM_QTY) / F.count("*")).alias("avg_qty"),
+            (F.expr(_SUM_BASE) / F.count("*")).alias("avg_price"),
+            (F.expr("CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_by_region",
+    f"""
+    SELECT r_name, {_SUM_DISC_PRICE} AS revenue, count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. Dims are broadcast (explicit hint —
+    region/nation/customer stay small relative to fact tables at any
+    scale factor), so the fact table never shuffles for the joins; the
+    only exchange is the final 5-group agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.select("r_regionkey", "r_name")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.expr(_SUM_DISC_PRICE).alias("revenue"), F.count("*").alias("n_lineitems"))
+    )
+
+
+@query(
+    "top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      FROM orders
+    ) WHERE rk <= 5
+    """,
+)
+def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return rel.topk_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=5,
+    )
+
+
+@query(
+    "order_window_funcs",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile4,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_order_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite: all functions share ONE window spec, so
+    Catalyst plans a single exchange+sort on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("tile4"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wrun).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "rollup_region_nation_balance",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "anti_join_customers_without_open_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders.where(F.col("o_orderstatus") == "P"),
+        cust.c_custkey == orders.o_custkey,
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "intersect_multi_status_customers",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(o)
+
+
+@query(
+    "except_customers_without_open_orders",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.select(F.col("c_custkey").alias("custkey")).subtract(
+        orders.where(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@query(
+    "union_mktsegments",
+    """
+    SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer WHERE c_mktsegment = 'FURNITURE'
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    fset = cust.where(F.col("c_mktsegment") == "FURNITURE").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    return b.unionByName(fset).distinct()
+
+
+@query(
+    "agg_distinct_parts",
+    """
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "percentile_quantity_stats",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == ANSI
+    quantile_cont). l_quantity is integer-valued, so quartile
+    interpolation is exact in binary — bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "scalar_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           upper(event_type) AS type_upper,
+           substr(event_type, 1, 3) AS type_prefix,
+           concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag,
+           CAST(length(props) AS BIGINT) AS props_len,
+           CAST(month(ts) AS BIGINT) AS month,
+           CAST(year(ts) AS BIGINT) AS year,
+           date_trunc('day', ts) AS day_bucket
+    FROM events
+    """,
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage: JSON (the reference's opaque Body
+    payloads are JSON — README.md:13), string, datetime. All built-in
+    expressions, zero UDFs, full whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias("tag"),
+        F.length("props").cast("long").alias("props_len"),
+        F.month("ts").cast("long").alias("month"),
+        F.year("ts").cast("long").alias("year"),
+        F.date_trunc("day", F.col("ts")).alias("day_bucket"),
+    )
+
+
+@query(
+    "word_count",
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "asof_click_purchase",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts AS _ts, 1 AS _side, event_id, ts, value,
+             CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS DOUBLE) AS r_value
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, NULL, NULL, ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT *, last_value(r_ts IGNORE NULLS) OVER win AS asof_ts,
+                last_value(r_value IGNORE NULLS) OVER win AS asof_value
+      FROM tagged
+      WINDOW win AS (PARTITION BY user_id ORDER BY _ts, _side ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value, asof_ts, asof_value
+    FROM carried WHERE _side = 1
+    """,
+)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's most recent
+    purchase at-or-before it (union-merge composition — the only as-of
+    shape that scales; see relational.asof_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return rel.asof_join(
+        clicks, purchases, keys=["user_id"], left_ts="ts", right_ts="ts", value_cols=["value"]
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        F.col("asof_ts"), F.col("asof_value"),
+    )
+
+
+@query(
+    "range_join_order_lineitem_7d",
+    """
+    SELECT o_orderkey, count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders JOIN lineitem
+      ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join via bucketized equi-join (relational.range_join) —
+    hash-partitionable, vs. the O(n*m) nested-loop Spark would pick for
+    a raw theta join."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice")
+    week_ms = 7 * 86_400_000
+    joined = rel.range_join(orders, li, "o_orderdate", "l_shipdate", 0, week_ms)
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+@query("approx_stats")  # approximate sketches: no exact oracle (rows-only check)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL + quantile-sketch surface (approx_count_distinct,
+    percentile_approx): values are approximate by design, so the driver
+    records the weaker rows-only check for this one query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    )

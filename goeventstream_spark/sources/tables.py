@@ -49,12 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamp arithmetic (tick derivation, NTZ->instant casts) must
+    # not depend on the caller session's timezone conf — the driver
+    # passes its own SparkSession. Pin UTC (runtime-settable).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Tick arithmetic (stream_ops.tick_col) must not depend on the
-        # caller session's timezone conf — the driver passes its own
-        # SparkSession. Pin UTC (runtime-settable).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
