@@ -1,0 +1,265 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2b group 3 — north-star extensions beyond the reference).
+
+All compositions of built-in JVM expressions — no Python UDFs anywhere,
+so every stage stays in whole-stage codegen and scales by partitioning:
+
+- exact_dedup:    one hash-shuffle on content hash.
+- minhash LSH:    shingle explode -> per-doc signature agg (one shuffle
+                  on doc_id) -> band explode -> self-join on band
+                  signature (one shuffle on band key). At 100 TB the
+                  band join is the only quadratic-risk stage and its
+                  blowup is bounded by bucket collision rate, not n².
+- ngram_jaccard:  inverted-index pair generation (shuffle on shingle)
+                  — exact but O(sum of per-shingle doc-pair counts);
+                  use MinHash-LSH first at scale, this as the verifier.
+- simhash:        per-word hash -> bit votes -> per-doc agg; pure
+                  map-side until the doc_id agg.
+
+Cross-engine determinism: every hash is md5 (identical hex output in
+Spark and DuckDB); MinHash "permutations" are min() over md5(i||'|'||s)
+as *string* min — total order on hex strings agrees everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+DEFAULT_SHINGLE_K = 3
+SIMHASH_BITS = 32
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """Normalization for exact dedup: lowercase + trim + collapse
+    internal whitespace runs."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate removal: md5 over normalized text; keep the
+    lowest id per content hash, count the duplicates."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, k: int = DEFAULT_SHINGLE_K, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word k-shingles per document via posexplode + lead
+    windows (window `lead` has identical semantics in every SQL engine,
+    unlike array higher-order functions)."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, k)]
+    sh = words.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    return sh.select(id_col, "shingle").distinct()
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per document: hash family i is
+    md5(i || '|' || shingle); the signature component is the *string*
+    minimum of the hex digests — exact, portable, and a single
+    partial-aggregatable min() per component."""
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, self-join per band
+    on (band_id, band_sig), emit distinct candidate pairs with the
+    MinHash-estimated Jaccard (fraction of equal signature components).
+
+    The band self-join shuffles on the band signature — collisions (not
+    n²) bound the work, which is the whole point of LSH at scale.
+    """
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        F.col(id_col),
+        *[F.col(f"m{i}") for i in range(num_hashes)],
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_sig") == F.col(f"b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[
+                (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int").alias(f"_eq{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"_eq{i}") for i in range(num_hashes)) / F.lit(float(num_hashes))
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def minhash_near_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Full MinHash-LSH near-duplicate pipeline: shingle -> signature ->
+    band join -> estimated-Jaccard filter."""
+    sig = minhash_signatures(shingles(docs, k), num_hashes)
+    return lsh_candidate_pairs(sig, num_hashes, bands).where(
+        F.col("est_jaccard") >= F.lit(threshold)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = DEFAULT_SHINGLE_K, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted index: explode
+    distinct shingles, self-join on shingle to count intersections,
+    then |A ∪ B| = |A| + |B| - |A ∩ B|. Exact but heavier than LSH —
+    at scale run it only on LSH candidates."""
+    sh = shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= F.lit(threshold))
+
+
+def _hex_val(ch: F.Column) -> F.Column:
+    """Portable hex-digit -> 0..15 (instr is 1-based, like strpos)."""
+    return F.instr(F.lit("0123456789abcdef"), ch) - F.lit(1)
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: per-word 32-bit hash (first 8 hex chars of
+    md5, decoded positionally so DuckDB can mirror it with strpos), ±1
+    bit votes summed per document, sign -> fingerprint bits.
+
+    Pure expression pipeline: explode words (map-side), one agg shuffle
+    on doc_id with `bits` integer sums.
+    """
+    words = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    h = F.md5(F.col("word"))
+    word_val = sum(
+        _hex_val(F.substring(h, j + 1, 1)).cast("long") * F.lit(16 ** (bits // 4 - 1 - j)).cast("long")
+        for j in range(bits // 4)
+    ).cast("long")
+    wv = words.select(id_col, word_val.alias("wv"))
+    votes = wv.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("wv"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{k}")
+            for k in range(bits)
+        ]
+    )
+    sim = sum(
+        F.when(F.col(f"v{k}") > 0, F.lit(2**k).cast("long")).otherwise(F.lit(0).cast("long"))
+        for k in range(bits)
+    ).cast("long")
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, bits: int = SIMHASH_BITS, chunks: int = 4, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidates: split the fingerprint into
+    ``chunks`` segments and self-join on segment equality (pigeonhole:
+    hamming <= chunks-1 guarantees a shared segment), then filter by
+    exact hamming distance via bit_count(xor)."""
+    seg_bits = bits // chunks
+    sh = simhash(docs, bits)
+    mask = (1 << seg_bits) - 1
+    segs = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * seg_bits).bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("seg_id", "seg_val"),
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

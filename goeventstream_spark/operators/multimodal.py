@@ -1,0 +1,136 @@
+"""Multimodal-column operators (SURVEY.md §2b group 3): images/audio/
+video travel as opaque ``binary`` columns with typed metadata. The
+Spark-side plumbing — schema, Arrow batching, mapInPandas signatures,
+partition-preserving flow — is real and tested; the actual media decode
+is STUBBED (no imaging/audio libraries in this environment) behind a
+deterministic fake keyed on content hash, or NotImplementedError for
+the true-decode entry point.
+
+Design notes for 100 TB media lakes:
+- binary payloads stay columnar end-to-end (parquet BYTE_ARRAY ->
+  Arrow LargeBinary -> pandas bytes); never base64 strings.
+- mapInPandas (not a scalar pandas UDF) so one input batch can emit a
+  different number of rows (frame sampling explodes, filtering drops).
+- maxRecordsPerBatch bounds executor memory per Arrow batch — media
+  rows are fat, so the session factory sets it explicitly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixture adapter: lift a text column into the binary media
+    envelope (utf-8 bytes stand in for image payloads)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+    )
+
+
+def decode_image(content: bytes) -> None:
+    """True media decode — requires an imaging library not present in
+    this environment. Kept as the documented extension point."""
+    raise NotImplementedError(
+        "media decode requires an imaging library; wire one in here and "
+        "extract_features(fake=False) will use it"
+    )
+
+
+def _fake_dims(digest_hex: str) -> tuple[int, int]:
+    """Deterministic stand-in decode: dimensions derived from the first
+    two bytes of the content hash (reproducible on any engine)."""
+    return 64 + int(digest_hex[0:2], 16), 64 + int(digest_hex[2:4], 16)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-asset feature extraction via mapInPandas: Arrow batches in,
+    Arrow batches out, grouped-free (pure map side — preserves input
+    partitioning, no shuffle)."""
+
+    # The closure must be SELF-CONTAINED (imports inside, no module
+    # globals): cloudpickle otherwise pickles it by reference to this
+    # module, and executor Python workers — which don't share the
+    # driver's sys.path — fail with ModuleNotFoundError.
+    def _extract(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                digest = _hashlib.md5(data).hexdigest()
+                if fake:
+                    w, h = 64 + int(digest[0:2], 16), 64 + int(digest[2:4], 16)
+                else:
+                    raise NotImplementedError("true media decode: no imaging lib in env")
+                rows.append((doc_id, len(data), digest, w, h))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "content_md5", "width", "height"]
+            )
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling shape: one input asset -> many output "frames"
+    (here: one synthetic frame per ``every_n_bytes`` chunk). Exercises
+    the 1->N row expansion contract of mapInPandas that real video
+    frame extraction needs."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_no", LongType()),
+            StructField("frame_md5", StringType()),
+        ]
+    )
+
+    def _sample(batches):  # self-contained: see extract_features note
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                for i, off in enumerate(range(0, len(data), every_n_bytes)):
+                    chunk = data[off : off + every_n_bytes]
+                    rows.append((doc_id, i, _hashlib.md5(chunk).hexdigest()))
+            yield _pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_md5"])
+
+    return media.mapInPandas(_sample, schema)

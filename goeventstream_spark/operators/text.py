@@ -1,0 +1,145 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2b group 3): language ID, quality scoring, token counting,
+fingerprinting, term scoring. All built-in expressions — fully
+codegen'd, no UDFs, one agg shuffle max per operator.
+
+Determinism: ratios are integer-count divisions (exact inputs ->
+IEEE-identical doubles cross-engine). Term scoring deliberately uses a
+rational idf (N/df) instead of log(N/df): Java's Math.log intrinsic and
+C libm can differ in the last ulp, which would break exact oracle
+parity; the rational form ranks identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny function-word lists per language for the n-gram/stopword
+# heuristic language classifier. Deliberately small and hardcoded:
+# the operator demonstrates the scalable shape (explode + CASE-sum +
+# argmax), not lexicon quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "is", "to", "in", "that", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "est"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality statistics: word/char counts, vocabulary
+    diversity, mean word length, stopword ratio."""
+    w = _words(docs)
+    stop = F.when(F.col("word").isin(*STOPWORDS), 1).otherwise(0)
+    return w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("word").alias("n_distinct_words"),
+        (F.sum(F.length("word")).cast("double") / F.count("*")).alias("avg_word_len"),
+        (F.sum(stop).cast("double") / F.count("*")).alias("stopword_ratio"),
+        (F.countDistinct("word").cast("double") / F.count("*")).alias("distinct_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite heuristic quality score in [0, ~3]: length band +
+    vocabulary diversity + stopword presence. The shape of a model-free
+    pre-filter pass over a 100 TB corpus."""
+    s = text_stats(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    length_ok = F.when((F.col("n_words") >= 20) & (F.col("n_words") <= 100000), 1.0).otherwise(0.0)
+    return s.select(
+        "doc_id",
+        "n_words",
+        (length_ok + F.col("distinct_ratio") + F.col("stopword_ratio")).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language classifier: per language, the fraction
+    of words that are that language's function words; predict the
+    argmax (ties -> lexicographically first language code, so the
+    result is total-order deterministic)."""
+    w = _words(docs)
+    scores = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        *[
+            (
+                F.sum(F.when(F.col("word").isin(*marks), 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias(f"score_{lang}")
+            for lang, marks in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return scores.select(
+        "doc_id",
+        *[f"score_{lang}" for lang in langs],
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pass (letter runs / digit runs / single other chars) — the standard
+    cheap proxy for LLM token budgets."""
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).cast("long").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long")
+        .alias("re_tokens"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprints: full md5 of the normalized
+    text plus a 64-bit-prefix hex for compact join keys."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    full = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        full.alias("fp_md5"),
+        F.substring(full, 1, 16).alias("fp_prefix64"),
+    )
+
+
+def term_scores(docs: DataFrame, top_k: int = 5) -> DataFrame:
+    """TF-IDF-style salient terms per document: tf * (N/df) with the
+    rational idf (exact cross-engine; see module docstring), top-k terms
+    per doc by score with deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    w = _words(docs)
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = w.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf").cast("double") * (F.col("n_docs").cast("double") / F.col("df").cast("double"))).alias(
+                "score"
+            ),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .where(F.col("rk") <= top_k)
+    )

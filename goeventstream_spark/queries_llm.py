@@ -1,0 +1,416 @@
+"""LLM-data-pipeline query registrations (SURVEY.md §2b group 3).
+
+Oracle SQL here is machine-generated where it is wide (MinHash
+signature columns, SimHash bit arithmetic, LSH hyperplane literals) so
+the DuckDB text is guaranteed to implement the same math as the Spark
+plan. Shared determinism primitives: md5 (identical hex both engines),
+strpos/instr hex decoding, integer-count ratio divisions, and
+left-to-right double dot products.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goeventstream_spark.operators import dedup, multimodal, similarity, text
+from goeventstream_spark.queries import query
+from goeventstream_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB CTE fragments
+# ---------------------------------------------------------------------------
+
+_WORDS = """
+  words AS (
+    SELECT doc_id, word, pos FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ) WHERE word <> ''
+  )
+"""
+
+_SHINGLES = (
+    _WORDS
+    + """,
+  sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             concat_ws(' ', word, lead(word, 1) OVER win, lead(word, 2) OVER win) AS shingle,
+             lead(word, 2) OVER win AS w3
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE w3 IS NOT NULL
+  )
+"""
+)
+
+_NUM_HASHES = dedup.DEFAULT_NUM_HASHES
+_BANDS = dedup.DEFAULT_BANDS
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{i}|' || shingle)) AS m{i}" for i in range(_NUM_HASHES)
+)
+_SIG = _SHINGLES + f",\n  sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS keep_doc_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@query(
+    "minhash_signatures",
+    f"WITH {_SIG} SELECT * FROM sig",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(dedup.shingles(_docs(spark, sf_dir)))
+
+
+_BANDED = _SIG + f""",
+  banded AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {', '.join(f'm{i}' for i in range(_NUM_HASHES))}, {b} AS band_id, "
+        f"md5(concat_ws('|', {', '.join(f'm{b * _ROWS_PER_BAND + r}' for r in range(_ROWS_PER_BAND))})) AS band_sig "
+        "FROM sig"
+        for b in range(_BANDS)
+    )}
+  )
+"""
+
+_EST_JACCARD = (
+    "("
+    + " + ".join(f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(_NUM_HASHES))
+    + f") / {float(_NUM_HASHES)}"
+)
+
+
+@query(
+    "minhash_near_dedup",
+    f"""
+    WITH {_BANDED}
+    SELECT doc_a, doc_b, est_jaccard FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {_EST_JACCARD} AS est_jaccard
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ) WHERE est_jaccard >= 0.5
+    """,
+)
+def q_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_dedup(_docs(spark, sf_dir), threshold=0.5)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+_BITS = dedup.SIMHASH_BITS
+_WV = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(word), {j + 1}, 1)) - 1) * {16 ** (_BITS // 4 - 1 - j)}"
+    for j in range(_BITS // 4)
+)
+_VOTES = ", ".join(
+    f"sum(CASE WHEN (wv >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}" for k in range(_BITS)
+)
+_SIMHASH_VAL = " + ".join(
+    f"CASE WHEN v{k} > 0 THEN {2**k} ELSE 0 END" for k in range(_BITS)
+)
+_SIMHASH_CTE = f"""{_WORDS},
+    wv AS (SELECT doc_id, CAST({_WV} AS BIGINT) AS wv FROM words),
+    votes AS (SELECT doc_id, {_VOTES} FROM wv GROUP BY doc_id),
+    simhashes AS (SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM votes)"""
+
+
+@query(
+    "simhash_fingerprints",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM simhashes",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+_SEG_BITS = _BITS // 4
+_SEG_MASK = (1 << _SEG_BITS) - 1
+
+
+@query(
+    "simhash_near_dup_pairs",
+    f"""
+    WITH {_SIMHASH_CTE},
+    segs AS (
+      SELECT doc_id, simhash, seg_id, (simhash >> (seg_id * {_SEG_BITS})) & {_SEG_MASK} AS seg_val
+      FROM simhashes, (SELECT unnest([0, 1, 2, 3]) AS seg_id)
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM segs a JOIN segs b
+        ON a.seg_id = b.seg_id AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    f"""
+    WITH {_WORDS}
+    SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct_words,
+           CAST(sum(length(word)) AS DOUBLE) / count(*) AS avg_word_len,
+           CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio,
+           CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS distinct_ratio
+    FROM words GROUP BY doc_id
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "quality_score",
+    f"""
+    WITH {_WORDS},
+    s AS (
+      SELECT doc_id, count(*) AS n_words,
+             CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS distinct_ratio,
+             CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio
+      FROM words GROUP BY doc_id
+    )
+    SELECT s.doc_id, n_words,
+           (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END
+            + distinct_ratio + stopword_ratio) AS quality_score
+    FROM s JOIN documents d ON s.doc_id = d.doc_id
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+_LANGS = sorted(text.LANG_MARKERS)
+_LANG_SCORES = ", ".join(
+    f"CAST(sum(CASE WHEN word IN {text.LANG_MARKERS[lang]!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS score_{lang}"
+    for lang in _LANGS
+)
+_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANGS) + ")"
+_PRED = (
+    "CASE "
+    + " ".join(f"WHEN score_{lang} = {_BEST} THEN '{lang}'" for lang in _LANGS)
+    + " END"
+)
+
+
+@query(
+    "lang_id",
+    f"""
+    WITH {_WORDS},
+    scores AS (SELECT doc_id, count(*) AS n_words, {_LANG_SCORES} FROM words GROUP BY doc_id)
+    SELECT doc_id, {", ".join(f"score_{lang}" for lang in _LANGS)},
+           CASE WHEN {_BEST} > 0 THEN {_PRED} ELSE 'und' END AS pred_lang
+    FROM scores
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+@query(
+    "token_count",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_text
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = text.token_count(_docs(spark, sf_dir))
+    return df.withColumnRenamed("n_bytes", "n_chars_text")
+
+
+@query(
+    "doc_fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+           substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp_prefix64
+    FROM documents
+    """,
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+@query(
+    "term_scores_topk",
+    f"""
+    WITH {_WORDS},
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+    df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, word, score, rk FROM (
+      SELECT tf.doc_id, tf.word,
+             CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+             CAST(row_number() OVER (PARTITION BY tf.doc_id
+                                     ORDER BY CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC,
+                                              tf.word) AS BIGINT) AS rk
+      FROM tf JOIN df ON tf.word = df.word, nd
+    ) WHERE rk <= 5
+    """,
+)
+def q_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.term_scores(_docs(spark, sf_dir), top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(qe, e) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))"
+)
+
+
+@query(
+    "similarity_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id, {_COS} AS cos_sim
+      FROM q, c WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rk"
+    )
+
+
+@query(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.35
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup(_emb(spark, sf_dir), threshold=0.35)
+
+
+def _plane_literal(p: int, dims: int = 64) -> str:
+    vals = [
+        "1.0" if int(hashlib.md5(f"{p}|{j}".encode()).hexdigest(), 16) % 2 == 0 else "-1.0"
+        for j in range(dims)
+    ]
+    return "CAST([" + ", ".join(vals) + "] AS DOUBLE[])"
+
+
+_BUCKET = " + ".join(
+    f"CASE WHEN list_dot_product(v, {_plane_literal(p)}) >= 0 THEN {2**p} ELSE 0 END"
+    for p in range(8)
+)
+
+
+@query(
+    "lsh_buckets",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id, label, CAST({_BUCKET} AS BIGINT) AS lsh_bucket FROM e
+    """,
+)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucket(_emb(spark, sf_dir)).select("vec_id", "label", "lsh_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas; deterministic fake decode)
+# ---------------------------------------------------------------------------
+
+_HEXPAIR_1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+_HEXPAIR_2 = "(strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)"
+
+
+@query(
+    "multimodal_features",
+    f"""
+    WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS n_bytes FROM documents)
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, h AS content_md5,
+           CAST(64 + {_HEXPAIR_1} AS BIGINT) AS width,
+           CAST(64 + {_HEXPAIR_2} AS BIGINT) AS height
+    FROM m
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text -> utf-8 binary payload ->
+    mapInPandas feature extraction (Arrow-batched). The fake decode is
+    deterministic (md5-derived dims), so even the Python-UDF path is
+    oracle-checked exactly."""
+    media = multimodal.as_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media, fake=True)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 
+import goeventstream_spark.queries_llm  # noqa: F401  (registers into q.QUERIES)
 from goeventstream_spark import queries as q
 from tests.oracle import assert_frames_match, run_oracle
 
