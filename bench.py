@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution is measured with the noop sink (full plan execution, no
+driver-side collect), which is the honest cluster-shaped metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family, weighted toward the heavy
+# shapes (agg, star join, windows, as-of, band join, LSH dedup, cosine).
+HEADLINE = [
+    "stream_replay",
+    "delta_scan",
+    "latest_state",
+    "sessionize",
+    "tpch_q1_pricing_summary",
+    "revenue_by_region",
+    "order_window_funcs",
+    "asof_click_purchase",
+    "range_join_order_lineitem_7d",
+    "top_orders_per_priority",
+    "exact_dedup",
+    "minhash_near_dedup",
+    "simhash_fingerprints",
+    "similarity_topk",
+    "text_stats",
+    "word_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from goeventstream_spark import get_spark
+    from goeventstream_spark import queries as q
+    import goeventstream_spark.queries_llm  # noqa: F401  (registers)
+
+    spark = get_spark(app_name="goeventstream_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once on the smallest SF so per-query
+    # numbers measure the plan, not first-call JIT.
+    q.QUERIES["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

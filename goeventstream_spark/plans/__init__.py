@@ -1,0 +1,15 @@
+from goeventstream_spark.plans.inspect import (
+    count_exchanges,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    scan_read_schema,
+)
+
+__all__ = [
+    "physical_plan",
+    "pushed_filters",
+    "scan_read_schema",
+    "has_broadcast_join",
+    "count_exchanges",
+]

@@ -1,0 +1,107 @@
+"""Structured Streaming surface (SURVEY.md §7 phase 4).
+
+Maps the reference's delivery loop onto Spark's incremental execution:
+- R1 (HTTP ingest)      -> readStream file/Kafka source
+- R8 (delivery watermark LastSentT) -> withWatermark: the reference's
+  "no event ever appears in the past" contract (model/eventStream.go:73-75,
+  SURVEY.md §1.4.2) is exactly Spark's watermark contract
+- R9 (delta query)      -> micro-batch incremental delivery itself
+- R3 (ticks)            -> derived tick column on event time
+- sessions (R4/R5)      -> session_window on event time
+
+These are thin declarative layers — all the load-bearing custom logic
+lives in stateful.client_registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from goeventstream_spark.operators.stream_ops import tick_col
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based streaming source over the event envelope. At cluster
+    scale the same shape reads Kafka; the schema is fixed (the
+    reference's envelope is fixed too — model/event.go:7-12)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 day", slide: str | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling (or sliding) windowed counts per event type with a
+    late-data watermark."""
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "10 seconds", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows: the streaming form of the 10 s-gap
+    client-liveness semantics (model/game.go:12,17)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def delta_delivery(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Streaming R9: every micro-batch IS the delta scan — rows flow
+    exactly once, tick-stamped, never behind the watermark. The
+    incremental form of stream_ops.delta_scan."""
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("t", tick_col(F.col("ts")))
+        .select("t", "event_id", "user_id", "event_type", "props")
+    )

@@ -1,0 +1,68 @@
+"""Plan-shape regression tests: the 100 TB properties, pinned.
+
+These don't check answers (the oracle suite does); they check that the
+physical plans keep the shapes that survive a 1000x scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import goeventstream_spark.queries_llm  # noqa: F401
+from goeventstream_spark import plans
+from goeventstream_spark import queries as q
+from goeventstream_spark.sources import load_table
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = q.QUERIES["tpch_q1_pricing_summary"](spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), f"shipdate filter not pushed: {pushed}"
+    schemas = plans.scan_read_schema(df)
+    # only the 7 referenced columns are read, not all 11
+    assert schemas and all("l_orderkey" not in s and "l_partkey" not in s for s in schemas), schemas
+
+
+def test_delta_scan_predicate_reaches_scan(spark, sf_dir):
+    # tick range on the derived column can't push below the nanos->ts
+    # conversion, but the scan must still prune to referenced columns.
+    df = q.QUERIES["delta_scan"](spark, sf_dir)
+    assert plans.scan_read_schema(df), "no parquet scan found"
+
+
+def test_revenue_by_region_broadcasts_dims(spark, sf_dir):
+    df = q.QUERIES["revenue_by_region"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan, "dim join fell back to sort-merge"
+
+
+def test_window_suite_single_exchange(spark, sf_dir):
+    # all five window functions share one partitioning: exactly one
+    # shuffle exchange in the whole plan
+    df = q.QUERIES["order_window_funcs"](spark, sf_dir)
+    assert plans.count_exchanges(df) == 1, plans.physical_plan(df)
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    df = q.QUERIES["sessionize"](spark, sf_dir)
+    assert plans.count_exchanges(df) == 1, plans.physical_plan(df)
+
+
+def test_projection_pruning_on_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    schemas = plans.scan_read_schema(ev)
+    assert schemas and all("props" not in s and "value" not in s for s in schemas), schemas
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    df = q.QUERIES["semi_join_customers_with_orders"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    df = q.QUERIES["range_join_order_lineitem_7d"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "band join degenerated to nested loop"
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,149 @@
+"""Structured Streaming tests: feed sf0.001 events through a chunked
+file source (maxFilesPerTrigger=1 => many micro-batches) and check the
+streaming results against the exact batch analogues."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from goeventstream_spark.operators import stream_ops as so
+from goeventstream_spark.sources import load_table
+from goeventstream_spark.streaming import (
+    client_registry,
+    delta_delivery,
+    read_event_stream,
+    session_window_stats,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def chunked_events_dir(spark, sf_dir, tmp_path_factory):
+    """sf0.001 events split into 4 time-ordered parquet chunks."""
+    out = str(tmp_path_factory.mktemp("stream_src"))
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    n = ev.count()
+    rows = ev.collect()
+    chunk = (n + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"chunk={i}"))
+    # flatten: move part files up so the source sees a flat dir
+    flat = str(tmp_path_factory.mktemp("stream_flat"))
+    idx = 0
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(root, f), os.path.join(flat, f"{idx:04d}.parquet"))
+                idx += 1
+    assert idx == 4
+    return flat
+
+
+def _run_stream(df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, chunked_events_dir):
+    stream = read_event_stream(spark, chunked_events_dir)
+    _run_stream(windowed_counts(stream, window="1 day"), "win_counts", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {(r.win.start, r.event_type): (r.n, round(r.s, 6)) for r in batch}
+    assert got == want
+
+
+def test_session_windows_match_batch_sessionize(spark, sf_dir, chunked_events_dir):
+    stream = read_event_stream(spark, chunked_events_dir)
+    _run_stream(session_window_stats(stream, gap="10 seconds"), "sess_win", "complete")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    batch = (
+        so.sessionize(load_table(spark, sf_dir, "events"), gap_s=10)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.count("*").alias("n"))
+        .collect()
+    )
+    want = {(r.user_id, r.start): r.n for r in batch}
+    assert got == want
+
+
+def test_delta_delivery_exactly_once(spark, sf_dir, chunked_events_dir):
+    stream = read_event_stream(spark, chunked_events_dir)
+    _run_stream(delta_delivery(stream), "delta_out", "append")
+    out = spark.sql("SELECT * FROM delta_out").collect()
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert len(out) == ev_n  # every event delivered exactly once
+    ids = [r.event_id for r in out]
+    assert len(set(ids)) == ev_n
+    # tick stamps match the batch operator
+    batch_t = {
+        r.event_id: r.t for r in so.assign_ticks(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert all(batch_t[r.event_id] == r.t for r in out)
+
+
+def test_client_registry_connects_and_lww(spark, sf_dir, chunked_events_dir):
+    stream = read_event_stream(spark, chunked_events_dir)
+    _run_stream(client_registry(stream), "registry_out", "append")
+    out = spark.sql("SELECT * FROM registry_out").collect()
+    events = load_table(spark, sf_dir, "events")
+
+    # With a 10 s TTL and chunked micro-batches the registry emits a
+    # _c/_d cycle per watermark-visible silence (reference semantics:
+    # reconnect after expiry is a fresh connect, README.md:40 inverse);
+    # exact per-batch boundaries depend on watermark progression, so we
+    # assert the reference invariants rather than one fixed trace.
+    users = {r.user_id for r in out}
+    ev_ms = {
+        u: {r.ms for r in events.where(F.col("user_id") == u)
+            .select(F.unix_millis("ts").alias("ms")).collect()}
+        for u in users
+    }
+    first_ms = {u: min(ms) for u, ms in ev_ms.items()}
+    for u in users:
+        markers = sorted(
+            ((r.event_ms, r.marker) for r in out if r.user_id == u and r.marker != "state"),
+        )
+        # first marker is a connect stamped at the user's first event
+        assert markers[0] == (first_ms[u], "_c")
+        # strict _c/_d alternation, each cycle closed before the next opens
+        kinds = [m for _, m in markers]
+        assert all(k == "_c" for k in kinds[0::2]) and all(k == "_d" for k in kinds[1::2])
+        n_c, n_d = kinds.count("_c"), kinds.count("_d")
+        assert n_c - n_d in (0, 1)
+        # every marker anchors to a real event of that user
+        for ms, kind in markers:
+            anchor = ms - 10_000 if kind == "_d" else ms
+            assert anchor in ev_ms[u]
+
+    # the LAST state row per user matches batch latest_state (LWW)
+    state_rows = [r for r in out if r.marker == "state"]
+    last_state = {}
+    for r in sorted(state_rows, key=lambda r: (r.user_id, r.event_ms)):
+        last_state[r.user_id] = r.data
+    batch_lww = {r.user_id: r.data for r in so.latest_state(events).collect()}
+    assert last_state == batch_lww
