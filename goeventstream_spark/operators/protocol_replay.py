@@ -1,0 +1,190 @@
+"""Analytic batch replay of the reference server's full request
+lifecycle (SURVEY.md §3, hard-part 1 of §7): given a poll schedule
+(`syncs`) and the events posted with each poll (`posted`), reconstruct
+the exact event log and per-sync deliveries the reference server would
+produce — declaratively, as one DataFrame plan.
+
+Reference semantics modeled (file:line):
+- Virtual clock with remainder carry (model/game.go:81-90): the carry
+  makes the clock *memoryless* — T at a poll at wall time `now` is
+  exactly floor((now - t0)/50). Proof: lastTick - t0 stays ≡ 0 mod 50
+  under `lastTick = now - (now-lastTick)%50`, so the accumulated ticks
+  telescope to floor((now-t0)/50). This is why a pure column expression
+  replays an imperative loop exactly.
+- Event time assignment T = LastSentT + 1 (model/eventStream.go:48-54)
+  where LastSentT is the *previous* poll's clock (MarkSent runs after
+  appends, model/game.go:65-69): a lag() over the poll order.
+- Seed event `_a` at T=1 on stream creation (model/eventStream.go:34-42
+  — stamped 1, not 0; SURVEY.md §1.4.6).
+- Connect `_c` on first contact or reconnect after expiry
+  (model/game.go:44-58); disconnect `_d` detected lazily at the first
+  poll (by anyone) later than lastTouch + 10 s (model/game.go:92-107).
+- Delivery = range scan lastKnown < T <= clock (model/eventStream.go:63-71),
+  where lastKnown is the T the client saw on its previous poll.
+
+Scale: everything partitions by game (single-game inputs here carry an
+implicit key); windows order by (poll_ms, sync_id). No collects, no
+loops — the "server" is a query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TICK_MS = 50
+CLIENT_TIMEOUT_MS = 10_000
+
+
+def sync_clock(syncs: DataFrame) -> DataFrame:
+    """Annotate each sync with the server clock after its tick
+    (clock_t), the delivery watermark before it (last_sent_prev = the
+    previous sync's clock), and the T assigned to events appended
+    during it (assign_t = last_sent_prev + 1)."""
+    w = Window.orderBy("poll_ms", "sync_id")
+    t0 = F.min("poll_ms").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    clock = F.floor((F.col("poll_ms") - t0) / TICK_MS)
+    prev_clock = F.lag(clock).over(w)
+    return syncs.select(
+        "*",
+        clock.alias("clock_t"),
+        F.coalesce(prev_clock, F.lit(0)).alias("last_sent_prev"),
+        (F.coalesce(prev_clock, F.lit(0)) + 1).alias("assign_t"),
+    )
+
+
+def connections(syncs: DataFrame) -> DataFrame:
+    """Connection segments per user: a poll opens a new connection iff
+    it is the user's first ever, or follows > timeout of silence (the
+    previous registration expired — model/game.go:44-58,92-107, and a
+    reconnect after expiry gets a NEW proxy id, unlike a reconnect
+    before expiry, README.md:40). Proxy ids are the reference's single
+    monotone counter (model/game.go:49-53) in connect-detection order =
+    connection start order. Returns every sync annotated with its
+    (conn_id, proxy_id)."""
+    sc = sync_clock(syncs)
+    wu = Window.partitionBy("user_id").orderBy("poll_ms", "sync_id")
+    prev_ms = F.lag("poll_ms").over(wu)
+    flagged = sc.withColumn(
+        "_is_conn",
+        F.when(
+            prev_ms.isNull() | (F.col("poll_ms") - prev_ms > CLIENT_TIMEOUT_MS), 1
+        ).otherwise(0),
+    ).withColumn(
+        "conn_id", F.sum("_is_conn").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    starts = flagged.where(F.col("_is_conn") == 1).select(
+        "user_id", "conn_id", F.col("poll_ms").alias("conn_start_ms")
+    )
+    wp = Window.orderBy("conn_start_ms", "user_id")
+    proxies = starts.withColumn("proxy_id", F.row_number().over(wp).cast("string"))
+    return flagged.drop("_is_conn").join(proxies, ["user_id", "conn_id"])
+
+
+def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
+    """The reconstructed append-only event log: seed, connects,
+    disconnects, and posted events, each stamped with the reference's
+    exact T and origin. Output: (t, kind_order, event_type, origin,
+    body) where kind_order reproduces within-tick append order
+    (_d before _c before posted — model/game.go:63-65).
+    """
+    conn = connections(syncs)
+
+    # seed _a: appended at stream creation, always T=1, origin "_"
+    seed = conn.groupBy().agg(F.min("poll_ms")).select(
+        F.lit(1).cast("long").alias("t"),
+        F.lit(0).alias("kind_order"),
+        F.lit("_a").alias("event_type"),
+        F.lit("_").alias("origin"),
+        F.lit("seed").alias("body"),
+    )
+
+    # connect markers: each connection's opening poll appends _c
+    wu = Window.partitionBy("user_id").orderBy("poll_ms", "sync_id")
+    conn_first = conn.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("user_id", "conn_id").orderBy("poll_ms", "sync_id"))
+    )
+    connects = conn_first.where(F.col("_rn") == 1).select(
+        F.col("assign_t").alias("t"),
+        F.lit(2).alias("kind_order"),
+        F.lit("_c").alias("event_type"),
+        F.col("proxy_id").alias("origin"),
+        F.lit(None).cast("string").alias("body"),
+    )
+
+    # disconnect: each connection's LAST poll starts a 10 s deadline;
+    # the _d is appended by the FIRST sync (any user) with
+    # poll_ms > deadline — an as-of-forward join of deadlines to the
+    # global sync order. (At scale this join is bucketizable like any
+    # band join; test-scale uses the direct theta form.)
+    conn_last = conn.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "conn_id").orderBy(F.col("poll_ms").desc(), F.col("sync_id").desc())
+        ),
+    )
+    deadlines = conn_last.where(F.col("_rn") == 1).select(
+        "user_id",
+        "proxy_id",
+        (F.col("poll_ms") + CLIENT_TIMEOUT_MS).alias("deadline_ms"),
+    )
+    all_syncs = conn.select(F.col("poll_ms").alias("d_ms"), F.col("assign_t").alias("d_t"))
+    detected = (
+        deadlines.join(all_syncs, F.col("d_ms") > F.col("deadline_ms"))
+        .groupBy("user_id", "proxy_id", "deadline_ms")
+        .agg(F.min_by("d_t", "d_ms").alias("t"))
+    )
+    disconnects = detected.select(
+        F.col("t"),
+        F.lit(1).alias("kind_order"),
+        F.lit("_d").alias("event_type"),
+        F.col("proxy_id").alias("origin"),
+        F.lit(None).cast("string").alias("body"),
+    )
+
+    # posted events: origin overwritten with the caller's proxy id
+    # (model/game.go:119-125), T = the sync's assign_t
+    events = (
+        posted.join(conn.select("sync_id", "assign_t", "proxy_id"), "sync_id")
+        .select(
+            F.col("assign_t").alias("t"),
+            (F.lit(3) + F.col("event_seq")).alias("kind_order"),
+            F.col("event_type"),
+            F.col("proxy_id").alias("origin"),
+            F.col("body"),
+        )
+    )
+
+    return (
+        seed.unionByName(disconnects)
+        .unionByName(connects)
+        .unionByName(events)
+        .orderBy("t", "kind_order", "origin")
+    )
+
+
+def deliveries(syncs: DataFrame, posted: DataFrame) -> DataFrame:
+    """Per-sync delivered events: the range scan
+    last_known < T <= clock_t (model/eventStream.go:63-71), where
+    last_known is the clock the same client saw on its previous poll.
+    Output: (sync_id, user_id, t, event_type, origin)."""
+    sc = sync_clock(syncs)
+    wu = Window.partitionBy("user_id").orderBy("poll_ms", "sync_id")
+    with_known = sc.withColumn(
+        "last_known", F.coalesce(F.lag("clock_t").over(wu), F.lit(0))
+    )
+    log = server_log(syncs, posted)
+    return (
+        with_known.alias("s")
+        .join(
+            log.alias("e"),
+            (F.col("e.t") > F.col("s.last_known")) & (F.col("e.t") <= F.col("s.clock_t")),
+        )
+        .select(
+            F.col("s.sync_id"),
+            F.col("s.user_id"),
+            F.col("e.t"),
+            F.col("e.event_type"),
+            F.col("e.origin"),
+        )
+    )

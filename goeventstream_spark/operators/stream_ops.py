@@ -184,27 +184,29 @@ def stream_replay(
     server-authored events whose Body the clients interpret by Type
     (README.md:59-62).
     """
-    sess = sessionize(events, gap_s)
-    base = sess.select(
+    # Session bounds fall out of the SAME gap window that sessionize
+    # uses: an event starts a session iff its lag-gap exceeds gap_s (or
+    # is first), ends one iff its lead-gap does (or is last). Deriving
+    # markers per-row instead of re-aggregating (user_id, session_id)
+    # saves the second shuffle — the whole replay is ONE exchange on
+    # user_id plus the final presentation sort.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev, nxt = F.lag("ts").over(w), F.lead("ts").over(w)
+    gap_ms = gap_s * 1000
+    flagged = events.select(
         tick_col(F.col("ts")).alias("t"),
         "user_id",
         "event_type",
         F.col("props").alias("body"),
+        (prev.isNull() | (F.unix_millis("ts") - F.unix_millis(prev) > gap_ms)).alias("_starts"),
+        (nxt.isNull() | (F.unix_millis(nxt) - F.unix_millis("ts") > gap_ms)).alias("_ends"),
     )
-    bounds = sess.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    base = flagged.select("t", "user_id", "event_type", "body")
+    c_rows = flagged.where("_starts").select(
+        "t", "user_id", F.lit("_c").alias("event_type"), F.lit(None).cast("string").alias("body")
     )
-    c_rows = bounds.select(
-        tick_col(F.col("start_ts")).alias("t"),
-        "user_id",
-        F.lit("_c").alias("event_type"),
-        F.lit(None).cast("string").alias("body"),
-    )
-    d_rows = bounds.select(
-        tick_col(F.col("end_ts")).alias("t"),
-        "user_id",
-        F.lit("_d").alias("event_type"),
-        F.lit(None).cast("string").alias("body"),
+    d_rows = flagged.where("_ends").select(
+        "t", "user_id", F.lit("_d").alias("event_type"), F.lit(None).cast("string").alias("body")
     )
     out = base.unionByName(c_rows).unionByName(d_rows)
     if t_lo is not None:
