@@ -193,22 +193,38 @@ def stream_replay(
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev, nxt = F.lag("ts").over(w), F.lead("ts").over(w)
     gap_ms = gap_s * 1000
+    starts = prev.isNull() | (F.unix_millis("ts") - F.unix_millis(prev) > gap_ms)
+    ends = nxt.isNull() | (F.unix_millis(nxt) - F.unix_millis("ts") > gap_ms)
+    null_body = F.lit(None).cast("string")
+    # one window pass, then EXPLODE each event into 1-3 output rows
+    # (event + optional _c/_d markers) — a 3-way union would re-execute
+    # the window subplan per branch; this form computes it once. The
+    # window flags must be projected BEFORE the generator (window
+    # expressions are not allowed inside explode).
     flagged = events.select(
         tick_col(F.col("ts")).alias("t"),
         "user_id",
         "event_type",
         F.col("props").alias("body"),
-        (prev.isNull() | (F.unix_millis("ts") - F.unix_millis(prev) > gap_ms)).alias("_starts"),
-        (nxt.isNull() | (F.unix_millis(nxt) - F.unix_millis("ts") > gap_ms)).alias("_ends"),
+        starts.alias("_starts"),
+        ends.alias("_ends"),
     )
-    base = flagged.select("t", "user_id", "event_type", "body")
-    c_rows = flagged.where("_starts").select(
-        "t", "user_id", F.lit("_c").alias("event_type"), F.lit(None).cast("string").alias("body")
+    emitted = F.array_compact(
+        F.array(
+            F.when(
+                F.col("_starts"),
+                F.struct(F.lit("_c").alias("event_type"), null_body.alias("body")),
+            ),
+            F.struct(F.col("event_type"), F.col("body")),
+            F.when(
+                F.col("_ends"),
+                F.struct(F.lit("_d").alias("event_type"), null_body.alias("body")),
+            ),
+        )
     )
-    d_rows = flagged.where("_ends").select(
-        "t", "user_id", F.lit("_d").alias("event_type"), F.lit(None).cast("string").alias("body")
+    out = flagged.select("t", "user_id", F.explode(emitted).alias("_r")).select(
+        "t", "user_id", F.col("_r.event_type"), F.col("_r.body")
     )
-    out = base.unionByName(c_rows).unionByName(d_rows)
     if t_lo is not None:
         out = out.where(F.col("t") > F.lit(t_lo))
     if t_hi is not None:
