@@ -164,3 +164,46 @@ def dec_sum(col: str | Column, scale: int = 2, alias: str | None = None) -> Colu
     c = F.col(col) if isinstance(col, str) else col
     out = F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
     return out.alias(alias) if alias else out
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    agg_exprs: Sequence[Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: shuffle on (key, salt) first so
+    one hot key spreads over ``salt_buckets`` reducers, then merge the
+    partials per key. Use when a single group's row count exceeds what
+    one task should hold and the aggregate is decomposable (sum/count/
+    min/max). AQE's skew handling covers *joins*; skewed aggregations
+    still need explicit salting.
+
+    ``agg_exprs`` are the phase-1 partial aggregates; each must carry an
+    alias, and phase 2 re-aggregates by the same function name, which is
+    correct for sum/count-as-sum/min/max style partials.
+    """
+    import re as _re
+
+    salted = df.withColumn(
+        "_salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
+    )
+    phase1 = salted.groupBy(*key_cols, "_salt").agg(*agg_exprs)
+    merge_exprs = []
+    for c in phase1.columns:
+        if c in key_cols or c == "_salt":
+            continue
+        # partial count becomes a sum in the merge phase
+        fn = F.sum if _re.match(r"^(n_|cnt|count)", c) else None
+        merge_exprs.append((fn or _merge_fn_for(phase1, c))(c).alias(c))
+    return phase1.groupBy(*key_cols).agg(*merge_exprs)
+
+
+def _merge_fn_for(df: DataFrame, col_name: str):
+    """Merge function for a partial-aggregate column by naming
+    convention: min_*/max_* merge with min/max, everything else sums."""
+    if col_name.startswith("min"):
+        return F.min
+    if col_name.startswith("max"):
+        return F.max
+    return F.sum

@@ -35,13 +35,14 @@ POSTED_SCHEMA = StructType(
 )
 
 
-@pytest.fixture(scope="module")
-def schedule():
+@pytest.fixture(scope="module", params=[42, 7, 1234])
+def schedule(request):
     """Deterministic scripted session: 5 clients polling ~5x/s with
     deliberate >10 s silences (forcing expiry/reconnect cycles) and
     occasional posted events. Unique poll times to sidestep the
-    reference's map-iteration nondeterminism on simultaneous expiry."""
-    rng = random.Random(42)
+    reference's map-iteration nondeterminism on simultaneous expiry.
+    Parametrized over seeds — cheap fuzzing of the equivalence."""
+    rng = random.Random(request.param)
     users = [f"u{i}" for i in range(5)]
     t = 1_000_000
     syncs, posted = [], []
