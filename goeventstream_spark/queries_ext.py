@@ -299,3 +299,100 @@ def q_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "left_outer_order_counts",
+    """
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+           CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'P'
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving match-less customers (count of a
+    nullable column skips nulls, giving 0 for unmatched)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "full_outer_status_priority",
+    """
+    WITH s AS (SELECT o_orderstatus AS k, count(*) AS n_status FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1),
+    p AS (SELECT substr(o_orderpriority, 1, 1) AS k, count(*) AS n_prio FROM orders GROUP BY 1)
+    SELECT coalesce(s.k, p.k) AS k, n_status, n_prio
+    FROM s FULL OUTER JOIN p ON s.k = p.k
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with disjoint-ish key domains (status letters vs
+    priority digits) so both null sides are exercised."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = (
+        orders.where(F.col("o_orderstatus") != "P")
+        .groupBy(F.col("o_orderstatus").alias("k"))
+        .agg(F.count("*").alias("n_status"))
+    )
+    p = orders.groupBy(F.substring("o_orderpriority", 1, 1).alias("k")).agg(
+        F.count("*").alias("n_prio")
+    )
+    return s.join(p, "k", "full_outer").select(
+        F.col("k"), F.col("n_status"), F.col("n_prio")
+    )
+
+
+@query(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_diff,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil7,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2)) AS DOUBLE) AS disc_amt,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_partkey % 10 AS BIGINT) AS pk_mod,
+           sign(l_discount - 0.05) AS disc_sign,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery. Deliberately excludes exp/ln/trig: libm vs JVM
+    intrinsics can differ in the last ulp, which would break exact
+    cross-engine hashing (sqrt is IEEE-correctly-rounded, so it's safe).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_diff"),
+        F.ceil(F.col("l_quantity") / 7).cast("long").alias("ceil7"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        # exact decimal product, NO downscale: round() on doubles
+        # disagrees cross-engine at .xx5 boundaries, and decimal
+        # downscale casts round in Spark but truncate in DuckDB — the
+        # full-scale product is exact and identical on both
+        (F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(8,2)"))
+        .cast("double")
+        .alias("disc_amt"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_partkey") % 10).cast("long").alias("pk_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )

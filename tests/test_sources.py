@@ -56,3 +56,21 @@ def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
         F.to_date("ts") == "2024-01-05"
     ).count()
     assert pruned.count() == ev.where(F.to_date("ts") == "2024-01-05").count()
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    """register_views exposes every fixture table to spark.sql — the
+    engine's SQL entry point."""
+    from goeventstream_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT r_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    ).collect()
+    assert sum(r.n for r in got) == spark.table("customer").count()
+    assert len(got) == 5
