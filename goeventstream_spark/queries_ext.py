@@ -396,3 +396,55 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("l_tax", "l_discount").alias("max_rate"),
         F.least("l_tax", "l_discount").alias("min_rate"),
     )
+
+
+@query(
+    "per_game_latest_state",
+    """
+    SELECT game, user_id, t, data FROM (
+      SELECT CAST(user_id % 4 AS BIGINT) AS game, user_id,
+             CAST(floor((epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01 00:00:00')) / 50) AS BIGINT) AS t,
+             props AS data,
+             row_number() OVER (PARTITION BY user_id % 4, user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_per_game_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stream form of LWW state: the reference hosts many named
+    streams in one registry (R2, main.go:74-80); here the stream key is
+    a derived `game` column and every window partitions by
+    (game, user_id) — the exact partitioning discipline a 100 TB
+    multi-tenant event lake uses. Fixtures carry no game column, so one
+    is derived deterministically."""
+    from goeventstream_spark.operators.stream_ops import tick_col
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("game", "user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("game", (F.col("user_id") % 4).cast("long"))
+        .withColumn("t", tick_col(F.col("ts")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("game", "user_id", "t", F.col("props").alias("data"))
+    )
+
+
+@query(
+    "per_game_event_rates",
+    """
+    SELECT CAST(user_id % 4 AS BIGINT) AS game, event_type, count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_per_game_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("game", (F.col("user_id") % 4).cast("long"))
+        .groupBy("game", "event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )

@@ -1,0 +1,91 @@
+"""Unit tests for operator APIs not (or not directly) covered by the
+declared-query oracle gate: the generic pair-producing band join, as-of
+join tolerance, top-k tie handling, and multimodal frame sampling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from goeventstream_spark.operators import multimodal
+from goeventstream_spark.operators.relational import asof_join, range_join, topk_per_group
+from goeventstream_spark.sources import load_table
+from tests.oracle import run_oracle
+
+
+def test_generic_range_join_matches_theta_oracle(spark, sf_dir):
+    """The generic bucketized band join must equal a plain theta join
+    (DuckDB IEJoin) — pairs of events within (0, 60s] per user."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    left = ev.select(F.col("event_id").alias("l_id"), "user_id", F.col("ts").alias("l_ts"))
+    right = ev.select(F.col("event_id").alias("r_id"), "user_id", F.col("ts").alias("r_ts"))
+    got = {
+        (r.l_id, r.r_id)
+        for r in range_join(
+            left, right, "l_ts", "r_ts", 1, 60_001, keys=["user_id"]
+        ).collect()
+    }
+    want = {
+        (r.l_id, r.r_id)
+        for r in run_oracle(
+            """
+            SELECT a.event_id AS l_id, b.event_id AS r_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND epoch_ms(b.ts) >= epoch_ms(a.ts) + 1
+             AND epoch_ms(b.ts) < epoch_ms(a.ts) + 60001
+            """,
+            sf_dir,
+        ).itertuples(index=False)
+    }
+    assert got == want and len(got) > 0
+
+
+def test_asof_join_tolerance(spark, sf_dir):
+    """With a tolerance, matches older than the window become NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    tol_ms = 3_600_000
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", ["value"], tolerance_ms=tol_ms
+    ).collect()
+    assert len(out) == clicks.count()
+    for r in out:
+        if r.asof_ts is not None:
+            delta = (r.ts - r.asof_ts).total_seconds() * 1000
+            assert 0 <= delta <= tol_ms
+    # some matches exist and some were nulled by the tolerance
+    assert any(r.asof_ts is not None for r in out)
+    assert any(r.asof_ts is None for r in out)
+
+
+def test_topk_per_group_exact_k_with_total_order(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = topk_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r.o_orderpriority, []).append(r)
+    for g, rows in by_group.items():
+        assert len(rows) == 3
+        assert sorted(r.rk for r in rows) == [1, 2, 3]
+
+
+def test_frame_sample_expansion(spark, sf_dir):
+    """mapInPandas 1->N expansion: one frame per 64-byte chunk, counts
+    derived exactly from byte lengths."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.as_media(docs)
+    frames = multimodal.frame_sample(media, every_n_bytes=64)
+    counts = {r.doc_id: r.n for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    want = {
+        r.doc_id: max(1, math.ceil(len(r.text.encode("utf-8")) / 64))
+        for r in docs.collect()
+    }
+    assert counts == want
