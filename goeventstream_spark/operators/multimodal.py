@@ -134,3 +134,38 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield _pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_md5"])
 
     return media.mapInPandas(_sample, schema)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize shape: binary in -> binary out with updated metadata.
+    True image resampling is stubbed (no imaging lib — decode_image is
+    the extension point); the deterministic stand-in truncates payloads,
+    which exercises the real contract: binary->binary mapInPandas with
+    a typed metadata struct, 1:1 rows, partition-preserving."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("content", BinaryType()),
+            StructField("orig_bytes", LongType()),
+            StructField("new_bytes", LongType()),
+        ]
+    )
+
+    def _resize(batches):  # self-contained: see extract_features note
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                data = bytes(content)
+                out = data[:target_bytes]
+                rows.append((doc_id, mt, out, len(data), len(out)))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "content", "orig_bytes", "new_bytes"],
+            )
+
+    return media.mapInPandas(_resize, schema)

@@ -282,18 +282,21 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join. Dims are broadcast (explicit hint —
-    region/nation/customer stay small relative to fact tables at any
-    scale factor), so the fact table never shuffles for the joins; the
-    only exchange is the final 5-group agg."""
+    """TPC-H Q5 shape: star join. Broadcast hints go ONLY on the true
+    dimensions (region/nation — constant-size at any scale factor);
+    orders and customer scale with the fact table, so they are left to
+    the planner: at fixture scale AQE broadcasts them at runtime, at
+    100 TB they exceed the threshold and correctly shuffle (or come
+    pre-bucketed on the join key — see test_scale_patterns). Hinting a
+    fact-sized table would OOM the driver at scale."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nat.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg.select("r_regionkey", "r_name")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")

@@ -89,3 +89,14 @@ def test_frame_sample_expansion(spark, sf_dir):
         for r in docs.collect()
     }
     assert counts == want
+
+
+def test_resize_media_contract(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = multimodal.as_media(docs)
+    out = multimodal.resize_media(media, target_bytes=128).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r.new_bytes == min(r.orig_bytes, 128)
+        assert len(bytes(r.content)) == r.new_bytes
+        assert r.media_type == "image/fake"
