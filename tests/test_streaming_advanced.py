@@ -1,0 +1,131 @@
+"""Advanced streaming shapes: stream-static dimension joins, streaming
+deduplication, and checkpointed exactly-once recovery across restarts."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from goeventstream_spark.sources import load_table
+from goeventstream_spark.streaming import read_event_stream
+from goeventstream_spark.streaming.windows import EVENTS_SCHEMA
+
+
+def _chunks_dir(spark, sf_dir, tmp_path_factory, n_chunks=4):
+    out = str(tmp_path_factory.mktemp("adv_src"))
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    rows = ev.collect()
+    chunk = (len(rows) + n_chunks - 1) // n_chunks
+    paths = []
+    for i in range(n_chunks):
+        part = rows[i * chunk : (i + 1) * chunk]
+        d = str(tmp_path_factory.mktemp(f"adv_c{i}"))
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.mode("overwrite").parquet(d)
+        src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dest = os.path.join(out, f"{i:04d}.parquet")
+        os.rename(os.path.join(d, src), dest)
+        os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+        paths.append(dest)
+    return out, paths
+
+
+def test_stream_static_dim_join(spark, sf_dir, tmp_path_factory):
+    """Stream-static join: each micro-batch hash-joins against the
+    static dimension (re-read per batch, broadcast at this size) —
+    the standard streaming enrichment shape."""
+    src, _ = _chunks_dir(spark, sf_dir, tmp_path_factory)
+    stream = read_event_stream(spark, src)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(dim, "user_id", "left")
+    q = (
+        enriched.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.c_mktsegment: r.n for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(dim, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    want = {r.c_mktsegment: r.n for r in batch}
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
+    """Streaming exact dedup: duplicate the source chunks; every event
+    id must come out exactly once."""
+    src, paths = _chunks_dir(spark, sf_dir, tmp_path_factory)
+    # duplicate every chunk file (same rows, later mtime => later batch)
+    import shutil
+
+    for i, p in enumerate(list(paths)):
+        dup = p.replace(".parquet", "_dup.parquet")
+        shutil.copyfile(p, dup)
+        os.utime(dup, (2_000_000 + i, 2_000_000 + i))
+    stream = read_event_stream(spark, src)
+    deduped = stream.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("SELECT event_id FROM dedup_out").collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert len(out) == n_events
+    assert len({r.event_id for r in out}) == n_events
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path_factory, tmp_path):
+    """Stop-and-restart with a checkpoint: the restarted query resumes
+    from the committed offset and never re-emits processed events."""
+    src, paths = _chunks_dir(spark, sf_dir, tmp_path_factory, n_chunks=4)
+    # phase 1: move the last two chunks OUT of the source dir (a rename
+    # within the dir is not enough — the source globs everything not
+    # dot/underscore-prefixed)
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    hidden = []
+    for p in paths[2:]:
+        os.rename(p, os.path.join(stash, os.path.basename(p)))
+        hidden.append(p)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink_parquet")
+
+    def run_query():
+        stream = read_event_stream(spark, src)
+        q = (
+            stream.select("event_id", "ts", "user_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_query()
+    n_phase1 = spark.read.parquet(sink).count()
+    assert 0 < n_phase1 < load_table(spark, sf_dir, "events").count()
+    # phase 2: reveal the rest, restart from the same checkpoint
+    for p in hidden:
+        os.rename(os.path.join(stash, os.path.basename(p)), p)
+    run_query()
+    final = spark.read.parquet(sink)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert final.count() == n_events  # nothing lost
+    assert final.select("event_id").distinct().count() == n_events  # nothing duplicated
