@@ -34,6 +34,11 @@ HEADLINE = [
     "similarity_topk",
     "text_stats",
     "word_count",
+    "cube_order_stats",
+    "embedding_near_dup",
+    "multimodal_features",
+    "term_scores_topk",
+    "session_window_stats_batch",
 ]
 
 

@@ -448,3 +448,38 @@ def q_per_game_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("game", "event_type")
         .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "session_window_stats_batch",
+    """
+    WITH s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 1 HOUR AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window in BATCH mode (same expression Structured
+    Streaming incrementalizes): window end = last event + gap, matching
+    the cumsum-of-gap-flags formulation the oracle uses."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
