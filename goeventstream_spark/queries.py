@@ -75,7 +75,13 @@ def q_assign_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return so.delta_scan(_events(spark, sf_dir), T_LO, T_HI)
+    """The reference's core query (R9), with the tick range translated
+    to a raw-nanos range pushed into the parquet scan (see
+    sources.load_events_delta) — O(delta), not O(log-length)."""
+    from goeventstream_spark.sources.tables import load_events_delta
+
+    pruned = load_events_delta(spark, sf_dir, T_LO, T_HI)
+    return so.delta_scan(pruned, T_LO, T_HI)
 
 
 @query(

@@ -66,3 +66,41 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_events_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    t_lo: int,
+    t_hi: int,
+    stream_start_ms: int = 1_704_067_200_000,  # 2024-01-01T00:00:00Z
+    tick_ms: int = 50,
+) -> DataFrame:
+    """Events restricted to ticks (t_lo, t_hi] with the range predicate
+    PUSHED INTO THE PARQUET SCAN.
+
+    The tick column derives from ts through a nanos->micros conversion
+    Catalyst cannot invert, so a filter on `t` never reaches the scan.
+    But tick is monotone in the raw INT64 nanos column, and the tick
+    range maps exactly to a nanos range (integer truncation preserves
+    the equivalences: ms >= X <=> ns >= X*1e6 for integer X):
+
+        t >  t_lo  <=>  ns >= (start + (t_lo+1)*50) * 1e6
+        t <= t_hi  <=>  ns <  (start + (t_hi+1)*50) * 1e6
+
+    Filtering BEFORE the conversion makes it a plain comparison on a
+    stored column -> parquet row-group pruning (and, on a date/tick-
+    partitioned 100 TB event lake, partition pruning). This is what
+    turns the reference's O(log-length) rescan (model/eventStream.go:63-71)
+    into O(delta) at scale.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":  # pragma: no cover
+        return load_table(spark, sf_dir, "events")
+    lo_ns = (stream_start_ms + (t_lo + 1) * tick_ms) * 1_000_000
+    hi_ns = (stream_start_ms + (t_hi + 1) * tick_ms) * 1_000_000
+    return raw.where((F.col("ts") >= lo_ns) & (F.col("ts") < hi_ns)).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )

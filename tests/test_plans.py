@@ -67,3 +67,11 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, "band join degenerated to nested loop"
     assert "CartesianProduct" not in plan
+
+
+def test_delta_scan_pushes_nanos_range_to_scan(spark, sf_dir):
+    """The tick-range predicate must reach the parquet scan as a raw
+    INT64 comparison (load_events_delta's monotone translation)."""
+    df = q.QUERIES["delta_scan"](spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("ts" in p and ("GreaterThan" in p or "LessThan" in p) for p in pushed), pushed

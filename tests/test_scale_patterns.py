@@ -99,3 +99,38 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     df.collect()
     final_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final_plan or "coalesced" in final_plan
+
+
+def test_lsh_banded_ann_recall_and_pruning(spark, sf_dir):
+    """The banded-LSH ANN path must (a) return a subset of the exact
+    blocked result's pair space with correct cosines, and (b) hit the
+    measured recall floor while pruning the candidate space."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.similarity import (
+        embedding_near_dup,
+        lsh_banded_near_dup,
+    )
+    from goeventstream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # exact ground truth WITHOUT label blocking (LSH doesn't see labels)
+    a, b = emb.alias("a"), emb.alias("b")
+    from goeventstream_spark.operators.similarity import cosine
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding"), 64).alias("c"),
+        )
+        .where(F.col("c") >= 0.35)
+        .collect()
+    }
+    got = {(r.vec_a, r.vec_b) for r in lsh_banded_near_dup(emb, threshold=0.35).collect()}
+    assert got <= exact  # no false positives (exact cosine verifies)
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.6, f"recall {recall:.2f} below measured floor"
