@@ -114,9 +114,12 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
 
     # disconnect: each connection's LAST poll starts a 10 s deadline;
     # the _d is appended by the FIRST sync (any user) with
-    # poll_ms > deadline — an as-of-forward join of deadlines to the
-    # global sync order. (At scale this join is bucketizable like any
-    # band join; test-scale uses the direct theta form.)
+    # poll_ms > deadline. That is an as-of-FORWARD join, done scalably
+    # with the union-merge trick (one sort, no theta/nested-loop join):
+    # traverse all rows in ms-DESC order carrying the most recent sync
+    # seen — for a deadline row that carried sync is exactly the
+    # earliest sync strictly after it. Tie order (_side: deadline 0
+    # before sync 1 at equal ms) enforces the STRICT inequality.
     conn_last = conn.withColumn(
         "_rn",
         F.row_number().over(
@@ -126,13 +129,25 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
     deadlines = conn_last.where(F.col("_rn") == 1).select(
         "user_id",
         "proxy_id",
-        (F.col("poll_ms") + CLIENT_TIMEOUT_MS).alias("deadline_ms"),
+        (F.col("poll_ms") + CLIENT_TIMEOUT_MS).alias("_ms"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("_sync_t"),
     )
-    all_syncs = conn.select(F.col("poll_ms").alias("d_ms"), F.col("assign_t").alias("d_t"))
+    sync_rows = conn.select(
+        F.lit(None).cast(conn.schema["user_id"].dataType).alias("user_id"),
+        F.lit(None).cast("string").alias("proxy_id"),
+        F.col("poll_ms").alias("_ms"),
+        F.lit(1).alias("_side"),
+        F.col("assign_t").alias("_sync_t"),
+    )
+    wd = (
+        Window.orderBy(F.col("_ms").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     detected = (
-        deadlines.join(all_syncs, F.col("d_ms") > F.col("deadline_ms"))
-        .groupBy("user_id", "proxy_id", "deadline_ms")
-        .agg(F.min_by("d_t", "d_ms").alias("t"))
+        deadlines.unionByName(sync_rows)
+        .withColumn("t", F.last("_sync_t", ignorenulls=True).over(wd))
+        .where((F.col("_side") == 0) & F.col("t").isNotNull())
     )
     disconnects = detected.select(
         F.col("t"),
@@ -159,6 +174,7 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
         seed.unionByName(disconnects)
         .unionByName(connects)
         .unionByName(events)
+        .withColumn("kind_order", F.col("kind_order").cast("long"))
         .orderBy("t", "kind_order", "origin")
     )
 

@@ -483,3 +483,108 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "protocol_server_log",
+    """
+    WITH syncs AS (
+      SELECT event_id AS sync_id, user_id, epoch_ms(ts) AS poll_ms, event_type, props
+      FROM events
+    ),
+    sc0 AS (
+      SELECT *, CAST(floor((poll_ms - min(poll_ms) OVER ()) / 50) AS BIGINT) AS clock_t
+      FROM syncs
+    ),
+    sc AS (
+      SELECT *, COALESCE(lag(clock_t) OVER (ORDER BY poll_ms, sync_id), 0) + 1 AS assign_t
+      FROM sc0
+    ),
+    conn0 AS (
+      SELECT *, CASE WHEN lag(poll_ms) OVER wu IS NULL
+                       OR poll_ms - lag(poll_ms) OVER wu > 10000
+                     THEN 1 ELSE 0 END AS is_conn
+      FROM sc WINDOW wu AS (PARTITION BY user_id ORDER BY poll_ms, sync_id)
+    ),
+    conn1 AS (
+      SELECT *, CAST(sum(is_conn) OVER (PARTITION BY user_id ORDER BY poll_ms, sync_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conn_id
+      FROM conn0
+    ),
+    starts AS (
+      SELECT user_id, conn_id, min(poll_ms) AS conn_start_ms FROM conn1 GROUP BY 1, 2
+    ),
+    proxies AS (
+      SELECT user_id, conn_id,
+             CAST(row_number() OVER (ORDER BY conn_start_ms, user_id) AS VARCHAR) AS proxy_id
+      FROM starts
+    ),
+    conn AS (SELECT c.*, p.proxy_id FROM conn1 c JOIN proxies p USING (user_id, conn_id)),
+    connects AS (
+      SELECT assign_t AS t, CAST(2 AS BIGINT) AS kind_order, '_c' AS event_type,
+             proxy_id AS origin, CAST(NULL AS VARCHAR) AS body
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, conn_id
+                                         ORDER BY poll_ms, sync_id) AS rn FROM conn)
+      WHERE rn = 1
+    ),
+    conn_last AS (
+      SELECT user_id, proxy_id, poll_ms + 10000 AS _ms
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, conn_id
+                                         ORDER BY poll_ms DESC, sync_id DESC) AS rn FROM conn)
+      WHERE rn = 1
+    ),
+    merged AS (
+      SELECT proxy_id, _ms, 0 AS _side, CAST(NULL AS BIGINT) AS _sync_t FROM conn_last
+      UNION ALL
+      SELECT CAST(NULL AS VARCHAR), poll_ms, 1, assign_t FROM conn
+    ),
+    detected AS (
+      SELECT * FROM (
+        SELECT *, last_value(_sync_t IGNORE NULLS)
+                    OVER (ORDER BY _ms DESC, _side ASC ROWS UNBOUNDED PRECEDING) AS t
+        FROM merged
+      ) WHERE _side = 0 AND t IS NOT NULL
+    ),
+    disconnects AS (
+      SELECT t, CAST(1 AS BIGINT) AS kind_order, '_d' AS event_type,
+             proxy_id AS origin, CAST(NULL AS VARCHAR) AS body
+      FROM detected
+    ),
+    posted AS (
+      SELECT assign_t AS t, CAST(3 AS BIGINT) AS kind_order, event_type,
+             proxy_id AS origin, props AS body
+      FROM conn
+    ),
+    seed AS (
+      SELECT CAST(1 AS BIGINT) AS t, CAST(0 AS BIGINT) AS kind_order, '_a' AS event_type,
+             '_' AS origin, 'seed' AS body
+    )
+    SELECT t, kind_order, event_type, origin, body FROM seed
+    UNION ALL SELECT * FROM disconnects
+    UNION ALL SELECT * FROM connects
+    UNION ALL SELECT * FROM posted
+    """,
+)
+def q_protocol_server_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship parity operator as an oracled query: treat each
+    fixture event as a client poll carrying one posted event, and
+    reconstruct the exact append-only log the reference server would
+    produce — seed, connect/disconnect markers with per-connection
+    proxy ids, and server-stamped T for every row (SURVEY.md §3;
+    semantics fuzz-verified against the Python reference simulator in
+    test_protocol_replay)."""
+    from goeventstream_spark.operators import protocol_replay as pr
+
+    ev = load_table(spark, sf_dir, "events")
+    syncs = ev.select(
+        F.col("event_id").alias("sync_id"),
+        "user_id",
+        F.unix_millis("ts").alias("poll_ms"),
+    )
+    posted = ev.select(
+        F.col("event_id").alias("sync_id"),
+        F.lit(0).cast("long").alias("event_seq"),
+        "event_type",
+        F.col("props").alias("body"),
+    )
+    return pr.server_log(syncs, posted)
