@@ -39,6 +39,7 @@ HEADLINE = [
     "multimodal_features",
     "term_scores_topk",
     "session_window_stats_batch",
+    "protocol_server_log",
 ]
 
 
@@ -58,12 +59,18 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # two reps, min taken: first executions pay one-off JIT/codegen
+    # compilation that a long-running cluster amortizes away; min of two
+    # is the honest steady-state plan cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -179,28 +179,66 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
     )
 
 
-def deliveries(syncs: DataFrame, posted: DataFrame) -> DataFrame:
+def deliveries(syncs: DataFrame, posted: DataFrame, users: list | None = None) -> DataFrame:
     """Per-sync delivered events: the range scan
     last_known < T <= clock_t (model/eventStream.go:63-71), where
     last_known is the clock the same client saw on its previous poll.
-    Output: (sync_id, user_id, t, event_type, origin)."""
+    Output: (sync_id, user_id, t, event_type, origin).
+
+    Scalable form: a client's delivery windows partition the tick axis
+    (last_known_k = clock_{k-1}), so each log row is delivered to a
+    user by exactly ONE sync — the user's first sync with
+    clock_t >= row.t. That is an as-of-forward join, computed with the
+    union-merge trick per user (one sort; no range theta join, which
+    Spark would nested-loop). Among equal-clock syncs (clock didn't
+    advance between polls) the EARLIEST poll delivers — enforced by the
+    tie order poll_ms DESC in the descending traversal. Self-posted
+    events deliver in their own sync iff a tick elapsed (SURVEY.md
+    §1.4.4) — they map to that same sync naturally when
+    clock_k >= assign_t_k.
+
+    ``users`` optionally restricts the receiving clients (the output is
+    O(log-rows x clients) by nature — every client eventually receives
+    every event).
+    """
     sc = sync_clock(syncs)
-    wu = Window.partitionBy("user_id").orderBy("poll_ms", "sync_id")
-    with_known = sc.withColumn(
-        "last_known", F.coalesce(F.lag("clock_t").over(wu), F.lit(0))
-    )
+    if users is not None:
+        sc = sc.where(F.col("user_id").isin(users))
     log = server_log(syncs, posted)
-    return (
-        with_known.alias("s")
-        .join(
-            log.alias("e"),
-            (F.col("e.t") > F.col("s.last_known")) & (F.col("e.t") <= F.col("s.clock_t")),
-        )
-        .select(
-            F.col("s.sync_id"),
-            F.col("s.user_id"),
-            F.col("e.t"),
-            F.col("e.event_type"),
-            F.col("e.origin"),
-        )
+    targets = sc.select("user_id").distinct()
+    ev_rep = log.crossJoin(targets).select(
+        "user_id",
+        F.col("t").alias("_key"),
+        F.lit(1).alias("_side"),
+        F.lit(-1).cast("long").alias("_poll_ms"),
+        F.lit(None).cast("long").alias("_sync_id"),
+        "t",
+        "event_type",
+        "origin",
     )
+    sync_rows = sc.select(
+        "user_id",
+        F.col("clock_t").alias("_key"),
+        F.lit(0).alias("_side"),
+        F.col("poll_ms").alias("_poll_ms"),
+        F.col("sync_id").alias("_sync_id"),
+        F.lit(None).cast("long").alias("t"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("string").alias("origin"),
+    )
+    wd = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("_key").desc(),
+            F.col("_side").asc(),
+            F.col("_poll_ms").desc(),
+            F.col("_sync_id").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = ev_rep.unionByName(sync_rows).withColumn(
+        "sync_id", F.last("_sync_id", ignorenulls=True).over(wd)
+    )
+    return carried.where(
+        (F.col("_side") == 1) & F.col("sync_id").isNotNull()
+    ).select("sync_id", "user_id", "t", "event_type", "origin")

@@ -485,9 +485,9 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "protocol_server_log",
-    """
+# Shared DuckDB CTE block reconstructing the reference server's state
+# from the events-as-polls mapping (mirrors operators/protocol_replay).
+_PROTO_CTES = """
     WITH syncs AS (
       SELECT event_id AS sync_id, user_id, epoch_ms(ts) AS poll_ms, event_type, props
       FROM events
@@ -550,7 +550,7 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
              proxy_id AS origin, CAST(NULL AS VARCHAR) AS body
       FROM detected
     ),
-    posted AS (
+    posted_log AS (
       SELECT assign_t AS t, CAST(3 AS BIGINT) AS kind_order, event_type,
              proxy_id AS origin, props AS body
       FROM conn
@@ -558,12 +558,19 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed AS (
       SELECT CAST(1 AS BIGINT) AS t, CAST(0 AS BIGINT) AS kind_order, '_a' AS event_type,
              '_' AS origin, 'seed' AS body
+    ),
+    log AS (
+      SELECT * FROM seed
+      UNION ALL SELECT * FROM disconnects
+      UNION ALL SELECT * FROM connects
+      UNION ALL SELECT * FROM posted_log
     )
-    SELECT t, kind_order, event_type, origin, body FROM seed
-    UNION ALL SELECT * FROM disconnects
-    UNION ALL SELECT * FROM connects
-    UNION ALL SELECT * FROM posted
-    """,
+"""
+
+
+@query(
+    "protocol_server_log",
+    _PROTO_CTES + "SELECT t, kind_order, event_type, origin, body FROM log",
 )
 def q_protocol_server_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship parity operator as an oracled query: treat each
@@ -588,3 +595,51 @@ def q_protocol_server_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("body"),
     )
     return pr.server_log(syncs, posted)
+
+
+@query(
+    "protocol_deliveries",
+    _PROTO_CTES
+    + """,
+    targets AS (SELECT DISTINCT user_id FROM syncs WHERE user_id < 10),
+    merged2 AS (
+      SELECT tg.user_id, l.t AS _key, 1 AS _side, CAST(-1 AS BIGINT) AS _poll_ms,
+             CAST(NULL AS BIGINT) AS _sync_id, l.t, l.event_type, l.origin
+      FROM log l CROSS JOIN targets tg
+      UNION ALL
+      SELECT user_id, clock_t, 0, poll_ms, sync_id,
+             CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM sc WHERE user_id < 10
+    ),
+    carried AS (
+      SELECT *, last_value(_sync_id IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY _key DESC, _side ASC, _poll_ms DESC, _sync_id DESC
+                        ROWS UNBOUNDED PRECEDING) AS d_sync
+      FROM merged2
+    )
+    SELECT d_sync AS sync_id, user_id, t, event_type, origin
+    FROM carried WHERE _side = 1 AND d_sync IS NOT NULL
+    """,
+)
+def q_protocol_deliveries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 as the full per-sync delivery map: which sync delivers each
+    log row to each client (restricted to 10 clients — output is
+    O(log x clients) by nature). As-of-forward union-merge form; see
+    protocol_replay.deliveries."""
+    from goeventstream_spark.operators import protocol_replay as pr
+
+    ev = load_table(spark, sf_dir, "events")
+    syncs = ev.select(
+        F.col("event_id").alias("sync_id"),
+        "user_id",
+        F.unix_millis("ts").alias("poll_ms"),
+    )
+    posted = ev.select(
+        F.col("event_id").alias("sync_id"),
+        F.lit(0).cast("long").alias("event_seq"),
+        "event_type",
+        F.col("props").alias("body"),
+    )
+    users = list(range(10))
+    return pr.deliveries(syncs, posted, users=users)
