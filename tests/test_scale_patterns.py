@@ -134,3 +134,26 @@ def test_lsh_banded_ann_recall_and_pruning(spark, sf_dir):
     if exact:
         recall = len(got & exact) / len(exact)
         assert recall >= 0.6, f"recall {recall:.2f} below measured floor"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF-probed ANN must recover most of the exact top-5 neighbor
+    sets while probing only n_probe/n_centroids of the corpus."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.similarity import cosine_topk, ivf_topk
+    from goeventstream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(emb, qs, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
