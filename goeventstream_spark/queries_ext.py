@@ -255,7 +255,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_transform([value, value * 2], x -> x + 1)[2] AS arr_plus1_last,
            value + value * 2 AS arr_sum,
            CASE WHEN value >= value * 2 THEN value ELSE value * 2 END AS arr_max,
-           CAST(len([value, value * 2]) AS BIGINT) AS arr_len
+           CAST(len([value, value * 2]) AS BIGINT) AS arr_len,
+           json_keys(props)[1] AS first_key
     FROM events
     """,
 )
@@ -272,6 +273,7 @@ def q_map_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x).alias("arr_sum"),
         F.array_max(arr).alias("arr_max"),
         F.size(arr).cast("long").alias("arr_len"),
+        F.element_at(F.map_keys(F.from_json("props", "map<string,bigint>")), 1).alias("first_key"),
     )
 
 
@@ -643,3 +645,27 @@ def q_protocol_deliveries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     users = list(range(10))
     return pr.deliveries(syncs, posted, users=users)
+
+
+@query(
+    "collect_aggregates",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+           CAST(len(list(l_orderkey)) AS BIGINT) AS n_collected,
+           array_to_string(list_sort(list_distinct(list(CAST(l_linenumber AS VARCHAR)))), ',') AS linenumbers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set surface. List-valued columns have no
+    stable cross-engine ordering, so results are canonicalized to
+    sorted joined strings — the aggregation itself is what's covered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.size(F.collect_list("l_orderkey")).cast("long").alias("n_collected"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("l_linenumber").cast("string"))), ","
+        ).alias("linenumbers"),
+    )
