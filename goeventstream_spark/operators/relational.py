@@ -183,25 +183,22 @@ def salted_agg(
     alias, and phase 2 re-aggregates by the same function name, which is
     correct for sum/count-as-sum/min/max style partials.
     """
-    import re as _re
-
     salted = df.withColumn(
         "_salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
     )
     phase1 = salted.groupBy(*key_cols, "_salt").agg(*agg_exprs)
-    merge_exprs = []
-    for c in phase1.columns:
-        if c in key_cols or c == "_salt":
-            continue
-        # partial count becomes a sum in the merge phase
-        fn = F.sum if _re.match(r"^(n_|cnt|count)", c) else None
-        merge_exprs.append((fn or _merge_fn_for(phase1, c))(c).alias(c))
+    merge_exprs = [
+        _merge_fn(c)(c).alias(c)
+        for c in phase1.columns
+        if c not in key_cols and c != "_salt"
+    ]
     return phase1.groupBy(*key_cols).agg(*merge_exprs)
 
 
-def _merge_fn_for(df: DataFrame, col_name: str):
+def _merge_fn(col_name: str):
     """Merge function for a partial-aggregate column by naming
-    convention: min_*/max_* merge with min/max, everything else sums."""
+    convention: min_*/max_* merge with min/max; counts and sums both
+    merge by summing the partials."""
     if col_name.startswith("min"):
         return F.min
     if col_name.startswith("max"):
