@@ -304,6 +304,34 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "right_outer_supplier_volume",
+    """
+    SELECT s_suppkey, s_name, n_lines,
+           CAST(ship_volume AS DOUBLE) AS ship_volume
+    FROM (
+      SELECT l_suppkey, count(*) AS n_lines,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS ship_volume
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ) l RIGHT JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def q_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (SURVEY.md §2b "inner/left/right/full equi"):
+    the fact side is pre-aggregated to one row per supplier BEFORE the
+    join, so at 100 TB the shuffle carries |suppliers| rows, not
+    |lineitem|; suppliers with no returned lines survive with nulls."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ship_volume"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return per_supp.join(supp, per_supp.l_suppkey == supp.s_suppkey, "right_outer").select(
+        "s_suppkey", "s_name", "n_lines", F.col("ship_volume").cast("double").alias("ship_volume")
+    )
+
+
+@query(
     "left_outer_order_counts",
     """
     SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
