@@ -1,0 +1,55 @@
+"""Deterministic sampling and dataset mixing (training-data pipeline).
+
+Reference parity note: the reference (michaeldgagnon/GoEventStream) has no
+sampling surface — these are north-star LLM-pipeline extensions
+(BASELINE.json), designed for the 100 TB path:
+
+- ``sample_by_hash``: Bernoulli sampling keyed on a *content-stable* hash
+  of the id, not ``rand()``. Purely map-side (no shuffle, no RNG state),
+  reproducible across runs/engines/partitionings — re-running the
+  pipeline on a grown corpus keeps every previously-kept doc. The keep
+  decision compares the first 4 hex chars of md5 against a threshold;
+  md5 hex is lowercase in both Spark and DuckDB, so lexicographic
+  compare == numeric compare and oracles match exactly.
+- ``dataset_mix``: per-source keep-rates (the "data mixture" step before
+  training). Rates live in a tiny dim table that is broadcast — at
+  100 TB the corpus scan stays shuffle-free; only the kept rows move on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_key(id_col: str = "doc_id") -> Column:
+    """First 4 hex chars of md5 of the id rendered as a string —
+    a uniform 16-bit sample key, portable across engines."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+
+
+def sample_by_hash(df: DataFrame, threshold_hex: str = "3fff", id_col: str = "doc_id") -> DataFrame:
+    """Keep rows whose sample key <= ``threshold_hex`` (4 lowercase hex
+    chars; '3fff' ~ 25%, '7fff' ~ 50%, 'ffff' = keep all)."""
+    return df.withColumn("sample_key", sample_key(id_col)).where(
+        F.col("sample_key") <= F.lit(threshold_hex)
+    )
+
+
+def mix_rates_dim(spark, sources: list[str], thresholds: list[str]) -> DataFrame:
+    """Tiny (source -> keep-threshold) dim table for dataset mixing."""
+    return spark.createDataFrame(
+        list(zip(sources, thresholds)), "source string, keep_threshold string"
+    )
+
+
+def dataset_mix(df: DataFrame, rates: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Weighted per-source sampling: broadcast-join the rates dim, keep
+    rows whose hash key clears their source's threshold. The corpus side
+    never shuffles; sources absent from ``rates`` are dropped (inner
+    join), which is the usual "mixture spec is exhaustive" contract."""
+    return (
+        df.join(F.broadcast(rates), "source")
+        .withColumn("sample_key", sample_key(id_col))
+        .where(F.col("sample_key") <= F.col("keep_threshold"))
+    )

@@ -143,3 +143,27 @@ def term_scores(docs: DataFrame, top_k: int = 5) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(win).cast("long"))
         .where(F.col("rk") <= top_k)
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_size: int = 200, stride: int = 160) -> DataFrame:
+    """Overlapping fixed-width character chunks (the pre-tokenization
+    split step of a training pipeline). Chunk c starts at 1 + c*stride
+    (1-based, ``substr`` semantics identical in Spark and DuckDB) and
+    carries ``chunk_size - stride`` chars of overlap; the final chunk is
+    naturally shorter.
+
+    Scale shape: one ``explode`` over a generated start-position array —
+    pure map-side row amplification, no shuffle, no UDF; at 100 TB this
+    pipelines inside the scan stage.
+    """
+    starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride))
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            (F.col("chunk_start") - 1).cast("long").alias("chunk_offset"),
+            ((F.col("chunk_start") - 1) / stride).cast("long").alias("chunk_idx"),
+            F.substring(F.col("text"), F.col("chunk_start"), F.lit(chunk_size)).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )

@@ -414,3 +414,80 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked exactly."""
     media = multimodal.as_media(_docs(spark, sf_dir))
     return multimodal.extract_features(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Sampling / dataset mixing / chunking (training-pipeline surface)
+# ---------------------------------------------------------------------------
+
+from goeventstream_spark.operators import sampling  # noqa: E402
+
+
+@query(
+    "deterministic_sample",
+    """
+    SELECT doc_id, source, sample_key FROM (
+      SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+      FROM documents
+    ) WHERE sample_key <= '3fff'
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% Bernoulli sample keyed on md5(doc_id) — reproducible,
+    shuffle-free, stable under corpus growth (unlike rand())."""
+    return sampling.sample_by_hash(_docs(spark, sf_dir), "3fff").select(
+        "doc_id", "source", "sample_key"
+    )
+
+
+_MIX_THRESHOLDS = ["ffff", "7fff", "3fff", "1fff"]
+_MIX_SOURCES = [f"src{i}" for i in range(20)]
+_MIX_SQL_DIM = ", ".join(
+    f"('src{i}', '{_MIX_THRESHOLDS[i % 4]}')" for i in range(20)
+)
+
+
+@query(
+    "dataset_mix",
+    f"""
+    WITH rates(source, keep_threshold) AS (VALUES {_MIX_SQL_DIM})
+    SELECT source, n_docs, CAST(total_chars AS BIGINT) AS total_chars FROM (
+      SELECT d.source, count(*) AS n_docs, sum(d.n_chars) AS total_chars
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <= r.keep_threshold
+      GROUP BY d.source
+    )
+    """,
+)
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sampling (training-mixture step): rates dim
+    broadcast against the corpus, then a per-source audit aggregate."""
+    rates = sampling.mix_rates_dim(
+        spark, _MIX_SOURCES, [_MIX_THRESHOLDS[i % 4] for i in range(20)]
+    )
+    kept = sampling.dataset_mix(_docs(spark, sf_dir), rates)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "doc_chunks",
+    """
+    SELECT doc_id,
+           CAST(chunk_start - 1 AS BIGINT) AS chunk_offset,
+           CAST((chunk_start - 1) // 160 AS BIGINT) AS chunk_idx,
+           substr(text, chunk_start, 200) AS chunk_text,
+           CAST(length(substr(text, chunk_start, 200)) AS BIGINT) AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text), 1), 160)) AS chunk_start
+      FROM documents
+    )
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char chunks at stride 160 — map-side explode,
+    the pre-tokenization split of a training pipeline."""
+    return text.chunk_documents(_docs(spark, sf_dir), chunk_size=200, stride=160)

@@ -100,3 +100,37 @@ def test_resize_media_contract(spark, sf_dir):
         assert r.new_bytes == min(r.orig_bytes, 128)
         assert len(bytes(r.content)) == r.new_bytes
         assert r.media_type == "image/fake"
+
+
+def test_chunk_documents_reconstructs_text(spark, sf_dir):
+    """Stripping each chunk to its stride-width prefix and concatenating
+    in chunk_idx order must reproduce the original text exactly; overlap
+    between consecutive chunks is chunk_size - stride."""
+    from goeventstream_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    chunks = text_ops.chunk_documents(docs, chunk_size=200, stride=160).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_idx)):
+        assert r.chunk_offset == r.chunk_idx * 160
+        assert r.chunk_len == len(r.chunk_text) and r.chunk_len <= 200
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_text)
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, parts in by_doc.items():
+        rebuilt = "".join(p[:160] for p in parts[:-1]) + parts[-1]
+        assert rebuilt == originals[doc_id]
+
+
+def test_sample_by_hash_deterministic_and_stable(spark, sf_dir):
+    """Same threshold -> identical kept set across runs; a lower
+    threshold keeps a strict subset (stability under rate changes)."""
+    from goeventstream_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    k50 = {r.doc_id for r in sampling.sample_by_hash(docs, "7fff").select("doc_id").collect()}
+    k50_again = {r.doc_id for r in sampling.sample_by_hash(docs, "7fff").select("doc_id").collect()}
+    k25 = {r.doc_id for r in sampling.sample_by_hash(docs, "3fff").select("doc_id").collect()}
+    assert k50 == k50_again
+    assert k25 <= k50
+    n = docs.count()
+    assert 0.15 * n < len(k25) < 0.35 * n and 0.4 * n < len(k50) < 0.6 * n
