@@ -40,6 +40,9 @@ HEADLINE = [
     "term_scores_topk",
     "session_window_stats_batch",
     "protocol_server_log",
+    "multigrain_rollup",
+    "dataset_mix",
+    "doc_chunks",
 ]
 
 

@@ -204,3 +204,50 @@ def _merge_fn(col_name: str):
     if col_name.startswith("max"):
         return F.max
     return F.sum
+
+
+def multigrain_rollup(
+    events: DataFrame,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+    key_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup.
+
+    The big table is aggregated ONCE at the finest grain (the only
+    shuffle that touches |events| rows, with map-side partial
+    aggregation); every coarser grain is re-aggregated from the
+    already-tiny finest-grain relation — at 100 TB the hour->day->month
+    rollups run over thousands of rows, not billions. Decomposable
+    aggregates only (count merges as sum-of-counts; sums stay DECIMAL
+    until the final cast so every grain is order-independent exact).
+
+    Output: grain, bucket_start, *key_cols, n_events, sum_value.
+    """
+    fine, *coarser = grains
+    hourly = events.groupBy(
+        F.date_trunc(fine, F.col(ts_col)).alias("bucket_start"), *key_cols
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_sum_dec"),
+    )
+    out = hourly.select(F.lit(fine).alias("grain"), "*")
+    for g in coarser:
+        out = out.unionByName(
+            hourly.groupBy(
+                F.date_trunc(g, F.col("bucket_start")).alias("bucket_start"), *key_cols
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("_sum_dec").alias("_sum_dec"),
+            )
+            .select(F.lit(g).alias("grain"), "*")
+        )
+    return out.select(
+        "grain",
+        "bucket_start",
+        *key_cols,
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("_sum_dec").cast("double").alias("sum_value"),
+    )

@@ -697,3 +697,33 @@ def q_collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_set(F.col("l_linenumber").cast("string"))), ","
         ).alias("linenumbers"),
     )
+
+
+@query(
+    "multigrain_rollup",
+    """
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start, event_type,
+             count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_dec
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, bucket_start, event_type,
+           CAST(n_events AS BIGINT) AS n_events, CAST(sum_dec AS DOUBLE) AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', CAST(date_trunc('day', bucket_start) AS TIMESTAMP), event_type,
+           CAST(sum(n_events) AS BIGINT), CAST(sum(sum_dec) AS DOUBLE)
+    FROM hourly GROUP BY 2, 3
+    UNION ALL
+    SELECT 'month', CAST(date_trunc('month', bucket_start) AS TIMESTAMP), event_type,
+           CAST(sum(n_events) AS BIGINT), CAST(sum(sum_dec) AS DOUBLE)
+    FROM hourly GROUP BY 2, 3
+    """,
+)
+def q_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: one shuffle over events at hour grain,
+    then day/month re-aggregated from the tiny hourly relation (see
+    relational.multigrain_rollup)."""
+    from goeventstream_spark.operators import relational as rel2
+
+    return rel2.multigrain_rollup(load_table(spark, sf_dir, "events"))

@@ -75,3 +75,13 @@ def test_delta_scan_pushes_nanos_range_to_scan(spark, sf_dir):
     df = q.QUERIES["delta_scan"](spark, sf_dir)
     pushed = plans.pushed_filters(df)
     assert any("ts" in p and ("GreaterThan" in p or "LessThan" in p) for p in pushed), pushed
+
+
+def test_multigrain_rollup_reuses_hourly_exchange(spark, sf_dir):
+    """Day/month grains must re-aggregate the hourly exchange, not
+    rescan events — the property that makes the rollup one-shuffle at
+    100 TB. ReuseExchange only fires on the *executed* plan."""
+    df = q.QUERIES["multigrain_rollup"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan
