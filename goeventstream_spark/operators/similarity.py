@@ -168,9 +168,18 @@ def lsh_banded_near_dup(
     ]
 
     def proj_sign(p: int) -> Column:
-        expr = sum(
-            F.element_at(F.col("embedding"), j + 1).cast("double") * F.lit(planes[p][j])
-            for j in range(dims)
+        # HOF form on purpose: 32 flat 64-term sums in one projection
+        # make janino's codegen OOM a default-sized driver; the
+        # aggregate/zip_with lambda keeps the expression tree small and
+        # evaluates interpreted (fine for this one corpus map pass).
+        expr = F.aggregate(
+            F.zip_with(
+                _as_double(F.col("embedding")),
+                F.array(*[F.lit(v) for v in planes[p]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
         return (expr >= 0).cast("int")
 
@@ -186,25 +195,39 @@ def lsh_banded_near_dup(
         "embedding",
         F.posexplode(F.array(*band_sigs)).alias("band_id", "band_sig"),
     )
+    # The banded relation IS the corpus (x bands) — never broadcast it:
+    # Catalyst's size estimate can pick a broadcast join for the self-join,
+    # which OOMs a default-sized driver and is nonsense at 100 TB. Pin a
+    # shuffle-hash join on the (band_id, band_sig) equi keys.
+    banded = banded.hint("shuffle_hash")
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding"), dims).alias("cos_sim"),
-        )
-        .distinct()
+    # Dedup candidate pairs BEFORE the exact verify: a pair colliding in
+    # k bands would otherwise pay the 192-term cosine k times. After the
+    # groupBy, verify cost is proportional to |unique candidates| —
+    # the quantity LSH actually bounds. first() is safe: both embeddings
+    # are identical across a pair's collision rows.
+    cand = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_sig") == F.col("b.band_sig"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.embedding").alias("_ea"),
+        F.col("b.embedding").alias("_eb"),
     )
-    return cand.where(F.col("cos_sim") >= F.lit(threshold))
+    uniq = cand.groupBy("vec_a", "vec_b").agg(
+        F.first("_ea").alias("_ea"), F.first("_eb").alias("_eb")
+    )
+    return uniq.select(
+        "vec_a",
+        "vec_b",
+        cosine(F.col("_ea"), F.col("_eb"), dims).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= F.lit(threshold))
 
 
-def ivf_index(emb: DataFrame, n_centroids: int = 16, seed: int = 42):
+def ivf_index(emb: DataFrame, n_centroids: int = 16, seed: int = 42, max_iter: int = 8):
     """IVF (inverted-file) index: partition the corpus by KMeans
     centroid. Returns (assigned_df with centroid_id, centers list).
 
@@ -219,7 +242,10 @@ def ivf_index(emb: DataFrame, n_centroids: int = 16, seed: int = 42):
         "vec_id",
         array_to_vector(F.transform("embedding", lambda x: x.cast("double"))).alias("features"),
     )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
+    # 8 iterations: IVF cells only need a reasonable partition, not a
+    # converged clustering — recall is governed by n_probe, and each
+    # MLlib iteration is a full distributed pass over the corpus.
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
     assigned = (
         model.transform(feats)
         .select("vec_id", F.col("prediction").alias("centroid_id"))

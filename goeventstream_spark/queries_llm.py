@@ -491,3 +491,27 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 200-char chunks at stride 160 — map-side explode,
     the pre-tokenization split of a training pipeline."""
     return text.chunk_documents(_docs(spark, sf_dir), chunk_size=200, stride=160)
+
+
+@query("ivf_topk")  # KMeans-trained index: no SQL oracle (rows-only check)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF probing (similarity.ivf_topk) — the scale path
+    for similarity search. Recall vs brute force and the probe-all ==
+    exact equivalence are pinned in test_scale_patterns; the driver
+    records the weaker rows-only check since KMeans training is not
+    SQL-expressible."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.ivf_topk(emb, queries_df, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rk"
+    )
+
+
+@query("lsh_banded_near_dup")  # recall-bounded ANN: no exact oracle (rows-only)
+def q_lsh_banded_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH near-dup (similarity.lsh_banded_near_dup):
+    candidates from band collisions, exact cosine verify. Approximate
+    recall by design (floor pinned in test_scale_patterns), so rows-only."""
+    return similarity.lsh_banded_near_dup(_emb(spark, sf_dir), threshold=0.35)
