@@ -167,3 +167,35 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 200, stride: int = 160) -
         )
         .withColumn("chunk_len", F.length("chunk_text").cast("long"))
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Dominant-term concentration per document (the Gopher-style
+    repetition quality signal): the most frequent word, its count, and
+    its share of all words. Two exchanges, but both carry only the
+    compact (doc_id, word, tf) relation: map-side partial aggregation
+    shrinks the exploded words before the first shuffle, and the per-doc
+    window re-shuffles the already-aggregated counts — cheaper at scale
+    than one shuffle of the raw exploded words."""
+    from pyspark.sql import Window
+
+    tf = _words(docs).groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id")
+    wrk = w.orderBy(F.col("tf").desc(), F.col("word"))
+    return (
+        tf.select(
+            "doc_id",
+            "word",
+            "tf",
+            F.sum("tf").over(w).alias("n_words"),
+            F.row_number().over(wrk).alias("_rk"),
+        )
+        .where(F.col("_rk") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_word"),
+            F.col("tf").cast("long").alias("top_tf"),
+            F.col("n_words").cast("long").alias("n_words"),
+            (F.col("tf").cast("double") / F.col("n_words")).alias("top_share"),
+        )
+    )

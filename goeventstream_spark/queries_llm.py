@@ -515,3 +515,30 @@ def q_lsh_banded_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates from band collisions, exact cosine verify. Approximate
     recall by design (floor pinned in test_scale_patterns), so rows-only."""
     return similarity.lsh_banded_near_dup(_emb(spark, sf_dir), threshold=0.35)
+
+
+@query(
+    "repetition_stats",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM words WHERE word <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, word, tf,
+             sum(tf) OVER (PARTITION BY doc_id) AS n_words,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, word) AS rk
+      FROM tf
+    )
+    SELECT doc_id, word AS top_word, CAST(tf AS BIGINT) AS top_tf,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(tf AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_share
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-term concentration (repetition quality signal) — see
+    text.repetition_stats."""
+    return text.repetition_stats(_docs(spark, sf_dir))
