@@ -727,3 +727,46 @@ def q_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goeventstream_spark.operators import relational as rel2
 
     return rel2.multigrain_rollup(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "salted_agg_status_totals",
+    """
+    SELECT o_orderstatus,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(sum_price AS DOUBLE) AS sum_price,
+           min_price, max_price
+    FROM (
+      SELECT o_orderstatus, count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      FROM orders GROUP BY 1
+    )
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation on a 3-value key (maximally
+    skewed: ~500k rows over 3 groups at sf0.1) — the salted plan must be
+    value-identical to a plain GROUP BY, which is exactly what the
+    oracle checks. Decimal partial sums keep the merge order-free."""
+    from goeventstream_spark.operators import relational as rel3
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = rel3.salted_agg(
+        orders,
+        ["o_orderstatus"],
+        [
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        ],
+        salt_buckets=16,
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "min_price",
+        "max_price",
+    )
