@@ -65,20 +65,35 @@ def connections(syncs: DataFrame) -> DataFrame:
     sc = sync_clock(syncs)
     wu = Window.partitionBy("user_id").orderBy("poll_ms", "sync_id")
     prev_ms = F.lag("poll_ms").over(wu)
+    next_ms = F.lead("poll_ms").over(wu)
+    # Start AND end flags come from the same window spec, so Spark
+    # evaluates lag+lead in ONE sort pass; conn_start/conn_end rows are
+    # then plain filters downstream (no per-consumer ranking windows).
     flagged = sc.withColumn(
-        "_is_conn",
+        "is_conn_start",
         F.when(
             prev_ms.isNull() | (F.col("poll_ms") - prev_ms > CLIENT_TIMEOUT_MS), 1
         ).otherwise(0),
     ).withColumn(
-        "conn_id", F.sum("_is_conn").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        "is_conn_end",
+        F.when(
+            next_ms.isNull() | (next_ms - F.col("poll_ms") > CLIENT_TIMEOUT_MS), 1
+        ).otherwise(0),
+    ).withColumn(
+        "conn_id", F.sum("is_conn_start").over(wu.rowsBetween(Window.unboundedPreceding, 0))
     )
-    starts = flagged.where(F.col("_is_conn") == 1).select(
+    starts = flagged.where(F.col("is_conn_start") == 1).select(
         "user_id", "conn_id", F.col("poll_ms").alias("conn_start_ms")
     )
     wp = Window.orderBy("conn_start_ms", "user_id")
     proxies = starts.withColumn("proxy_id", F.row_number().over(wp).cast("string"))
-    return flagged.drop("_is_conn").join(proxies, ["user_id", "conn_id"])
+    # The annotated relation is consumed by four log branches (seed,
+    # connects, disconnects, posted) — without materialization each
+    # branch re-executes the whole window chain (exchange reuse does not
+    # fire across these shapes). |syncs| rows is tiny relative to the
+    # log at any scale, so a lazy local checkpoint (materialized on
+    # first action) is the right trade.
+    return flagged.join(proxies, ["user_id", "conn_id"]).localCheckpoint(eager=False)
 
 
 def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
@@ -100,11 +115,7 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
     )
 
     # connect markers: each connection's opening poll appends _c
-    wu = Window.partitionBy("user_id").orderBy("poll_ms", "sync_id")
-    conn_first = conn.withColumn(
-        "_rn", F.row_number().over(Window.partitionBy("user_id", "conn_id").orderBy("poll_ms", "sync_id"))
-    )
-    connects = conn_first.where(F.col("_rn") == 1).select(
+    connects = conn.where(F.col("is_conn_start") == 1).select(
         F.col("assign_t").alias("t"),
         F.lit(2).alias("kind_order"),
         F.lit("_c").alias("event_type"),
@@ -120,13 +131,7 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
     # seen — for a deadline row that carried sync is exactly the
     # earliest sync strictly after it. Tie order (_side: deadline 0
     # before sync 1 at equal ms) enforces the STRICT inequality.
-    conn_last = conn.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("user_id", "conn_id").orderBy(F.col("poll_ms").desc(), F.col("sync_id").desc())
-        ),
-    )
-    deadlines = conn_last.where(F.col("_rn") == 1).select(
+    deadlines = conn.where(F.col("is_conn_end") == 1).select(
         "user_id",
         "proxy_id",
         (F.col("poll_ms") + CLIENT_TIMEOUT_MS).alias("_ms"),
