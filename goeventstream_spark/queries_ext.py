@@ -770,3 +770,55 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+_Q3_REVENUE = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)"
+)
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey, o_orderdate, revenue, rk FROM (
+      SELECT l_orderkey, o_orderdate, revenue,
+             CAST(row_number() OVER (ORDER BY revenue DESC, o_orderdate, l_orderkey) AS BIGINT) AS rk
+      FROM (
+        SELECT l_orderkey, o_orderdate, {_Q3_REVENUE} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+      )
+    ) WHERE rk <= 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered broadcast join into the orders ⋈
+    lineitem shuffle join, hash agg on the join key, global top-10 over
+    the (already tiny) aggregate — the canonical star-join + top-k
+    compound. Revenue sums as DECIMAL (order-free exact), so the
+    ranking ties out bit-identically cross-engine."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.expr(_Q3_REVENUE).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 10)
+    )
