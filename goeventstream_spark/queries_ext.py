@@ -822,3 +822,63 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 10)
     )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    """
+    WITH fl AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#2'
+    ), pa AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS cnt_qty
+      FROM fl GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM fl JOIN pa ON pk = l_partkey
+    WHERE l_quantity * 5 * cnt_qty < sum_qty
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity threshold) decorrelated into a single-shuffle window over
+    l_partkey — Spark never re-joins the aggregate back, it co-computes
+    sum/count alongside the rows in one exchange, after the tiny
+    brand-filtered part dim is broadcast in.
+
+    Exactness: the 0.2*avg threshold is rewritten as
+    ``l_quantity * 5 * cnt < sum_qty`` (cnt > 0), keeping every operand
+    an integral double < 2^53 — both engines compare bit-identically
+    with no decimal-division or precision-loss rewrites. The quantity
+    sum itself accumulates as DECIMAL (order-free) before the DOUBLE
+    cast. Ref: query semantics per GoEventStream-style analytic scans;
+    plan per SURVEY.md scale notes (broadcast dim, one exchange).
+    """
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    fl = li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey).drop(
+        "p_partkey"
+    )
+    w = Window.partitionBy("l_partkey")
+    fl = fl.withColumn(
+        "sum_qty",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"),
+    ).withColumn("cnt_qty", F.count(F.lit(1)).over(w))
+    return fl.where(
+        F.col("l_quantity") * 5 * F.col("cnt_qty") < F.col("sum_qty")
+    ).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / 7.0
+        ).alias("avg_yearly")
+    )

@@ -85,3 +85,15 @@ def test_multigrain_rollup_reuses_hourly_exchange(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_tpch_q17_broadcast_and_single_data_exchange(spark, sf_dir):
+    # The brand-filtered part dim must broadcast (no sort-merge join),
+    # and the decorrelated per-part threshold must co-compute in ONE
+    # data shuffle (the window on l_partkey); the only other exchange
+    # is the single-row final aggregate.
+    df = q.QUERIES["tpch_q17_small_qty_revenue"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plans.count_exchanges(df) <= 2, plan
