@@ -882,3 +882,31 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 7.0
         ).alias("avg_yearly")
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide measures -> long rows), the inverse of the pivot
+    surface. Spark's native ``DataFrame.unpivot`` expands in-place as a
+    narrow Generate — one scan, zero shuffles, so at 100 TB it costs
+    exactly the scan plus 3x output rows, where the UNION ALL oracle
+    formulation would scan the fact three times. Measure doubles pass
+    through uncast (no arithmetic -> bit-exact cross-engine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )

@@ -97,3 +97,10 @@ def test_tpch_q17_broadcast_and_single_data_exchange(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert plans.count_exchanges(df) <= 2, plan
+
+
+def test_unpivot_is_narrow_no_exchange(spark, sf_dir):
+    # unpivot must stay a narrow Generate over the scan — any exchange
+    # here would turn a free transform into a 3x-fact shuffle at scale.
+    df = q.QUERIES["unpivot_lineitem_measures"](spark, sf_dir)
+    assert plans.count_exchanges(df) == 0, plans.physical_plan(df)
