@@ -84,14 +84,32 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, block_col: str =
     """Near-duplicate vector pairs above a cosine threshold, blocked by
     ``block_col`` so the self-join is per-block instead of global n².
 
-    Measured note: pre-computing per-vector norms before the self-join
-    looks like a 3x per-pair arithmetic cut but benchmarks ~60% SLOWER
-    here — the extra projection under the join breaks the scan->join
-    codegen pipeline, costing more than the redundant norm products
-    save. Inline cosine keeps the whole pair stage in one codegen span.
+    Codegen anatomy (measured at sf0.1, BENCH_r01 follow-up): the
+    round-1 inline-cosine form put 192 element_at products into the
+    BroadcastHashJoin's doConsume method, which Janino refuses ("Code
+    grows beyond 64 KB") because post-join columns are deferred local
+    variables Spark cannot split into sub-methods — the whole stage
+    silently fell back to per-operator codegen. Merely precomputing
+    norms scan-side makes the stage *compile* but the fused consume
+    method (64 products) exceeds HotSpot's huge-method JIT limit and
+    runs in the bytecode interpreter: 6.5 s vs 4.4 s for the fallback.
+    The winning shape (4.2 s, clean stderr): precompute norms in the
+    scan-side projection (splittable there, INPUT_ROW available), keep
+    the join consume a trivial column shuffle, and break fusion with a
+    zero-cost ``observe`` metrics node so the scoring projection gets
+    its own codegen stage where the 64-term dot splits into JIT-sized
+    sub-methods. Values are identical in all three shapes —
+    cos = dot(a,b)/(norm_a*norm_b) regardless of where norms are
+    computed — so the DuckDB oracle still hash-matches.
     """
-    a = emb.alias("a")
-    b = emb.alias("b")
+    pre = emb.select(
+        "vec_id",
+        block_col,
+        "embedding",
+        norm(F.col("embedding"), dims).alias("_n"),
+    )
+    a = pre.alias("a")
+    b = pre.alias("b")
     pairs = a.join(
         b,
         (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
@@ -99,9 +117,25 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, block_col: str =
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        cosine(F.col("a.embedding"), F.col("b.embedding"), dims).alias("cos_sim"),
+        F.col("a.embedding").alias("_ea"),
+        F.col("b.embedding").alias("_eb"),
+        F.col("a._n").alias("_na"),
+        F.col("b._n").alias("_nb"),
     )
-    return pairs.where(F.col("cos_sim") >= F.lit(threshold))
+    # CollectMetricsExec does not participate in whole-stage codegen:
+    # it is the cheapest fusion barrier Spark has (no shuffle, no
+    # materialization — one accumulator add per row), and it also
+    # surfaces the candidate-pair count, the quantity a blocked
+    # self-join must keep bounded at 100 TB.
+    pairs = pairs.observe("embedding_near_dup_pairs", F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("_ea"), F.col("_eb"), dims) / (F.col("_na") * F.col("_nb"))).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )
 
 
 def lsh_bucket(emb: DataFrame, n_planes: int = 8, seed_dims: int = 64) -> DataFrame:

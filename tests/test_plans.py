@@ -104,3 +104,25 @@ def test_unpivot_is_narrow_no_exchange(spark, sf_dir):
     # here would turn a free transform into a 3x-fact shuffle at scale.
     df = q.QUERIES["unpivot_lineitem_measures"](spark, sf_dir)
     assert plans.count_exchanges(df) == 0, plans.physical_plan(df)
+
+
+def test_headline_queries_compile_without_codegen_fallback(spark, sf_dir):
+    """Every bench headline query must *compile* under whole-stage
+    codegen — no silent Janino fallback to interpreted evaluation.
+
+    Round 1's bench tail showed `InternalCompilerException: Code grows
+    beyond 64 KB` (embedding_near_dup's 192-term inline cosine inside a
+    BroadcastHashJoin consume method). With
+    ``spark.sql.codegen.fallback=false`` the fallback becomes a hard
+    failure, so this test pins "clean bench stderr" for the whole
+    headline set.
+    """
+    import bench
+
+    prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in bench.HEADLINE:
+            q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
