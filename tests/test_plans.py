@@ -126,3 +126,15 @@ def test_headline_queries_compile_without_codegen_fallback(spark, sf_dir):
             q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_tpch_q3_topk_is_take_ordered(spark, sf_dir):
+    """Global top-10 must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never an unpartitioned row_number window
+    funneling billions of groups through one task. The only Window
+    allowed is the rk derivation AFTER the 10-row take."""
+    df = q.QUERIES["tpch_q3_shipping_priority"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    before_take = plan.split("TakeOrderedAndProject")[-1]
+    assert "Window" not in before_take, plan
