@@ -5,12 +5,19 @@ the exact event log and per-sync deliveries the reference server would
 produce — declaratively, as one DataFrame plan.
 
 Reference semantics modeled (file:line):
-- Virtual clock with remainder carry (model/game.go:81-90): the carry
-  makes the clock *memoryless* — T at a poll at wall time `now` is
-  exactly floor((now - t0)/50). Proof: lastTick - t0 stays ≡ 0 mod 50
-  under `lastTick = now - (now-lastTick)%50`, so the accumulated ticks
-  telescope to floor((now-t0)/50). This is why a pure column expression
-  replays an imperative loop exactly.
+- Virtual clock with remainder carry AND the strict tick threshold
+  (model/game.go:81-90): `elapsedTime > STREAM_TICK_THRESHOLD_MS` is a
+  strict inequality, so a poll landing exactly 50 ms after lastTick
+  does NOT advance the clock (and lastTick stays put). The carry keeps
+  lastTick ≡ t0 (mod 50), so with f = floor((now-t0)/50) and
+  r = (now-t0) mod 50 the clock is f - d where the boundary lag
+  d ∈ {0,1} obeys d_i = (d_{i-1} + Δf) mod 2 on polls with r == 0 and
+  Δf ≤ 1, and d_i = 0 otherwise (r > 0 forces a catch-up tick; Δf ≥ 2
+  means elapsed > 50 regardless of d). The recursion telescopes:
+  d = (f - f_base) mod 2 from the last "reset" poll (r > 0, Δf ≥ 2, or
+  stream start) — a pure two-window column expression, no loop. For
+  any poll NOT landing exactly on a 50 ms boundary from t0 this
+  reduces to the memoryless floor((now-t0)/50).
 - Event time assignment T = LastSentT + 1 (model/eventStream.go:48-54)
   where LastSentT is the *previous* poll's clock (MarkSent runs after
   appends, model/game.go:65-69): a lag() over the poll order.
@@ -42,15 +49,27 @@ def sync_clock(syncs: DataFrame) -> DataFrame:
     previous sync's clock), and the T assigned to events appended
     during it (assign_t = last_sent_prev + 1)."""
     w = Window.orderBy("poll_ms", "sync_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     t0 = F.min("poll_ms").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    clock = F.floor((F.col("poll_ms") - t0) / TICK_MS)
-    prev_clock = F.lag(clock).over(w)
-    return syncs.select(
+    fr = syncs.select(
         "*",
-        clock.alias("clock_t"),
+        F.floor((F.col("poll_ms") - t0) / TICK_MS).alias("_f"),
+        ((F.col("poll_ms") - t0) % TICK_MS).alias("_r"),
+    )
+    prev_f = F.lag("_f").over(w)
+    # Strict-boundary lag (module docstring): reset rows have d = 0;
+    # chains of boundary-aligned polls alternate d by Δf parity.
+    reset = (F.col("_r") > 0) | prev_f.isNull() | ((F.col("_f") - prev_f) >= 2)
+    flagged = fr.select("*", F.when(reset, F.col("_f")).alias("_base_f"))
+    base_f = F.last("_base_f", ignorenulls=True).over(wcum)
+    d = F.when(F.col("_base_f").isNotNull(), F.lit(0)).otherwise((F.col("_f") - base_f) % 2)
+    staged = flagged.select("*", (F.col("_f") - d).cast("long").alias("clock_t"))
+    prev_clock = F.lag("clock_t").over(w)
+    return staged.select(
+        "*",
         F.coalesce(prev_clock, F.lit(0)).alias("last_sent_prev"),
         (F.coalesce(prev_clock, F.lit(0)) + 1).alias("assign_t"),
-    )
+    ).drop("_f", "_r", "_base_f")
 
 
 def connections(syncs: DataFrame) -> DataFrame:

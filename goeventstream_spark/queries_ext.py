@@ -522,9 +522,27 @@ _PROTO_CTES = """
       SELECT event_id AS sync_id, user_id, epoch_ms(ts) AS poll_ms, event_type, props
       FROM events
     ),
-    sc0 AS (
-      SELECT *, CAST(floor((poll_ms - min(poll_ms) OVER ()) / 50) AS BIGINT) AS clock_t
+    fr AS (
+      SELECT *, CAST(floor((poll_ms - min(poll_ms) OVER ()) / 50) AS BIGINT) AS _f,
+                (poll_ms - min(poll_ms) OVER ()) % 50 AS _r
       FROM syncs
+    ),
+    -- strict tick threshold (model/game.go:83): a poll exactly 50 ms
+    -- after lastTick does not tick; boundary-aligned chains alternate
+    -- a 1-tick lag by delta-f parity (see operators/protocol_replay)
+    flagged AS (
+      SELECT *, CASE WHEN _r > 0 OR lag(_f) OVER wo IS NULL
+                       OR _f - lag(_f) OVER wo >= 2
+                     THEN _f END AS _base_f
+      FROM fr WINDOW wo AS (ORDER BY poll_ms, sync_id)
+    ),
+    sc0 AS (
+      SELECT *, _f - CASE WHEN _base_f IS NOT NULL THEN 0
+                          ELSE (_f - last_value(_base_f IGNORE NULLS)
+                                      OVER (ORDER BY poll_ms, sync_id
+                                            ROWS UNBOUNDED PRECEDING)) % 2
+                     END AS clock_t
+      FROM flagged
     ),
     sc AS (
       SELECT *, COALESCE(lag(clock_t) OVER (ORDER BY poll_ms, sync_id), 0) + 1 AS assign_t

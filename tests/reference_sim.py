@@ -31,11 +31,16 @@ class ReferenceSim:
             self.t0 = now
             self.last_tick_ms = now
             self._append(1, 0, "_a", "_", "seed")
-        # tick with remainder carry
+        # tick with remainder carry — STRICT threshold: the reference
+        # only advances when elapsed strictly exceeds one tick
+        # (model/game.go:83 `elapsedTime > STREAM_TICK_THRESHOLD_MS`),
+        # so a poll landing exactly TICK_MS after lastTick does NOT
+        # tick and lastTick stays put.
         elapsed = now - self.last_tick_ms
-        n = elapsed // TICK_MS
-        self.clock += n
-        self.last_tick_ms = now - (elapsed - n * TICK_MS)
+        if elapsed > TICK_MS:
+            n = elapsed // TICK_MS
+            self.clock += n
+            self.last_tick_ms = now - (elapsed - n * TICK_MS)
         # liveness sweep: expire ANY silent client (caller included)
         for u in sorted(self.clients):
             if now - self.clients[u]["last_touch"] > CLIENT_TIMEOUT_MS:

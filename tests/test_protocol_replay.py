@@ -35,18 +35,41 @@ POSTED_SCHEMA = StructType(
 )
 
 
-@pytest.fixture(scope="module", params=[42, 7, 1234])
+@pytest.fixture(
+    scope="module",
+    params=[(42, "mixed"), (7, "mixed"), (1234, "mixed"), (42, "boundary"), (99, "boundary")],
+    ids=["s42", "s7", "s1234", "s42-boundary", "s99-boundary"],
+)
 def schedule(request):
-    """Deterministic scripted session: 5 clients polling ~5x/s with
-    deliberate >10 s silences (forcing expiry/reconnect cycles) and
-    occasional posted events. Unique poll times to sidestep the
-    reference's map-iteration nondeterminism on simultaneous expiry.
-    Parametrized over seeds — cheap fuzzing of the equivalence."""
-    rng = random.Random(request.param)
-    users = [f"u{i}" for i in range(5)]
+    """Deterministic scripted session: clients polling with deliberate
+    >10 s silences (forcing expiry/reconnect cycles) and occasional
+    posted events. Unique poll times to sidestep the reference's
+    map-iteration nondeterminism on simultaneous expiry. Parametrized
+    over seeds — cheap fuzzing of the equivalence.
+
+    The "boundary" mode is a single client whose gaps are mostly
+    EXACTLY 50 ms — the strict-threshold edge (model/game.go:83) where
+    a poll landing exactly one tick after lastTick must NOT advance
+    the clock; chains of such polls alternate a 1-tick lag vs the
+    naive floor((now-t0)/50) model (ADVICE r1, medium)."""
+    seed, mode = request.param
+    rng = random.Random(seed)
     t = 1_000_000
     syncs, posted = [], []
     sync_id = 0
+    if mode == "boundary":
+        now = t
+        for _step in range(400):
+            syncs.append((sync_id, "u0", now))
+            if rng.random() < 0.3:
+                posted.append((sync_id, 0, f"ev{rng.randint(0, 9)}", f"b{sync_id}"))
+            # mostly exact-tick gaps; sprinkle of off-by-one and
+            # multi-tick jumps to break and restart boundary chains
+            gap = rng.choices([50, 100, 49, 51, 150, 25], weights=[60, 15, 8, 8, 5, 4])[0]
+            now += gap
+            sync_id += 1
+        return syncs, posted
+    users = [f"u{i}" for i in range(5)]
     # per-user next poll time; stagger starts
     next_poll = {u: t + i * 37 for i, u in enumerate(users)}
     for _step in range(600):
@@ -65,6 +88,18 @@ def schedule(request):
         next_poll[u] = now2
         sync_id += 1
     return syncs, posted
+
+
+def test_strict_boundary_clock_trace(spark):
+    """Hand-computed trace of the strict threshold: polls every exactly
+    50 ms give clocks 0, 0, 2, 2, 4, ... (tick only when elapsed > 50,
+    full catch-up then), NOT the naive floor sequence 0, 1, 2, 3, 4."""
+    syncs = [(i, "u0", 1_000_000 + 50 * i) for i in range(6)]
+    sc = {
+        r.sync_id: r.clock_t
+        for r in pr.sync_clock(spark.createDataFrame(syncs, SYNCS_SCHEMA)).collect()
+    }
+    assert [sc[i] for i in range(6)] == [0, 0, 2, 2, 4, 4]
 
 
 def test_server_log_matches_reference_sim(spark, schedule):
