@@ -5,6 +5,27 @@ the exact event log and per-sync deliveries the reference server would
 produce — declaratively, as one DataFrame plan.
 
 Reference semantics modeled (file:line):
+- Multi-game partitioning (main.go:74-80, model/game.go:25-32): every
+  stream is an independent keyed state machine; all windows below
+  partition by (game, gen). Single-game callers get a constant key —
+  the plan is identical, so the single-game form IS the per-game form.
+- Game GC -> restart (model/game.go:76-78, main.go:32-46): a game idle
+  > 60 s is deleted by the sweeper; the next poll recreates it from
+  scratch (NewGame -> NewEventStream -> Restart, model/eventStream.go:
+  34-42): fresh clock epoch, fresh proxy counter, fresh log with a new
+  seed `_a` at T=1. Each such instance is a `gen` (generation),
+  segmented on > 60 s gaps between a game's consecutive polls.
+  Two documented idealizations: (1) the real sweeper fires once per
+  minute at arbitrary phase, so a gap in (60 s, 120 s) restarts only
+  if a sweep lands in it — we model the deterministic limit where
+  every > 60 s gap restarts; (2) expiry compares against lastTick
+  (= last poll rounded down to its tick boundary), so the true
+  threshold exceeds the raw poll gap by the carry (< 100 ms) — we
+  segment on the raw gap. The Python reference simulator
+  (tests/reference_sim.py) applies the same two rules, so equivalence
+  is exact and fuzz-tested. The reference's StreamSeq is 1 in every
+  instance (Restart only runs at creation; MarkEnd is dead code), so
+  `gen` is replay bookkeeping, not a protocol field.
 - Virtual clock with remainder carry AND the strict tick threshold
   (model/game.go:81-90): `elapsedTime > STREAM_TICK_THRESHOLD_MS` is a
   strict inequality, so a poll landing exactly 50 ms after lastTick
@@ -15,23 +36,27 @@ Reference semantics modeled (file:line):
   Δf ≤ 1, and d_i = 0 otherwise (r > 0 forces a catch-up tick; Δf ≥ 2
   means elapsed > 50 regardless of d). The recursion telescopes:
   d = (f - f_base) mod 2 from the last "reset" poll (r > 0, Δf ≥ 2, or
-  stream start) — a pure two-window column expression, no loop. For
-  any poll NOT landing exactly on a 50 ms boundary from t0 this
+  generation start) — a pure two-window column expression, no loop.
+  For any poll NOT landing exactly on a 50 ms boundary from t0 this
   reduces to the memoryless floor((now-t0)/50).
 - Event time assignment T = LastSentT + 1 (model/eventStream.go:48-54)
   where LastSentT is the *previous* poll's clock (MarkSent runs after
-  appends, model/game.go:65-69): a lag() over the poll order.
+  appends, model/game.go:65-69): a lag() over the generation's polls.
 - Seed event `_a` at T=1 on stream creation (model/eventStream.go:34-42
-  — stamped 1, not 0; SURVEY.md §1.4.6).
+  — stamped 1, not 0; SURVEY.md §1.4.6) — once per (game, gen).
 - Connect `_c` on first contact or reconnect after expiry
   (model/game.go:44-58); disconnect `_d` detected lazily at the first
-  poll (by anyone) later than lastTouch + 10 s (model/game.go:92-107).
-- Delivery = range scan lastKnown < T <= clock (model/eventStream.go:63-71),
-  where lastKnown is the T the client saw on its previous poll.
+  poll (by anyone in the same game instance) later than
+  lastTouch + 10 s (model/game.go:92-107). Proxy ids are the per-game
+  monotone counter (model/game.go:49-53), reset with the instance.
+- Delivery = range scan lastKnown < T <= clock (model/eventStream.go:
+  63-71), where lastKnown is the T the client saw on its previous poll
+  of the same generation (clients reset on `_a` per README.md's
+  OnReset contract, so the first poll of a generation reads from 0).
 
-Scale: everything partitions by game (single-game inputs here carry an
-implicit key); windows order by (poll_ms, sync_id). No collects, no
-loops — the "server" is a query.
+Scale: every window partitions by (game, gen) (plus user_id where the
+semantics are per-client); nothing is single-partition when there are
+many games. No collects, no loops — the "server" is a query.
 """
 
 from __future__ import annotations
@@ -41,17 +66,40 @@ from pyspark.sql import functions as F
 
 TICK_MS = 50
 CLIENT_TIMEOUT_MS = 10_000
+GAME_TIMEOUT_MS = 60_000
 
 
-def sync_clock(syncs: DataFrame) -> DataFrame:
-    """Annotate each sync with the server clock after its tick
-    (clock_t), the delivery watermark before it (last_sent_prev = the
-    previous sync's clock), and the T assigned to events appended
-    during it (assign_t = last_sent_prev + 1)."""
-    w = Window.orderBy("poll_ms", "sync_id")
+def with_game_gen(syncs: DataFrame, game_col: str | None = None) -> DataFrame:
+    """Annotate the poll schedule with (game, gen): `game` is the
+    stream key (a constant for single-game inputs — same plan shape),
+    `gen` counts the game's instances, incremented whenever a poll
+    follows > 60 s of game silence (GC -> recreate; module docstring).
+    """
+    g = F.col(game_col).cast("string") if game_col else F.lit("_")
+    base = syncs.withColumn("game", g)
+    wg = Window.partitionBy("game").orderBy("poll_ms", "sync_id")
+    gap = F.col("poll_ms") - F.lag("poll_ms").over(wg)
+    flagged = base.select(
+        "*",
+        F.when(gap.isNull() | (gap > GAME_TIMEOUT_MS), 1).otherwise(0).alias("_new_gen"),
+    )
+    return flagged.select(
+        "*",
+        F.sum("_new_gen").over(wg.rowsBetween(Window.unboundedPreceding, 0)).alias("gen"),
+    ).drop("_new_gen")
+
+
+def sync_clock(syncs: DataFrame, game_col: str | None = None) -> DataFrame:
+    """Annotate each sync with (game, gen), the server clock after its
+    tick (clock_t), the delivery watermark before it (last_sent_prev =
+    the previous sync's clock within the generation), and the T
+    assigned to events appended during it (assign_t = last_sent_prev
+    + 1)."""
+    s = with_game_gen(syncs, game_col)
+    w = Window.partitionBy("game", "gen").orderBy("poll_ms", "sync_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    t0 = F.min("poll_ms").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    fr = syncs.select(
+    t0 = F.first("poll_ms").over(wcum)  # generation epoch: its first poll
+    fr = s.select(
         "*",
         F.floor((F.col("poll_ms") - t0) / TICK_MS).alias("_f"),
         ((F.col("poll_ms") - t0) % TICK_MS).alias("_r"),
@@ -72,17 +120,19 @@ def sync_clock(syncs: DataFrame) -> DataFrame:
     ).drop("_f", "_r", "_base_f")
 
 
-def connections(syncs: DataFrame) -> DataFrame:
-    """Connection segments per user: a poll opens a new connection iff
-    it is the user's first ever, or follows > timeout of silence (the
-    previous registration expired — model/game.go:44-58,92-107, and a
-    reconnect after expiry gets a NEW proxy id, unlike a reconnect
-    before expiry, README.md:40). Proxy ids are the reference's single
-    monotone counter (model/game.go:49-53) in connect-detection order =
-    connection start order. Returns every sync annotated with its
-    (conn_id, proxy_id)."""
-    sc = sync_clock(syncs)
-    wu = Window.partitionBy("user_id").orderBy("poll_ms", "sync_id")
+def connections(syncs: DataFrame, game_col: str | None = None) -> DataFrame:
+    """Connection segments per (game, gen, user): a poll opens a new
+    connection iff it is the user's first in this game instance, or
+    follows > timeout of silence (the previous registration expired —
+    model/game.go:44-58,92-107; a reconnect after expiry gets a NEW
+    proxy id, unlike a reconnect before expiry — the README.md:40
+    same-public-id claim describes pre-expiry reconnects only, the
+    code deletes the mapping on expiry). Proxy ids are the per-game
+    monotone counter (model/game.go:49-53), reset per instance, in
+    connect-detection order = connection start order. Returns every
+    sync annotated with its (conn_id, proxy_id)."""
+    sc = sync_clock(syncs, game_col)
+    wu = Window.partitionBy("game", "gen", "user_id").orderBy("poll_ms", "sync_id")
     prev_ms = F.lag("poll_ms").over(wu)
     next_ms = F.lead("poll_ms").over(wu)
     # Start AND end flags come from the same window spec, so Spark
@@ -102,9 +152,9 @@ def connections(syncs: DataFrame) -> DataFrame:
         "conn_id", F.sum("is_conn_start").over(wu.rowsBetween(Window.unboundedPreceding, 0))
     )
     starts = flagged.where(F.col("is_conn_start") == 1).select(
-        "user_id", "conn_id", F.col("poll_ms").alias("conn_start_ms")
+        "game", "gen", "user_id", "conn_id", F.col("poll_ms").alias("conn_start_ms")
     )
-    wp = Window.orderBy("conn_start_ms", "user_id")
+    wp = Window.partitionBy("game", "gen").orderBy("conn_start_ms", "user_id")
     proxies = starts.withColumn("proxy_id", F.row_number().over(wp).cast("string"))
     # The annotated relation is consumed by four log branches (seed,
     # connects, disconnects, posted) — without materialization each
@@ -112,20 +162,26 @@ def connections(syncs: DataFrame) -> DataFrame:
     # fire across these shapes). |syncs| rows is tiny relative to the
     # log at any scale, so a lazy local checkpoint (materialized on
     # first action) is the right trade.
-    return flagged.join(proxies, ["user_id", "conn_id"]).localCheckpoint(eager=False)
+    return flagged.join(
+        proxies.select("game", "gen", "user_id", "conn_id", "proxy_id"),
+        ["game", "gen", "user_id", "conn_id"],
+    ).localCheckpoint(eager=False)
 
 
-def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
-    """The reconstructed append-only event log: seed, connects,
-    disconnects, and posted events, each stamped with the reference's
-    exact T and origin. Output: (t, kind_order, event_type, origin,
-    body) where kind_order reproduces within-tick append order
-    (_d before _c before posted — model/game.go:63-65).
+def server_log(syncs: DataFrame, posted: DataFrame, game_col: str | None = None) -> DataFrame:
+    """The reconstructed append-only event log across every game
+    instance: seed, connects, disconnects, and posted events, each
+    stamped with the reference's exact T and origin. Output: (game,
+    gen, t, kind_order, event_type, origin, body) where kind_order
+    reproduces within-tick append order (_d before _c before posted —
+    model/game.go:63-65).
     """
-    conn = connections(syncs)
+    conn = connections(syncs, game_col)
 
-    # seed _a: appended at stream creation, always T=1, origin "_"
-    seed = conn.groupBy().agg(F.min("poll_ms")).select(
+    # seed _a: appended at instance creation, always T=1, origin "_"
+    seed = conn.groupBy("game", "gen").agg(F.min("poll_ms")).select(
+        "game",
+        "gen",
         F.lit(1).cast("long").alias("t"),
         F.lit(0).alias("kind_order"),
         F.lit("_a").alias("event_type"),
@@ -135,6 +191,8 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
 
     # connect markers: each connection's opening poll appends _c
     connects = conn.where(F.col("is_conn_start") == 1).select(
+        "game",
+        "gen",
         F.col("assign_t").alias("t"),
         F.lit(2).alias("kind_order"),
         F.lit("_c").alias("event_type"),
@@ -143,14 +201,19 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
     )
 
     # disconnect: each connection's LAST poll starts a 10 s deadline;
-    # the _d is appended by the FIRST sync (any user) with
-    # poll_ms > deadline. That is an as-of-FORWARD join, done scalably
-    # with the union-merge trick (one sort, no theta/nested-loop join):
-    # traverse all rows in ms-DESC order carrying the most recent sync
-    # seen — for a deadline row that carried sync is exactly the
-    # earliest sync strictly after it. Tie order (_side: deadline 0
-    # before sync 1 at equal ms) enforces the STRICT inequality.
+    # the _d is appended by the FIRST sync (any user, same game
+    # instance) with poll_ms > deadline. That is an as-of-FORWARD
+    # join, done scalably with the union-merge trick (one sort, no
+    # theta/nested-loop join): traverse rows in ms-DESC order carrying
+    # the most recent sync seen — for a deadline row that carried sync
+    # is exactly the earliest sync strictly after it. Tie order
+    # (_side: deadline 0 before sync 1 at equal ms) enforces the
+    # STRICT inequality. A deadline with no later sync in its instance
+    # never emits a _d (the game was GC'd silently) — the isNotNull
+    # filter per partition.
     deadlines = conn.where(F.col("is_conn_end") == 1).select(
+        "game",
+        "gen",
         "user_id",
         "proxy_id",
         (F.col("poll_ms") + CLIENT_TIMEOUT_MS).alias("_ms"),
@@ -158,6 +221,8 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("_sync_t"),
     )
     sync_rows = conn.select(
+        "game",
+        "gen",
         F.lit(None).cast(conn.schema["user_id"].dataType).alias("user_id"),
         F.lit(None).cast("string").alias("proxy_id"),
         F.col("poll_ms").alias("_ms"),
@@ -165,7 +230,8 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
         F.col("assign_t").alias("_sync_t"),
     )
     wd = (
-        Window.orderBy(F.col("_ms").desc(), F.col("_side").asc())
+        Window.partitionBy("game", "gen")
+        .orderBy(F.col("_ms").desc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     detected = (
@@ -174,6 +240,8 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
         .where((F.col("_side") == 0) & F.col("t").isNotNull())
     )
     disconnects = detected.select(
+        "game",
+        "gen",
         F.col("t"),
         F.lit(1).alias("kind_order"),
         F.lit("_d").alias("event_type"),
@@ -184,8 +252,10 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
     # posted events: origin overwritten with the caller's proxy id
     # (model/game.go:119-125), T = the sync's assign_t
     events = (
-        posted.join(conn.select("sync_id", "assign_t", "proxy_id"), "sync_id")
+        posted.join(conn.select("sync_id", "game", "gen", "assign_t", "proxy_id"), "sync_id")
         .select(
+            "game",
+            "gen",
             F.col("assign_t").alias("t"),
             (F.lit(3) + F.col("event_seq")).alias("kind_order"),
             F.col("event_type"),
@@ -199,38 +269,48 @@ def server_log(syncs: DataFrame, posted: DataFrame) -> DataFrame:
         .unionByName(connects)
         .unionByName(events)
         .withColumn("kind_order", F.col("kind_order").cast("long"))
-        .orderBy("t", "kind_order", "origin")
+        .withColumn("gen", F.col("gen").cast("long"))
+        .orderBy("game", "gen", "t", "kind_order", "origin")
     )
 
 
-def deliveries(syncs: DataFrame, posted: DataFrame, users: list | None = None) -> DataFrame:
+def deliveries(
+    syncs: DataFrame,
+    posted: DataFrame,
+    users: list | None = None,
+    game_col: str | None = None,
+) -> DataFrame:
     """Per-sync delivered events: the range scan
     last_known < T <= clock_t (model/eventStream.go:63-71), where
-    last_known is the clock the same client saw on its previous poll.
-    Output: (sync_id, user_id, t, event_type, origin).
+    last_known is the clock the same client saw on its previous poll
+    of the same game instance (restart-aware clients — README OnReset —
+    read a fresh instance from 0). Output: (sync_id, user_id, t,
+    event_type, origin).
 
     Scalable form: a client's delivery windows partition the tick axis
     (last_known_k = clock_{k-1}), so each log row is delivered to a
     user by exactly ONE sync — the user's first sync with
     clock_t >= row.t. That is an as-of-forward join, computed with the
-    union-merge trick per user (one sort; no range theta join, which
-    Spark would nested-loop). Among equal-clock syncs (clock didn't
-    advance between polls) the EARLIEST poll delivers — enforced by the
-    tie order poll_ms DESC in the descending traversal. Self-posted
-    events deliver in their own sync iff a tick elapsed (SURVEY.md
-    §1.4.4) — they map to that same sync naturally when
-    clock_k >= assign_t_k.
+    union-merge trick per (game, gen, user) (one sort; no range theta
+    join, which Spark would nested-loop). Among equal-clock syncs
+    (clock didn't advance between polls) the EARLIEST poll delivers —
+    enforced by the tie order poll_ms DESC in the descending
+    traversal. Self-posted events deliver in their own sync iff a tick
+    elapsed (SURVEY.md §1.4.4) — they map to that same sync naturally
+    when clock_k >= assign_t_k.
 
     ``users`` optionally restricts the receiving clients (the output is
     O(log-rows x clients) by nature — every client eventually receives
-    every event).
+    every event of the instances it polls).
     """
-    sc = sync_clock(syncs)
+    sc = sync_clock(syncs, game_col)
     if users is not None:
         sc = sc.where(F.col("user_id").isin(users))
-    log = server_log(syncs, posted)
-    targets = sc.select("user_id").distinct()
-    ev_rep = log.crossJoin(targets).select(
+    log = server_log(syncs, posted, game_col)
+    targets = sc.select("game", "gen", "user_id").distinct()
+    ev_rep = log.join(targets, ["game", "gen"]).select(
+        "game",
+        "gen",
         "user_id",
         F.col("t").alias("_key"),
         F.lit(1).alias("_side"),
@@ -241,6 +321,8 @@ def deliveries(syncs: DataFrame, posted: DataFrame, users: list | None = None) -
         "origin",
     )
     sync_rows = sc.select(
+        "game",
+        "gen",
         "user_id",
         F.col("clock_t").alias("_key"),
         F.lit(0).alias("_side"),
@@ -251,7 +333,7 @@ def deliveries(syncs: DataFrame, posted: DataFrame, users: list | None = None) -
         F.lit(None).cast("string").alias("origin"),
     )
     wd = (
-        Window.partitionBy("user_id")
+        Window.partitionBy("game", "gen", "user_id")
         .orderBy(
             F.col("_key").desc(),
             F.col("_side").asc(),

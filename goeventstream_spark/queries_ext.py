@@ -515,17 +515,35 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared DuckDB CTE block reconstructing the reference server's state
-# from the events-as-polls mapping (mirrors operators/protocol_replay).
-_PROTO_CTES = """
-    WITH syncs AS (
-      SELECT event_id AS sync_id, user_id, epoch_ms(ts) AS poll_ms, event_type, props
+# Shared DuckDB CTE template reconstructing the reference server's
+# state from the events-as-polls mapping (mirrors
+# operators/protocol_replay): every window partitions by (game, gen),
+# where gen segments a game's polls on > 60 s gaps (game GC -> restart,
+# model/game.go:76-78) — each generation gets a fresh clock epoch,
+# proxy counter, and seed `_a` at T=1.
+def _proto_ctes(game_expr: str) -> str:
+    return f"""
+    WITH polls AS (
+      SELECT event_id AS sync_id, user_id, epoch_ms(ts) AS poll_ms, event_type, props,
+             {game_expr} AS game
       FROM events
     ),
+    gg AS (
+      SELECT *, CASE WHEN lag(poll_ms) OVER wg IS NULL
+                       OR poll_ms - lag(poll_ms) OVER wg > 60000
+                     THEN 1 ELSE 0 END AS _ng
+      FROM polls WINDOW wg AS (PARTITION BY game ORDER BY poll_ms, sync_id)
+    ),
+    syncs AS (
+      SELECT * EXCLUDE (_ng),
+             CAST(sum(_ng) OVER (PARTITION BY game ORDER BY poll_ms, sync_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gen
+      FROM gg
+    ),
     fr AS (
-      SELECT *, CAST(floor((poll_ms - min(poll_ms) OVER ()) / 50) AS BIGINT) AS _f,
-                (poll_ms - min(poll_ms) OVER ()) % 50 AS _r
-      FROM syncs
+      SELECT *, CAST(floor((poll_ms - min(poll_ms) OVER wi) / 50) AS BIGINT) AS _f,
+                (poll_ms - min(poll_ms) OVER wi) % 50 AS _r
+      FROM syncs WINDOW wi AS (PARTITION BY game, gen)
     ),
     -- strict tick threshold (model/game.go:83): a poll exactly 50 ms
     -- after lastTick does not tick; boundary-aligned chains alternate
@@ -534,78 +552,86 @@ _PROTO_CTES = """
       SELECT *, CASE WHEN _r > 0 OR lag(_f) OVER wo IS NULL
                        OR _f - lag(_f) OVER wo >= 2
                      THEN _f END AS _base_f
-      FROM fr WINDOW wo AS (ORDER BY poll_ms, sync_id)
+      FROM fr WINDOW wo AS (PARTITION BY game, gen ORDER BY poll_ms, sync_id)
     ),
     sc0 AS (
       SELECT *, _f - CASE WHEN _base_f IS NOT NULL THEN 0
                           ELSE (_f - last_value(_base_f IGNORE NULLS)
-                                      OVER (ORDER BY poll_ms, sync_id
+                                      OVER (PARTITION BY game, gen ORDER BY poll_ms, sync_id
                                             ROWS UNBOUNDED PRECEDING)) % 2
                      END AS clock_t
       FROM flagged
     ),
     sc AS (
-      SELECT *, COALESCE(lag(clock_t) OVER (ORDER BY poll_ms, sync_id), 0) + 1 AS assign_t
+      SELECT *, COALESCE(lag(clock_t) OVER (PARTITION BY game, gen
+                                            ORDER BY poll_ms, sync_id), 0) + 1 AS assign_t
       FROM sc0
     ),
     conn0 AS (
       SELECT *, CASE WHEN lag(poll_ms) OVER wu IS NULL
                        OR poll_ms - lag(poll_ms) OVER wu > 10000
                      THEN 1 ELSE 0 END AS is_conn
-      FROM sc WINDOW wu AS (PARTITION BY user_id ORDER BY poll_ms, sync_id)
+      FROM sc WINDOW wu AS (PARTITION BY game, gen, user_id ORDER BY poll_ms, sync_id)
     ),
     conn1 AS (
-      SELECT *, CAST(sum(is_conn) OVER (PARTITION BY user_id ORDER BY poll_ms, sync_id
+      SELECT *, CAST(sum(is_conn) OVER (PARTITION BY game, gen, user_id
+                                        ORDER BY poll_ms, sync_id
                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conn_id
       FROM conn0
     ),
     starts AS (
-      SELECT user_id, conn_id, min(poll_ms) AS conn_start_ms FROM conn1 GROUP BY 1, 2
+      SELECT game, gen, user_id, conn_id, min(poll_ms) AS conn_start_ms
+      FROM conn1 GROUP BY 1, 2, 3, 4
     ),
     proxies AS (
-      SELECT user_id, conn_id,
-             CAST(row_number() OVER (ORDER BY conn_start_ms, user_id) AS VARCHAR) AS proxy_id
+      SELECT game, gen, user_id, conn_id,
+             CAST(row_number() OVER (PARTITION BY game, gen
+                                     ORDER BY conn_start_ms, user_id) AS VARCHAR) AS proxy_id
       FROM starts
     ),
-    conn AS (SELECT c.*, p.proxy_id FROM conn1 c JOIN proxies p USING (user_id, conn_id)),
+    conn AS (SELECT c.*, p.proxy_id
+             FROM conn1 c JOIN proxies p USING (game, gen, user_id, conn_id)),
     connects AS (
-      SELECT assign_t AS t, CAST(2 AS BIGINT) AS kind_order, '_c' AS event_type,
+      SELECT game, gen, assign_t AS t, CAST(2 AS BIGINT) AS kind_order, '_c' AS event_type,
              proxy_id AS origin, CAST(NULL AS VARCHAR) AS body
-      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, conn_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY game, gen, user_id, conn_id
                                          ORDER BY poll_ms, sync_id) AS rn FROM conn)
       WHERE rn = 1
     ),
     conn_last AS (
-      SELECT user_id, proxy_id, poll_ms + 10000 AS _ms
-      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, conn_id
+      SELECT game, gen, user_id, proxy_id, poll_ms + 10000 AS _ms
+      FROM (SELECT *, row_number() OVER (PARTITION BY game, gen, user_id, conn_id
                                          ORDER BY poll_ms DESC, sync_id DESC) AS rn FROM conn)
       WHERE rn = 1
     ),
     merged AS (
-      SELECT proxy_id, _ms, 0 AS _side, CAST(NULL AS BIGINT) AS _sync_t FROM conn_last
+      SELECT game, gen, proxy_id, _ms, 0 AS _side, CAST(NULL AS BIGINT) AS _sync_t
+      FROM conn_last
       UNION ALL
-      SELECT CAST(NULL AS VARCHAR), poll_ms, 1, assign_t FROM conn
+      SELECT game, gen, CAST(NULL AS VARCHAR), poll_ms, 1, assign_t FROM conn
     ),
     detected AS (
       SELECT * FROM (
         SELECT *, last_value(_sync_t IGNORE NULLS)
-                    OVER (ORDER BY _ms DESC, _side ASC ROWS UNBOUNDED PRECEDING) AS t
+                    OVER (PARTITION BY game, gen ORDER BY _ms DESC, _side ASC
+                          ROWS UNBOUNDED PRECEDING) AS t
         FROM merged
       ) WHERE _side = 0 AND t IS NOT NULL
     ),
     disconnects AS (
-      SELECT t, CAST(1 AS BIGINT) AS kind_order, '_d' AS event_type,
+      SELECT game, gen, t, CAST(1 AS BIGINT) AS kind_order, '_d' AS event_type,
              proxy_id AS origin, CAST(NULL AS VARCHAR) AS body
       FROM detected
     ),
     posted_log AS (
-      SELECT assign_t AS t, CAST(3 AS BIGINT) AS kind_order, event_type,
+      SELECT game, gen, assign_t AS t, CAST(3 AS BIGINT) AS kind_order, event_type,
              proxy_id AS origin, props AS body
       FROM conn
     ),
     seed AS (
-      SELECT CAST(1 AS BIGINT) AS t, CAST(0 AS BIGINT) AS kind_order, '_a' AS event_type,
-             '_' AS origin, 'seed' AS body
+      SELECT DISTINCT game, gen, CAST(1 AS BIGINT) AS t, CAST(0 AS BIGINT) AS kind_order,
+             '_a' AS event_type, '_' AS origin, 'seed' AS body
+      FROM syncs
     ),
     log AS (
       SELECT * FROM seed
@@ -616,17 +642,44 @@ _PROTO_CTES = """
 """
 
 
+_PROTO_LOG_SELECT = "SELECT game, gen, t, kind_order, event_type, origin, body FROM log"
+
+_PROTO_DELIV_TAIL = """,
+    targets AS (SELECT DISTINCT game, gen, user_id FROM sc WHERE user_id < 10),
+    merged2 AS (
+      SELECT l.game, l.gen, tg.user_id, l.t AS _key, 1 AS _side, CAST(-1 AS BIGINT) AS _poll_ms,
+             CAST(NULL AS BIGINT) AS _sync_id, l.t, l.event_type, l.origin
+      FROM log l JOIN targets tg ON l.game = tg.game AND l.gen = tg.gen
+      UNION ALL
+      SELECT game, gen, user_id, clock_t, 0, poll_ms, sync_id,
+             CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM sc WHERE user_id < 10
+    ),
+    carried AS (
+      SELECT *, last_value(_sync_id IGNORE NULLS)
+                  OVER (PARTITION BY game, gen, user_id
+                        ORDER BY _key DESC, _side ASC, _poll_ms DESC, _sync_id DESC
+                        ROWS UNBOUNDED PRECEDING) AS d_sync
+      FROM merged2
+    )
+    SELECT d_sync AS sync_id, user_id, t, event_type, origin
+    FROM carried WHERE _side = 1 AND d_sync IS NOT NULL
+    """
+
+
 @query(
     "protocol_server_log",
-    _PROTO_CTES + "SELECT t, kind_order, event_type, origin, body FROM log",
+    _proto_ctes("'_'") + _PROTO_LOG_SELECT,
 )
 def q_protocol_server_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship parity operator as an oracled query: treat each
     fixture event as a client poll carrying one posted event, and
     reconstruct the exact append-only log the reference server would
     produce — seed, connect/disconnect markers with per-connection
-    proxy ids, and server-stamped T for every row (SURVEY.md §3;
-    semantics fuzz-verified against the Python reference simulator in
+    proxy ids, and server-stamped T for every row, restart-segmented
+    into generations on > 60 s idle gaps exactly as the reference's
+    game GC would (model/game.go:76-78; SURVEY.md §3; semantics
+    fuzz-verified against the Python reference simulator in
     test_protocol_replay)."""
     from goeventstream_spark.operators import protocol_replay as pr
 
@@ -647,34 +700,14 @@ def q_protocol_server_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "protocol_deliveries",
-    _PROTO_CTES
-    + """,
-    targets AS (SELECT DISTINCT user_id FROM syncs WHERE user_id < 10),
-    merged2 AS (
-      SELECT tg.user_id, l.t AS _key, 1 AS _side, CAST(-1 AS BIGINT) AS _poll_ms,
-             CAST(NULL AS BIGINT) AS _sync_id, l.t, l.event_type, l.origin
-      FROM log l CROSS JOIN targets tg
-      UNION ALL
-      SELECT user_id, clock_t, 0, poll_ms, sync_id,
-             CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
-      FROM sc WHERE user_id < 10
-    ),
-    carried AS (
-      SELECT *, last_value(_sync_id IGNORE NULLS)
-                  OVER (PARTITION BY user_id
-                        ORDER BY _key DESC, _side ASC, _poll_ms DESC, _sync_id DESC
-                        ROWS UNBOUNDED PRECEDING) AS d_sync
-      FROM merged2
-    )
-    SELECT d_sync AS sync_id, user_id, t, event_type, origin
-    FROM carried WHERE _side = 1 AND d_sync IS NOT NULL
-    """,
+    _proto_ctes("'_'") + _PROTO_DELIV_TAIL,
 )
 def q_protocol_deliveries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R9 as the full per-sync delivery map: which sync delivers each
     log row to each client (restricted to 10 clients — output is
-    O(log x clients) by nature). As-of-forward union-merge form; see
-    protocol_replay.deliveries."""
+    O(log x clients) by nature), per game generation (clients restart
+    from last_known=0 when the stream reseeds — README OnReset).
+    As-of-forward union-merge form; see protocol_replay.deliveries."""
     from goeventstream_spark.operators import protocol_replay as pr
 
     ev = load_table(spark, sf_dir, "events")
@@ -691,6 +724,35 @@ def q_protocol_deliveries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     users = list(range(10))
     return pr.deliveries(syncs, posted, users=users)
+
+
+@query(
+    "protocol_server_log_multigame",
+    _proto_ctes("CAST(user_id % 4 AS VARCHAR)") + _PROTO_LOG_SELECT,
+)
+def q_protocol_server_log_multigame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-game replay (main.go:74-80, model/game.go:25-32): polls
+    route to one of 4 games keyed by user_id % 4, and every stream
+    state machine — clock epoch, tick carry, proxy counter, seed,
+    client registry, GC/restart generations — is independent per
+    (game, gen). This is the keyed form that scales: with many games
+    no window in the plan is single-partition."""
+    from goeventstream_spark.operators import protocol_replay as pr
+
+    ev = load_table(spark, sf_dir, "events")
+    syncs = ev.select(
+        F.col("event_id").alias("sync_id"),
+        "user_id",
+        F.unix_millis("ts").alias("poll_ms"),
+        (F.col("user_id") % 4).alias("game_key"),
+    )
+    posted = ev.select(
+        F.col("event_id").alias("sync_id"),
+        F.lit(0).cast("long").alias("event_seq"),
+        "event_type",
+        F.col("props").alias("body"),
+    )
+    return pr.server_log(syncs, posted, game_col="game_key")
 
 
 @query(

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 TICK_MS = 50
 CLIENT_TIMEOUT_MS = 10_000
+GAME_TIMEOUT_MS = 60_000
 
 
 class ReferenceSim:
@@ -65,3 +66,38 @@ class ReferenceSim:
             if last_known < t <= self.clock
         ]
         return self.clock, delivered
+
+
+class ServerSim:
+    """Multi-game front matching main.go:74-80 + the GC sweeper
+    (main.go:32-46): polls route to per-game ReferenceSim instances; a
+    game idle > GAME_TIMEOUT_MS is deleted, so the next poll recreates
+    it from scratch (new generation: fresh clock epoch, proxy counter,
+    seed `_a`). Deterministic-limit idealizations shared with the
+    Spark replay (operators/protocol_replay docstring): every > 60 s
+    raw poll gap restarts, measured poll-to-poll rather than against
+    the tick-rounded lastTick."""
+
+    def __init__(self) -> None:
+        self.games: dict[object, dict] = {}
+        self._instances: list[tuple[object, int, ReferenceSim]] = []
+
+    def sync(self, game, user, now: int, events, last_known: int):
+        entry = self.games.get(game)
+        if entry is None or now - entry["last"] > GAME_TIMEOUT_MS:
+            gen = 1 if entry is None else entry["gen"] + 1
+            entry = {"gen": gen, "sim": ReferenceSim(), "last": now}
+            self.games[game] = entry
+            self._instances.append((game, gen, entry["sim"]))
+        entry["last"] = now
+        clock, delivered = entry["sim"].sync(user, now, events, last_known)
+        return entry["gen"], clock, delivered
+
+    def full_log(self):
+        """[(game, gen, t, kind_order, event_type, origin, body)] over
+        every instance ever created (live ones included)."""
+        return [
+            (game, gen, t, k, etype, origin, body)
+            for game, gen, sim in self._instances
+            for (t, k, etype, origin, body) in sim.log
+        ]

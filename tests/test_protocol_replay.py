@@ -16,7 +16,7 @@ from pyspark.sql.types import (
 )
 
 from goeventstream_spark.operators import protocol_replay as pr
-from tests.reference_sim import ReferenceSim
+from tests.reference_sim import ReferenceSim, ServerSim
 
 SYNCS_SCHEMA = StructType(
     [
@@ -134,6 +134,122 @@ def test_server_log_matches_reference_sim(spark, schedule):
     for sid in got_deliv:
         got_deliv[sid] = sorted(got_deliv[sid])
     assert got_deliv == sim_deliveries
+
+
+MULTI_SYNCS_SCHEMA = StructType(
+    [
+        StructField("sync_id", LongType()),
+        StructField("user_id", StringType()),
+        StructField("poll_ms", LongType()),
+        StructField("game", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module", params=[21, 77, 303], ids=["m21", "m77", "m303"])
+def multigame_schedule(request):
+    """Three games polled concurrently, each in activity bursts
+    separated by > 60 s of game-wide silence — forcing GC -> restart
+    generations — with per-user > 10 s silences inside bursts forcing
+    client expiry/reconnect. Times unique within a game."""
+    rng = random.Random(request.param)
+    syncs, posted = [], []
+    sync_id = 0
+    for game in ["gA", "gB", "gC"]:
+        users = [f"{game}-u{i}" for i in range(3)]
+        now_base = 1_000_000 + rng.randint(0, 500)
+        for _burst in range(rng.randint(2, 3)):
+            next_poll = {u: now_base + i * 37 for i, u in enumerate(users)}
+            last_ms = now_base
+            for _step in range(rng.randint(60, 120)):
+                u = min(next_poll, key=lambda k: (next_poll[k], k))
+                now = next_poll[u]
+                syncs.append((sync_id, u, now, game))
+                if rng.random() < 0.3:
+                    posted.append((sync_id, 0, f"ev{rng.randint(0, 9)}", f"b{sync_id}"))
+                gap = (
+                    11_000 + rng.randint(0, 5_000)
+                    if rng.random() < 0.04
+                    else 150 + rng.randint(0, 150)
+                )
+                now2 = now + gap
+                while any(abs(now2 - m) < 2 for m in next_poll.values()):
+                    now2 += 3
+                next_poll[u] = now2
+                last_ms = max(last_ms, now)
+                sync_id += 1
+            now_base = last_ms + 61_000 + rng.randint(0, 30_000)
+    return syncs, posted
+
+
+def test_multigame_log_and_deliveries_match_sim(spark, multigame_schedule):
+    """Full multi-game equivalence (VERDICT r1 next-#4): per-(game,
+    gen) logs AND per-sync deliveries from the Spark replay equal the
+    multi-game reference simulator, across GC restarts."""
+    syncs, posted = multigame_schedule
+    posted_by_sync: dict[int, list] = {}
+    for sid, seq, etype, body in posted:
+        posted_by_sync.setdefault(sid, []).append((etype, body))
+
+    sim = ServerSim()
+    game_state: dict[str, tuple[int, int]] = {}  # game -> (last_ms, gen)
+    lk: dict[tuple, tuple[int, int]] = {}  # (game, user) -> (gen, clock)
+    sim_deliveries = {}
+    for sid, u, now, g in sorted(syncs, key=lambda r: (r[2], r[0])):
+        last = game_state.get(g)
+        gen = 1 if last is None else (last[1] + 1 if now - last[0] > 60_000 else last[1])
+        game_state[g] = (now, gen)
+        prev = lk.get((g, u))
+        last_known = prev[1] if prev is not None and prev[0] == gen else 0
+        got_gen, clock, delivered = sim.sync(g, u, now, posted_by_sync.get(sid, []), last_known)
+        assert got_gen == gen
+        lk[(g, u)] = (gen, clock)
+        sim_deliveries[sid] = sorted(delivered)
+
+    syncs_df = spark.createDataFrame(syncs, MULTI_SYNCS_SCHEMA)
+    posted_df = spark.createDataFrame(posted, POSTED_SCHEMA)
+
+    got_log = sorted(
+        (r.game, r.gen, r.t, r.kind_order, r.event_type, r.origin, r.body)
+        for r in pr.server_log(syncs_df, posted_df, game_col="game").collect()
+    )
+    want_log = sorted(sim.full_log())
+    assert got_log == want_log, (
+        f"log mismatch: {len(got_log)} vs {len(want_log)} rows; "
+        f"first diff: {next((a, b) for a, b in zip(got_log, want_log) if a != b)}"
+    )
+
+    got_deliv: dict[int, list] = {sid: [] for sid, _u, _n, _g in syncs}
+    for r in pr.deliveries(syncs_df, posted_df, game_col="game").collect():
+        got_deliv[r.sync_id].append((r.t, r.event_type, r.origin))
+    for sid in got_deliv:
+        got_deliv[sid] = sorted(got_deliv[sid])
+    assert got_deliv == sim_deliveries
+
+
+def test_restart_resets_seed_clock_and_proxies(spark):
+    """A single game with a > 60 s gap restarts: second generation gets
+    its own `_a` seed at T=1, a fresh clock epoch, and proxy ids
+    restarting at 1 (model/eventStream.go:34-42, model/game.go:49-53)."""
+    syncs = [(0, "u0", 1_000_000), (1, "u1", 1_000_200)]
+    # > 60 s silence, then both users return
+    syncs += [(2, "u0", 1_070_000), (3, "u1", 1_070_400)]
+    syncs_df = spark.createDataFrame(syncs, SYNCS_SCHEMA)
+    posted_df = spark.createDataFrame([], POSTED_SCHEMA)
+    log = pr.server_log(syncs_df, posted_df).collect()
+    by_gen: dict[int, list] = {}
+    for r in log:
+        by_gen.setdefault(r.gen, []).append(r)
+    assert sorted(by_gen) == [1, 2]
+    for gen, rows in by_gen.items():
+        seeds = [r for r in rows if r.event_type == "_a"]
+        assert [(s.t, s.origin) for s in seeds] == [(1, "_")]
+        connects = sorted(
+            (r.t, r.origin) for r in rows if r.event_type == "_c"
+        )
+        # both generations: two connects with proxies 1 and 2 at T=1
+        # (gen epoch restarts, so clock is 0 at both polls -> assign 1)
+        assert connects == [(1, "1"), (1, "2")], (gen, connects)
 
 
 def test_no_late_data_invariant(spark, schedule):
