@@ -53,6 +53,14 @@ def get_spark(
         # --- broadcast: dims (region/nation/customer/supplier/part at
         # 100 TB the first two stay tiny; AQE upgrades others at runtime)
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- streaming state --------------------------------------------
+        # RocksDB is the production state store (bounded heap, spills to
+        # disk, changelog checkpointing) and is required by the Spark 4
+        # transformWithStateInPandas operators in streaming/stateful.py.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
         # Deterministic session timezone for tick arithmetic.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

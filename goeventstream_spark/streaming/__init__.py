@@ -4,7 +4,7 @@ from goeventstream_spark.streaming.windows import (
     session_window_stats,
     windowed_counts,
 )
-from goeventstream_spark.streaming.stateful import client_registry
+from goeventstream_spark.streaming.stateful import client_registry, game_registry
 
 __all__ = [
     "read_event_stream",
@@ -12,4 +12,5 @@ __all__ = [
     "session_window_stats",
     "delta_delivery",
     "client_registry",
+    "game_registry",
 ]

@@ -1,28 +1,47 @@
-"""The reference's client-registry state machine as Spark keyed state —
-the only genuinely custom stateful logic in the whole engine
-(SURVEY.md §4: "custom work is semantic, not planner-level").
+"""The reference's client-registry and per-game state machines as Spark
+keyed state — the only genuinely custom stateful logic in the whole
+engine (SURVEY.md §4: "custom work is semantic, not planner-level").
 
 Reference semantics reproduced (file:line in the reference repo):
 - connect:    first sight of an unknown client id -> emit ``_c``
               (model/game.go:44-58, model/eventStream.go:81-83)
+- proxy ids:  per-game monotone counter, allocated at connect
+              (model/game.go:49-53), reset when the game restarts
 - state LWW:  every report overwrites the whole state map, stamped with
               the latest event time (model/stateStream.go:19-21)
 - disconnect: silent > 10 s -> emit ``_d``, hard-delete state
               (model/game.go:92-107, model/stateStream.go:37-39)
-- GC/TTL:     the timeout mechanism itself (model/game.go:76-78)
+- game GC:    a game idle > 60 s is deleted and recreated on the next
+              poll — fresh generation, seed, counters
+              (model/game.go:76-78, main.go:32-46)
 
-The batch analogues (stream_ops.connects/disconnects/latest_state) are
-exact; this streaming form is watermark-approximate for disconnects, as
-documented in SURVEY.md §7 hard-part 4: the reference detects timeouts
-lazily during any request, streaming timeouts fire when the event-time
-watermark passes last_seen + gap.
+Two stateful operators, each on the Spark 4
+``transformWithStateInPandas`` API (SURVEY.md §2b) with an automatic
+fallback to ``applyInPandasWithState`` when the TWS Python runtime is
+unavailable (its state-server protocol needs ``google.protobuf``,
+which this container does not ship). Both paths share the same
+semantics core, so the fallback is behavior-identical:
 
-Keyed by user_id (at cluster scale: (game, user_id)); state per key is
-one small dict — memory O(active clients), like the reference's
-StateStream (SURVEY.md §6).
+- ``client_registry`` — per-user registry with event-time timers: the
+  watermark-driven analogue of the lazy liveness sweep. Timeouts fire
+  when the event-time watermark passes last_seen + gap (the batch
+  analogues stream_ops.connects/disconnects/latest_state are exact).
+- ``game_registry`` — per-GAME keyed state machine (one key = one game
+  = the reference's one mutex, model/game.go:25-32) that allocates
+  monotone proxy ids, expires clients lazily per poll exactly like the
+  reference, and segments generations on > 60 s idle (GC -> restart).
+  Output is envelope-equal to the batch ``protocol_replay.connections``
+  proxy assignment on in-order input (pinned in test_streaming.py).
+
+Keyed state per key is one small record (client_registry) or one small
+map of active clients (game_registry) — memory O(active clients), like
+the reference's registries (SURVEY.md §6).
 """
 
 from __future__ import annotations
+
+import importlib.util
+from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -33,6 +52,22 @@ from pyspark.sql.types import (
 )
 
 CLIENT_TIMEOUT_MS = 10_000
+GAME_TIMEOUT_MS = 60_000
+
+
+def _tws_runtime_available() -> bool:
+    """transformWithStateInPandas drives a Python side-process that
+    talks protobuf to the JVM state server; without google.protobuf the
+    query crashes at schema validation. Gate, don't crash."""
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no parent 'google' namespace package
+        return False
+
+
+# ---------------------------------------------------------------------------
+# client_registry: per-user connect / LWW-state / timeout-disconnect
+# ---------------------------------------------------------------------------
 
 REGISTRY_OUTPUT_SCHEMA = StructType(
     [
@@ -43,72 +78,362 @@ REGISTRY_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# (last_seen_ms, state_json, timer_ms): timer_ms tracks the registered
+# event-time timer so a newer event can delete the stale one (TWS path;
+# the fallback path re-arms its GroupStateTimeout instead).
 REGISTRY_STATE_SCHEMA = StructType(
     [
         StructField("last_seen_ms", LongType()),
         StructField("state_json", StringType()),
+        StructField("timer_ms", LongType()),
     ]
 )
 
+_REG_COLS = ["user_id", "marker", "event_ms", "data"]
 
-def client_registry(events: DataFrame, timeout_ms: int = CLIENT_TIMEOUT_MS) -> DataFrame:
-    """applyInPandasWithState over user_id: emits ``_c`` on first
-    contact, ``state`` rows on last-writer-wins updates, ``_d`` when the
-    event-time watermark passes last_seen + timeout.
 
-    Input must carry (user_id, ts, props) and a watermark on ts.
-    """
+def _fold_registry_rows(last_seen, best_json, pdfs):
+    """Shared semantics core: fold a batch of (ts, props) rows into
+    (first_ms, last_seen, best_json) — LWW by event time."""
+    first_ms = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        ms_vals = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        for m, props in sorted(zip(ms_vals, pdf["props"].tolist())):
+            if first_ms is None or m < first_ms:
+                first_ms = m
+            if last_seen is None or m > last_seen:
+                last_seen = m
+                best_json = props
+    return first_ms, last_seen, best_json
+
+
+class _ClientRegistryProcessor:
+    """Spark 4 StatefulProcessor: _c on first contact, LWW state rows,
+    _d via event-time timer when the watermark passes last_seen +
+    timeout."""
+
+    def __init__(self, timeout_ms: int) -> None:
+        self._timeout_ms = timeout_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("reg", REGISTRY_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator["object"]:
+        import pandas as pd
+
+        user_id = key[0]
+        cur = self._state.get() if self._state.exists() else None
+        existed = cur is not None
+        last_seen = cur[0] if existed else None
+        best_json = cur[1] if existed else None
+        old_timer = cur[2] if existed else None
+        first_ms, last_seen, best_json = _fold_registry_rows(last_seen, best_json, rows)
+        if first_ms is None:
+            return
+        out = []
+        if not existed:
+            # connect is stamped at FIRST contact (model/game.go:44-58)
+            out.append((user_id, "_c", first_ms, None))
+        out.append((user_id, "state", last_seen, best_json))
+        new_timer = last_seen + self._timeout_ms
+        if old_timer != new_timer:
+            if old_timer is not None:
+                self._handle.deleteTimer(old_timer)
+            self._handle.registerTimer(new_timer)
+        self._state.update((last_seen, best_json, new_timer))
+        yield pd.DataFrame(out, columns=_REG_COLS)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator["object"]:
+        import pandas as pd
+
+        user_id = key[0]
+        if self._state.exists():
+            last_seen, _sj, _tm = self._state.get()
+            self._state.clear()
+            yield pd.DataFrame(
+                [(user_id, "_d", last_seen + self._timeout_ms, None)],
+                columns=_REG_COLS,
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def _client_registry_tws(src: DataFrame, timeout_ms: int) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so importing this module never requires the
+    # TWS runtime to be importable
+    proc_cls = type(
+        "_ClientRegistryTWS", (_ClientRegistryProcessor, StatefulProcessor), {}
+    )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(timeout_ms),
+        outputStructType=REGISTRY_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+def _client_registry_fallback(src: DataFrame, timeout_ms: int) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def _update(key, pdfs, state):  # self-contained: executor-safe
+        import pandas as _pd
+
         user_id = key[0]
         if state.hasTimedOut:
-            (last_seen, _sj) = state.get
+            (last_seen, _sj, _tm) = state.get
             state.remove()
-            import pandas as _pd
-
             yield _pd.DataFrame(
-                [(user_id, "_d", last_seen + timeout_ms, None)],
-                columns=["user_id", "marker", "event_ms", "data"],
+                [(user_id, "_d", last_seen + timeout_ms, None)], columns=_REG_COLS
             )
             return
 
-        import pandas as _pd
-
-        rows = []
         existed = state.exists
         last_seen = state.get[0] if existed else None
         best_json = state.get[1] if existed else None
-        first_ms = None
+        first_ms, last_seen, best_json = _fold_registry_rows(last_seen, best_json, pdfs)
+        if first_ms is None:
+            return
+        rows = []
+        if not existed:
+            rows.append((user_id, "_c", first_ms, None))
+        rows.append((user_id, "state", last_seen, best_json))
+        state.update((last_seen, best_json, last_seen + timeout_ms))
+        state.setTimeoutTimestamp(last_seen + timeout_ms)
+        yield _pd.DataFrame(rows, columns=_REG_COLS)
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=REGISTRY_OUTPUT_SCHEMA,
+        stateStructType=REGISTRY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def client_registry(
+    events: DataFrame,
+    timeout_ms: int = CLIENT_TIMEOUT_MS,
+    watermark: str | None = "0 seconds",
+) -> DataFrame:
+    """Keyed registry over user_id: emits ``_c`` on first contact,
+    ``state`` rows on last-writer-wins updates, ``_d`` when the
+    event-time watermark passes last_seen + timeout.
+
+    Input must carry (user_id, ts, props). ``watermark`` is the
+    watermark delay applied to ``ts``; pass ``None`` to respect a
+    watermark the caller already set instead of overriding it (ADVICE
+    r1). With the default 0-second delay any event arriving out of
+    order across micro-batches is dropped as late and timeouts fire as
+    eagerly as the watermark advances — a tighter sweep than the
+    reference's lazy poll-driven one."""
+    src = events.select("user_id", "ts", "props")
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    if _tws_runtime_available():
+        return _client_registry_tws(src, timeout_ms)
+    return _client_registry_fallback(src, timeout_ms)
+
+
+# ---------------------------------------------------------------------------
+# game_registry: per-game proxy allocation + GC/restart generations
+# ---------------------------------------------------------------------------
+
+GAME_REGISTRY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("game", StringType()),
+        StructField("gen", LongType()),
+        StructField("user_id", LongType()),  # NULL for _a rows
+        StructField("marker", StringType()),  # _a | _c | _d
+        StructField("poll_ms", LongType()),
+        StructField("proxy_id", StringType()),  # NULL for _a rows
+    ]
+)
+
+# One record per game: (gen, last_poll_ms, next_proxy, clients_json)
+# where clients_json maps user_id -> [proxy, last_touch_ms]. A game's
+# active-client set is small (the reference holds it in one map under
+# one mutex), so one JSON blob per game is the honest equivalent.
+GAME_STATE_SCHEMA = StructType(
+    [
+        StructField("gen", LongType()),
+        StructField("last_poll_ms", LongType()),
+        StructField("next_proxy", LongType()),
+        StructField("clients_json", StringType()),
+    ]
+)
+
+_GAME_COLS = ["game", "gen", "user_id", "marker", "poll_ms", "proxy_id"]
+
+
+def _process_game_polls(
+    game,
+    gen,
+    last_poll,
+    next_proxy,
+    active,
+    polls,
+    client_timeout_ms,
+    game_timeout_ms,
+):
+    """Shared semantics core: run the reference's per-poll transition
+    (model/game.go:60-73) over a sorted poll batch. Mutates ``active``
+    in place; returns (gen, last_poll, next_proxy, out_rows)."""
+    out = []
+    for now, user in sorted(polls):
+        if last_poll is None or now - last_poll > game_timeout_ms:
+            # GC -> recreate (model/game.go:76-78): new generation,
+            # fresh seed and counters
+            gen += 1
+            next_proxy = 1
+            active.clear()
+            out.append((game, gen, None, "_a", now, None))
+        last_poll = now
+        # lazy liveness sweep (model/game.go:92-107)
+        for u in sorted(active):
+            proxy, touch = active[u]
+            if now - touch > client_timeout_ms:
+                out.append((game, gen, u, "_d", now, str(proxy)))
+                del active[u]
+        if user not in active:
+            # monotone per-game proxy id (model/game.go:49-53)
+            active[user] = (next_proxy, now)
+            out.append((game, gen, user, "_c", now, str(next_proxy)))
+            next_proxy += 1
+        else:
+            active[user] = (active[user][0], now)
+    return gen, last_poll, next_proxy, out
+
+
+class _GameRegistryProcessor:
+    """Spark 4 StatefulProcessor: one key = one game = the reference's
+    one mutex. No timers: every transition is poll-driven exactly like
+    the reference, so a trailing silent client stays until GC — also
+    like the reference. Ties within a batch break by user_id, matching
+    the batch replay's proxy tie order."""
+
+    def __init__(self, client_timeout_ms: int, game_timeout_ms: int) -> None:
+        self._client_timeout_ms = client_timeout_ms
+        self._game_timeout_ms = game_timeout_ms
+
+    def init(self, handle) -> None:
+        self._meta = handle.getValueState("meta", GAME_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator["object"]:
+        import json
+
+        import pandas as pd
+
+        game = key[0]
+        meta = self._meta.get() if self._meta.exists() else None
+        gen, last_poll, next_proxy = (meta[0], meta[1], meta[2]) if meta else (0, None, 1)
+        active = (
+            {int(u): (p, t) for u, (p, t) in json.loads(meta[3]).items()} if meta else {}
+        )
+        polls = []
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            polls.extend(zip(pdf["poll_ms"].tolist(), pdf["user_id"].tolist()))
+        if not polls:
+            return
+        gen, last_poll, next_proxy, out = _process_game_polls(
+            game,
+            gen,
+            last_poll,
+            next_proxy,
+            active,
+            polls,
+            self._client_timeout_ms,
+            self._game_timeout_ms,
+        )
+        self._meta.update(
+            (gen, last_poll, next_proxy, json.dumps({str(u): v for u, v in active.items()}))
+        )
+        yield pd.DataFrame(out, columns=_GAME_COLS)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator["object"]:
+        return
+        yield  # pragma: no cover
+
+    def close(self) -> None:
+        pass
+
+
+def _game_registry_tws(src: DataFrame, client_timeout_ms: int, game_timeout_ms: int) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type("_GameRegistryTWS", (_GameRegistryProcessor, StatefulProcessor), {})
+    return src.groupBy("game").transformWithStateInPandas(
+        statefulProcessor=proc_cls(client_timeout_ms, game_timeout_ms),
+        outputStructType=GAME_REGISTRY_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def _game_registry_fallback(
+    src: DataFrame, client_timeout_ms: int, game_timeout_ms: int
+) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):  # self-contained: executor-safe
+        import json as _json
+
+        import pandas as _pd
+
+        game = key[0]
+        existed = state.exists
+        gen, last_poll, next_proxy = (
+            (state.get[0], state.get[1], state.get[2]) if existed else (0, None, 1)
+        )
+        active = (
+            {int(u): (p, t) for u, (p, t) in _json.loads(state.get[3]).items()}
+            if existed
+            else {}
+        )
+        polls = []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            ms_vals = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            for m, props in sorted(zip(ms_vals, pdf["props"].tolist())):
-                if first_ms is None or m < first_ms:
-                    first_ms = m
-                if last_seen is None or m > last_seen:
-                    last_seen = m
-                    best_json = props
-        if first_ms is None:
+            polls.extend(zip(pdf["poll_ms"].tolist(), pdf["user_id"].tolist()))
+        if not polls:
             return
-        if not existed:
-            # connect is stamped at FIRST contact (model/game.go:44-58)
-            rows.append((user_id, "_c", first_ms, None))
-        rows.append((user_id, "state", last_seen, best_json))
-        state.update((last_seen, best_json))
-        state.setTimeoutTimestamp(last_seen + timeout_ms)
-        yield _pd.DataFrame(rows, columns=["user_id", "marker", "event_ms", "data"])
-
-    return (
-        events.select("user_id", "ts", "props")
-        .withWatermark("ts", "0 seconds")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _update,
-            outputStructType=REGISTRY_OUTPUT_SCHEMA,
-            stateStructType=REGISTRY_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        gen, last_poll, next_proxy, out = _process_game_polls(
+            game, gen, last_poll, next_proxy, active, polls, client_timeout_ms, game_timeout_ms
         )
+        state.update(
+            (gen, last_poll, next_proxy, _json.dumps({str(u): v for u, v in active.items()}))
+        )
+        yield _pd.DataFrame(out, columns=_GAME_COLS)
+
+    return src.groupBy("game").applyInPandasWithState(
+        _update,
+        outputStructType=GAME_REGISTRY_OUTPUT_SCHEMA,
+        stateStructType=GAME_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def game_registry(
+    polls: DataFrame,
+    client_timeout_ms: int = CLIENT_TIMEOUT_MS,
+    game_timeout_ms: int = GAME_TIMEOUT_MS,
+) -> DataFrame:
+    """Streaming per-game state machine with proxy-id allocation
+    (VERDICT r1 next-#5): input must carry (game, user_id, poll_ms)
+    and arrive in event-time order across micro-batches (the in-order
+    single-writer assumption the reference's HTTP loop provides).
+    Emits ``_a`` per game instance and ``_c``/``_d`` with the exact
+    per-game monotone proxy ids of model/game.go:49-53; envelope-equal
+    to batch ``protocol_replay.connections`` (test_streaming.py)."""
+    src = polls.select("game", "user_id", "poll_ms")
+    if _tws_runtime_available():
+        return _game_registry_tws(src, client_timeout_ms, game_timeout_ms)
+    return _game_registry_fallback(src, client_timeout_ms, game_timeout_ms)

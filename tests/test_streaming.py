@@ -11,9 +11,11 @@ from pyspark.sql import functions as F
 
 from goeventstream_spark.operators import stream_ops as so
 from goeventstream_spark.sources import load_table
+from goeventstream_spark.operators import protocol_replay as pr
 from goeventstream_spark.streaming import (
     client_registry,
     delta_delivery,
+    game_registry,
     read_event_stream,
     session_window_stats,
     windowed_counts,
@@ -147,3 +149,61 @@ def test_client_registry_connects_and_lww(spark, sf_dir, chunked_events_dir):
         last_state[r.user_id] = r.data
     batch_lww = {r.user_id: r.data for r in so.latest_state(events).collect()}
     assert last_state == batch_lww
+
+
+def test_game_registry_matches_batch_proxy_assignment(spark, sf_dir, chunked_events_dir):
+    """VERDICT r1 next-#5: the streaming per-game state machine
+    allocates the exact monotone proxy ids of the batch replay
+    (model/game.go:49-53) — connect-for-connect, generation-for-
+    generation — when the stream arrives in event-time order."""
+    stream = read_event_stream(spark, chunked_events_dir)
+    polls = stream.select(
+        (F.col("user_id") % 4).cast("string").alias("game"),
+        "user_id",
+        F.unix_millis("ts").alias("poll_ms"),
+    )
+    _run_stream(game_registry(polls), "game_reg_out", "append")
+    out = spark.sql("SELECT * FROM game_reg_out").collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    syncs = ev.select(
+        F.col("event_id").alias("sync_id"),
+        "user_id",
+        F.unix_millis("ts").alias("poll_ms"),
+        (F.col("user_id") % 4).alias("game_key"),
+    )
+    conn = pr.connections(syncs, game_col="game_key")
+
+    got_connects = sorted(
+        (r.game, r.gen, r.user_id, r.poll_ms, r.proxy_id)
+        for r in out
+        if r.marker == "_c"
+    )
+    want_connects = sorted(
+        (r.game, r.gen, r.user_id, r.poll_ms, r.proxy_id)
+        for r in conn.where(F.col("is_conn_start") == 1).collect()
+    )
+    assert got_connects == want_connects
+
+    # exactly one _a per (game, gen), stamped at the generation's first poll
+    got_seeds = sorted((r.game, r.gen, r.poll_ms) for r in out if r.marker == "_a")
+    want_seeds = sorted(
+        (r.game, r.gen, r.mn)
+        for r in conn.groupBy("game", "gen").agg(F.min("poll_ms").alias("mn")).collect()
+    )
+    assert got_seeds == want_seeds
+
+    # lazy disconnects: same (game, gen, proxy) set as the batch log's _d rows
+    got_d = sorted((r.game, r.gen, r.proxy_id) for r in out if r.marker == "_d")
+    posted_empty = ev.limit(0).select(
+        F.col("event_id").alias("sync_id"),
+        F.lit(0).cast("long").alias("event_seq"),
+        "event_type",
+        F.col("props").alias("body"),
+    )
+    log = pr.server_log(syncs, posted_empty, game_col="game_key")
+    want_d = sorted(
+        (r.game, r.gen, r.origin)
+        for r in log.where(F.col("event_type") == "_d").collect()
+    )
+    assert got_d == want_d
