@@ -40,9 +40,13 @@ HEADLINE = [
     "term_scores_topk",
     "session_window_stats_batch",
     "protocol_server_log",
+    "protocol_deliveries",
     "multigrain_rollup",
     "dataset_mix",
     "doc_chunks",
+    "lsh_banded_near_dup",
+    "tpch_q3_shipping_priority",
+    "tpch_q17_small_qty_revenue",
 ]
 
 

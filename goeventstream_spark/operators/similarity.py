@@ -224,9 +224,16 @@ def lsh_banded_near_dup(
         )
         for b in range(bands)
     ]
+    # Norms are precomputed in the scan-side projection (where codegen
+    # can split the 64-term sum into sub-methods, INPUT_ROW available)
+    # and carried through the join + dedup — the post-aggregate verify
+    # then only pays the 64-term dot, which fits Janino's 64 KB method
+    # limit in its own stage. Same anatomy as embedding_near_dup's
+    # measured fix; cos = dot/(na*nb) is value-identical either way.
     banded = emb.select(
         "vec_id",
         "embedding",
+        norm(F.col("embedding"), dims).alias("_n"),
         F.posexplode(F.array(*band_sigs)).alias("band_id", "band_sig"),
     )
     # The banded relation IS the corpus (x bands) — never broadcast it:
@@ -250,14 +257,27 @@ def lsh_banded_near_dup(
         F.col("b.vec_id").alias("vec_b"),
         F.col("a.embedding").alias("_ea"),
         F.col("b.embedding").alias("_eb"),
+        F.col("a._n").alias("_na"),
+        F.col("b._n").alias("_nb"),
     )
     uniq = cand.groupBy("vec_a", "vec_b").agg(
-        F.first("_ea").alias("_ea"), F.first("_eb").alias("_eb")
+        F.first("_ea").alias("_ea"),
+        F.first("_eb").alias("_eb"),
+        F.first("_na").alias("_na"),
+        F.first("_nb").alias("_nb"),
     )
+    # Fusion barrier (CollectMetricsExec never joins a codegen stage):
+    # gives the 64-term dot its own stage instead of fusing it into the
+    # HashAggregate's result projection, whose deferred locals Janino
+    # cannot split. Also surfaces the post-dedup candidate count — the
+    # quantity banded LSH must keep bounded at 100 TB.
+    uniq = uniq.observe("lsh_banded_candidates", F.count(F.lit(1)).alias("n_candidates"))
     return uniq.select(
         "vec_a",
         "vec_b",
-        cosine(F.col("_ea"), F.col("_eb"), dims).alias("cos_sim"),
+        (dot(F.col("_ea"), F.col("_eb"), dims) / (F.col("_na") * F.col("_nb"))).alias(
+            "cos_sim"
+        ),
     ).where(F.col("cos_sim") >= F.lit(threshold))
 
 
