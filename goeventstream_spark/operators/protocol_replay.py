@@ -168,15 +168,25 @@ def connections(syncs: DataFrame, game_col: str | None = None) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
-def server_log(syncs: DataFrame, posted: DataFrame, game_col: str | None = None) -> DataFrame:
+def server_log(
+    syncs: DataFrame,
+    posted: DataFrame,
+    game_col: str | None = None,
+    conn: DataFrame | None = None,
+) -> DataFrame:
     """The reconstructed append-only event log across every game
     instance: seed, connects, disconnects, and posted events, each
     stamped with the reference's exact T and origin. Output: (game,
     gen, t, kind_order, event_type, origin, body) where kind_order
     reproduces within-tick append order (_d before _c before posted —
     model/game.go:63-65).
+
+    ``conn`` lets a caller that already materialized connections()
+    share it (the envelope path consumes it from three operators —
+    one checkpoint instead of three).
     """
-    conn = connections(syncs, game_col)
+    if conn is None:
+        conn = connections(syncs, game_col)
 
     # seed _a: appended at instance creation, always T=1, origin "_"
     seed = conn.groupBy("game", "gen").agg(F.min("poll_ms")).select(
@@ -279,6 +289,8 @@ def deliveries(
     posted: DataFrame,
     users: list | None = None,
     game_col: str | None = None,
+    with_detail: bool = False,
+    conn: DataFrame | None = None,
 ) -> DataFrame:
     """Per-sync delivered events: the range scan
     last_known < T <= clock_t (model/eventStream.go:63-71), where
@@ -301,12 +313,13 @@ def deliveries(
 
     ``users`` optionally restricts the receiving clients (the output is
     O(log-rows x clients) by nature — every client eventually receives
-    every event of the instances it polls).
+    every event of the instances it polls). ``with_detail`` carries the
+    log row's (kind_order, body) through for envelope serialization.
     """
-    sc = sync_clock(syncs, game_col)
+    sc = conn if conn is not None else sync_clock(syncs, game_col)
     if users is not None:
         sc = sc.where(F.col("user_id").isin(users))
-    log = server_log(syncs, posted, game_col)
+    log = server_log(syncs, posted, game_col, conn=conn)
     targets = sc.select("game", "gen", "user_id").distinct()
     ev_rep = log.join(targets, ["game", "gen"]).select(
         "game",
@@ -319,6 +332,8 @@ def deliveries(
         "t",
         "event_type",
         "origin",
+        "kind_order",
+        "body",
     )
     sync_rows = sc.select(
         "game",
@@ -331,6 +346,8 @@ def deliveries(
         F.lit(None).cast("long").alias("t"),
         F.lit(None).cast("string").alias("event_type"),
         F.lit(None).cast("string").alias("origin"),
+        F.lit(None).cast("long").alias("kind_order"),
+        F.lit(None).cast("string").alias("body"),
     )
     wd = (
         Window.partitionBy("game", "gen", "user_id")
@@ -345,6 +362,255 @@ def deliveries(
     carried = ev_rep.unionByName(sync_rows).withColumn(
         "sync_id", F.last("_sync_id", ignorenulls=True).over(wd)
     )
+    cols = ["sync_id", "user_id", "t", "event_type", "origin"]
+    if with_detail:
+        cols += ["kind_order", "body"]
     return carried.where(
         (F.col("_side") == 1) & F.col("sync_id").isNotNull()
-    ).select("sync_id", "user_id", "t", "event_type", "origin")
+    ).select(*cols)
+
+
+def state_deltas(
+    syncs: DataFrame,
+    states: DataFrame,
+    users: list | None = None,
+    game_col: str | None = None,
+    conn: DataFrame | None = None,
+) -> DataFrame:
+    """Per-sync delivered STATE stamps — GetDeltaState's LWW map scan
+    (model/stateStream.go:27-35), replayed declaratively.
+
+    Model: every poll reports the caller's state (``states``:
+    (sync_id, data) — GameRequest.State non-nil on every request), so
+    proxy p's live stamp at any instant is p's most recent poll, stamped
+    with that poll's clock (SetState stamps stateStream.T, which ticks
+    in lockstep with the event clock — model/game.go:86-88). A receiver
+    sync k by user u then sees p's state iff (model/game.go:60-74 order
+    of operations):
+
+    1. p's latest poll m_p is at-or-before k in mutex order — including
+       p == u's own stamp at k itself (applyState precedes
+       GetDeltaState);
+    2. p survived k's expiry sweep: ms_k - ms(m_p) <= 10 s (strict >
+       expires, model/game.go:96-99; expiry deletes the state, and a
+       later re-poll re-creates it, so only the LATEST poll's age
+       matters);
+    3. the LWW delta condition last_known < clock(m_p) (<= clock_k
+       holds automatically — clocks are monotone).
+
+    Scalable form: stamps replicated per receiving user (output is
+    O(stamps x receivers) by nature, like deliveries), then one
+    union-merge carry per (game, gen, receiver, sender) — no theta
+    join. Output: (sync_id, user_id, state_t, origin, data).
+    """
+    if conn is None:
+        conn = connections(syncs, game_col)
+    stamps = conn.join(states, "sync_id").select(
+        "game",
+        "gen",
+        F.col("user_id").alias("_sender"),
+        "poll_ms",
+        "sync_id",
+        "clock_t",
+        "proxy_id",
+        "data",
+    )
+    recv = conn if users is None else conn.where(F.col("user_id").isin(users))
+    # lastKnownT is what the CLIENT saw on ITS previous poll of this
+    # generation (the URL's lastTime param, main.go:60-62) — a per-user
+    # lag of the clock, NOT the stream-global last_sent_prev.
+    wlk = Window.partitionBy("game", "gen", "user_id").orderBy("poll_ms", "sync_id")
+    recv = recv.withColumn(
+        "_last_known", F.coalesce(F.lag("clock_t").over(wlk), F.lit(0))
+    )
+    targets = recv.select("game", "gen", F.col("user_id").alias("_recv")).distinct()
+    stamp_rows = stamps.join(targets, ["game", "gen"]).select(
+        "game",
+        "gen",
+        "_recv",
+        "_sender",
+        F.col("poll_ms").alias("_ms"),
+        F.col("sync_id").alias("_sid"),
+        F.lit(0).alias("_side"),
+        F.col("poll_ms").alias("s_ms"),
+        F.col("clock_t").alias("s_clock"),
+        F.col("proxy_id").alias("s_proxy"),
+        F.col("data").alias("s_data"),
+        F.lit(None).cast("long").alias("r_sync_id"),
+        F.lit(None).cast("long").alias("r_last_known"),
+        F.lit(None).cast(conn.schema["user_id"].dataType).alias("r_user"),
+    )
+    recv_rows = recv.join(
+        stamps.select("game", "gen", "_sender").distinct(), ["game", "gen"]
+    ).select(
+        "game",
+        "gen",
+        F.col("user_id").alias("_recv"),
+        "_sender",
+        F.col("poll_ms").alias("_ms"),
+        F.col("sync_id").alias("_sid"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("s_ms"),
+        F.lit(None).cast("long").alias("s_clock"),
+        F.lit(None).cast("string").alias("s_proxy"),
+        F.lit(None).cast("string").alias("s_data"),
+        F.col("sync_id").alias("r_sync_id"),
+        F.col("_last_known").alias("r_last_known"),
+        F.col("user_id").alias("r_user"),
+    )
+    # Ascending mutex order; at the same sync the stamp (side 0) lands
+    # before the read (side 1): applyState precedes GetDeltaState.
+    wc = (
+        Window.partitionBy("game", "gen", "_recv", "_sender")
+        .orderBy("_ms", "_sid", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        stamp_rows.unionByName(recv_rows)
+        .withColumn("_last_stamp_ms", F.last("s_ms", ignorenulls=True).over(wc))
+        .withColumn("_last_clock", F.last("s_clock", ignorenulls=True).over(wc))
+        .withColumn("_last_proxy", F.last("s_proxy", ignorenulls=True).over(wc))
+        .withColumn("_last_data", F.last("s_data", ignorenulls=True).over(wc))
+    )
+    return carried.where(
+        (F.col("_side") == 1)
+        & F.col("_last_stamp_ms").isNotNull()
+        & (F.col("_ms") - F.col("_last_stamp_ms") <= CLIENT_TIMEOUT_MS)
+        & (F.col("_last_clock") > F.col("r_last_known"))
+    ).select(
+        F.col("r_sync_id").alias("sync_id"),
+        F.col("r_user").alias("user_id"),
+        F.col("_last_clock").alias("state_t"),
+        F.col("_last_proxy").alias("origin"),
+        F.col("_last_data").alias("data"),
+    )
+
+
+def _json_escape(col):
+    """Minimal JSON string escaping (backslash, quote) — identical
+    formulas exist in DuckDB, so serialized envelopes hash-match
+    cross-engine. Fixture bodies contain neither control chars nor
+    non-ASCII, so the minimal escape IS the full escape here."""
+    return F.replace(
+        F.replace(col, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+    )
+
+
+def game_response(
+    syncs: DataFrame,
+    posted: DataFrame,
+    states: DataFrame,
+    users: list | None = None,
+    game_col: str | None = None,
+) -> DataFrame:
+    """The per-sync GameResponse envelope ``{T, Events, States,
+    ProxyId}`` the reference serializes to every poll (main.go:102-115,
+    json.Marshal field order) — the engine's sink-side parity surface.
+
+    Per receiver sync: T = the stream clock after this poll's tick,
+    Events = GetDeltaEvents(last_known) serialized as the reference's
+    Event structs — for ``_a``/``_c``/``_d`` markers Origin is "_" and
+    Body carries the payload/proxy id (model/eventStream.go:41,77-84);
+    posted events carry the caller's proxy as Origin (game.go:119-125)
+    — States = GetDeltaState(last_known) as State structs, ProxyId =
+    the caller's proxy.
+
+    Two documented canonicalizations (both parity-neutral): Events sort
+    by (T, kind_order, origin) — the reference emits append order,
+    which (T, within-tick kind order) reproduces except between two
+    same-tick posts, where append order = mutex order is replay-
+    equivalent but not column-derivable; States sort by numeric origin
+    — the reference iterates a Go map, whose order is deliberately
+    randomized, so ANY fixed order is as faithful as the server is to
+    itself. Seed bodies are the constant 'seed' where the reference
+    draws rand.Int63 (model/eventStream.go:41) — the one field replay
+    cannot reproduce by definition.
+    """
+    conn = connections(syncs, game_col)
+    recv = conn if users is None else conn.where(F.col("user_id").isin(users))
+
+    ev = deliveries(
+        syncs, posted, users=users, game_col=game_col, with_detail=True, conn=conn
+    )
+    ev_origin = F.when(
+        F.col("event_type").isin("_a", "_c", "_d"), F.lit("_")
+    ).otherwise(F.col("origin"))
+    ev_body = (
+        F.when(F.col("event_type").isin("_c", "_d"), F.col("origin"))
+        .otherwise(F.coalesce(F.col("body"), F.lit("")))
+    )
+    ev_str = F.concat(
+        F.lit('{"T":'),
+        F.col("t").cast("string"),
+        F.lit(',"Type":"'),
+        F.col("event_type"),
+        F.lit('","Origin":"'),
+        ev_origin,
+        F.lit('","Body":"'),
+        _json_escape(ev_body),
+        F.lit('"}'),
+    )
+    ev_agg = (
+        ev.select(
+            "sync_id",
+            "user_id",
+            F.struct(
+                F.col("t"), F.col("kind_order"), ev_origin.alias("o"), ev_str.alias("s")
+            ).alias("_e"),
+        )
+        .groupBy("sync_id", "user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("_e")), lambda e: e["s"]), ","
+            ).alias("events_json")
+        )
+    )
+
+    st = state_deltas(syncs, states, users=users, game_col=game_col, conn=conn)
+    st_str = F.concat(
+        F.lit('{"T":'),
+        F.col("state_t").cast("string"),
+        F.lit(',"Origin":"'),
+        F.col("origin"),
+        F.lit('","Data":'),
+        F.col("data"),
+        F.lit("}"),
+    )
+    st_agg = (
+        st.select(
+            "sync_id",
+            "user_id",
+            F.struct(
+                F.col("origin").cast("long").alias("o"), st_str.alias("s")
+            ).alias("_s"),
+        )
+        .groupBy("sync_id", "user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("_s")), lambda s: s["s"]), ","
+            ).alias("states_json")
+        )
+    )
+
+    base = recv.select("sync_id", "user_id", F.col("clock_t").alias("t"), "proxy_id")
+    out = (
+        base.join(ev_agg, ["sync_id", "user_id"], "left")
+        .join(st_agg, ["sync_id", "user_id"], "left")
+    )
+    return out.select(
+        "sync_id",
+        "user_id",
+        "t",
+        "proxy_id",
+        F.concat(
+            F.lit('{"T":'),
+            F.col("t").cast("string"),
+            F.lit(',"Events":['),
+            F.coalesce(F.col("events_json"), F.lit("")),
+            F.lit('],"States":['),
+            F.coalesce(F.col("states_json"), F.lit("")),
+            F.lit('],"ProxyId":"'),
+            F.col("proxy_id"),
+            F.lit('"}'),
+        ).alias("response"),
+    )

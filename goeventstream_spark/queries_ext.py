@@ -726,6 +726,135 @@ def q_protocol_deliveries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.deliveries(syncs, posted, users=users)
 
 
+_PROTO_ENVELOPE_TAIL = """,
+    recv AS (SELECT * FROM conn WHERE user_id < 10),
+    dtargets AS (SELECT DISTINCT game, gen, user_id FROM recv),
+    dmerged AS (
+      SELECT l.game, l.gen, tg.user_id, l.t AS _key, 1 AS _side,
+             CAST(-1 AS BIGINT) AS _poll_ms, CAST(NULL AS BIGINT) AS _sync_id,
+             l.t, l.event_type, l.origin, l.kind_order, l.body
+      FROM log l JOIN dtargets tg ON l.game = tg.game AND l.gen = tg.gen
+      UNION ALL
+      SELECT game, gen, user_id, clock_t, 0, poll_ms, sync_id,
+             CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+      FROM recv
+    ),
+    dcarried AS (
+      SELECT *, last_value(_sync_id IGNORE NULLS)
+                  OVER (PARTITION BY game, gen, user_id
+                        ORDER BY _key DESC, _side ASC, _poll_ms DESC, _sync_id DESC
+                        ROWS UNBOUNDED PRECEDING) AS d_sync
+      FROM dmerged
+    ),
+    deliv AS (
+      SELECT d_sync AS sync_id, user_id, t, event_type, origin, kind_order, body
+      FROM dcarried WHERE _side = 1 AND d_sync IS NOT NULL
+    ),
+    ev_ser AS (
+      SELECT sync_id, user_id, t, kind_order,
+             CASE WHEN event_type IN ('_a','_c','_d') THEN '_' ELSE origin END AS o,
+             '{"T":' || t || ',"Type":"' || event_type || '","Origin":"'
+               || CASE WHEN event_type IN ('_a','_c','_d') THEN '_' ELSE origin END
+               || '","Body":"'
+               || replace(replace(CASE WHEN event_type IN ('_c','_d') THEN origin
+                                       ELSE coalesce(body, '') END,
+                                  '\\', '\\\\'), '"', '\\"')
+               || '"}' AS ev_s
+      FROM deliv
+    ),
+    ev_agg AS (
+      SELECT sync_id, user_id,
+             string_agg(ev_s, ',' ORDER BY t, kind_order, o, ev_s) AS events_json
+      FROM ev_ser GROUP BY 1, 2
+    ),
+    stamps AS (
+      SELECT game, gen, user_id AS sender, poll_ms, sync_id, clock_t, proxy_id,
+             props AS data
+      FROM conn
+    ),
+    senders AS (SELECT DISTINCT game, gen, sender FROM stamps),
+    recv_lk AS (
+      SELECT *, coalesce(lag(clock_t) OVER (PARTITION BY game, gen, user_id
+                                            ORDER BY poll_ms, sync_id), 0) AS _last_known
+      FROM recv
+    ),
+    st_merged AS (
+      SELECT s.game, s.gen, tg.user_id AS recv_u, s.sender,
+             s.poll_ms AS _ms, s.sync_id AS _sid, 0 AS _side,
+             s.poll_ms AS s_ms, s.clock_t AS s_clock, s.proxy_id AS s_proxy,
+             s.data AS s_data,
+             CAST(NULL AS BIGINT) AS r_sync_id, CAST(NULL AS BIGINT) AS r_last_known
+      FROM stamps s JOIN dtargets tg ON s.game = tg.game AND s.gen = tg.gen
+      UNION ALL
+      SELECT r.game, r.gen, r.user_id, sd.sender, r.poll_ms, r.sync_id, 1,
+             NULL, NULL, NULL, NULL, r.sync_id, r._last_known
+      FROM recv_lk r JOIN senders sd ON r.game = sd.game AND r.gen = sd.gen
+    ),
+    st_carried AS (
+      SELECT *, last_value(s_ms IGNORE NULLS) OVER wst AS l_ms,
+                last_value(s_clock IGNORE NULLS) OVER wst AS l_clock,
+                last_value(s_proxy IGNORE NULLS) OVER wst AS l_proxy,
+                last_value(s_data IGNORE NULLS) OVER wst AS l_data
+      FROM st_merged
+      WINDOW wst AS (PARTITION BY game, gen, recv_u, sender
+                     ORDER BY _ms, _sid, _side ROWS UNBOUNDED PRECEDING)
+    ),
+    st_rows AS (
+      SELECT r_sync_id AS sync_id, recv_u AS user_id, l_clock AS state_t,
+             l_proxy AS origin, l_data AS data
+      FROM st_carried
+      WHERE _side = 1 AND l_ms IS NOT NULL AND _ms - l_ms <= 10000
+        AND l_clock > r_last_known
+    ),
+    st_agg AS (
+      SELECT sync_id, user_id,
+             string_agg('{"T":' || state_t || ',"Origin":"' || origin
+                        || '","Data":' || data || '}',
+                        ',' ORDER BY CAST(origin AS BIGINT)) AS states_json
+      FROM st_rows GROUP BY 1, 2
+    )
+    SELECT r.sync_id, r.user_id, r.clock_t AS t, r.proxy_id,
+           '{"T":' || r.clock_t || ',"Events":[' || coalesce(e.events_json, '')
+             || '],"States":[' || coalesce(s.states_json, '')
+             || '],"ProxyId":"' || r.proxy_id || '"}' AS response
+    FROM recv r
+    LEFT JOIN ev_agg e ON r.sync_id = e.sync_id AND r.user_id = e.user_id
+    LEFT JOIN st_agg s ON r.sync_id = s.sync_id AND r.user_id = s.user_id
+    """
+
+
+@query(
+    "game_response_envelope",
+    _proto_ctes("'_'") + _PROTO_ENVELOPE_TAIL,
+)
+def q_game_response_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16 as the full sink-side parity surface: the per-sync
+    GameResponse JSON envelope {T, Events, States, ProxyId} the
+    reference serializes to every poll (main.go:102-115), with every
+    poll reporting the caller's props as its state (GameRequest.State).
+    Restricted to 10 receiving clients like protocol_deliveries —
+    output is O(log x clients) by nature. Canonicalizations (Events
+    append-order tiebreak, States map order, seed body) documented in
+    operators/protocol_replay.game_response."""
+    from goeventstream_spark.operators import protocol_replay as pr
+
+    ev = load_table(spark, sf_dir, "events")
+    syncs = ev.select(
+        F.col("event_id").alias("sync_id"),
+        "user_id",
+        F.unix_millis("ts").alias("poll_ms"),
+    )
+    posted = ev.select(
+        F.col("event_id").alias("sync_id"),
+        F.lit(0).cast("long").alias("event_seq"),
+        "event_type",
+        F.col("props").alias("body"),
+    )
+    states = ev.select(F.col("event_id").alias("sync_id"), F.col("props").alias("data"))
+    return pr.game_response(syncs, posted, states, users=list(range(10)))
+
+
 @query(
     "protocol_server_log_multigame",
     _proto_ctes("CAST(user_id % 4 AS VARCHAR)") + _PROTO_LOG_SELECT,

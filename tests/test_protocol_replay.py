@@ -262,3 +262,95 @@ def test_no_late_data_invariant(spark, schedule):
     for r in sc:
         assert r.assign_t == r.last_sent_prev + 1
         assert r.assign_t > r.last_sent_prev
+
+
+def test_game_response_envelope_json(spark, schedule):
+    """The GameResponse envelope (main.go:102-115) is valid JSON with
+    the reference's exact field set, and its Events/States arrays agree
+    with the deliveries/state_deltas operators row-for-row."""
+    import json
+
+    syncs, posted = schedule
+    syncs_df = spark.createDataFrame(syncs, SYNCS_SCHEMA)
+    posted_df = spark.createDataFrame(posted, POSTED_SCHEMA)
+    states_df = spark.createDataFrame(
+        [(sid, '{"hp": %d}' % (sid % 100)) for sid, _u, _ms in syncs],
+        StructType(
+            [StructField("sync_id", LongType()), StructField("data", StringType())]
+        ),
+    )
+
+    env = {
+        r.sync_id: r
+        for r in pr.game_response(syncs_df, posted_df, states_df).collect()
+    }
+    assert set(env) == {sid for sid, _u, _ms in syncs}
+
+    deliv: dict[int, list] = {sid: [] for sid in env}
+    for r in pr.deliveries(syncs_df, posted_df).collect():
+        deliv[r.sync_id].append((r.t, r.event_type))
+    st: dict[int, list] = {sid: [] for sid in env}
+    for r in pr.state_deltas(syncs_df, states_df).collect():
+        st[r.sync_id].append((r.state_t, r.origin, r.data))
+
+    for sid, row in env.items():
+        doc = json.loads(row.response)  # valid JSON, or this raises
+        assert sorted(doc) == ["Events", "ProxyId", "States", "T"]
+        assert doc["T"] == row.t
+        assert doc["ProxyId"] == row.proxy_id
+        got_ev = sorted((e["T"], e["Type"]) for e in doc["Events"])
+        assert got_ev == sorted(deliv[sid]), f"sync {sid}"
+        for e in doc["Events"]:
+            if e["Type"] in ("_a", "_c", "_d"):
+                assert e["Origin"] == "_"
+            if e["Type"] in ("_c", "_d"):
+                assert e["Body"].isdigit()  # the proxy id rides in Body
+        got_st = sorted(
+            (s["T"], s["Origin"], json.dumps(s["Data"], separators=(", ", ": ")).replace('{"', '{"'))
+            for s in doc["States"]
+        )
+        want_st = sorted((t, o, json.dumps(json.loads(d), separators=(", ", ": "))) for t, o, d in st[sid])
+        assert [g[:2] for g in got_st] == [w[:2] for w in want_st], f"sync {sid}"
+        # every state the receiver sees is fresher than its last_known
+        # and no older than the client timeout — spot the invariants
+        for s in doc["States"]:
+            assert s["T"] <= doc["T"]
+
+
+def test_state_deltas_lww_and_expiry(spark):
+    """GetDeltaState semantics (model/stateStream.go:27-35 +
+    game.go:92-107): LWW per proxy, own-state echo when the clock
+    advanced, expired senders dropped from the map."""
+    # u0 polls at 0ms and 5000ms; u1 polls at 300ms then goes silent;
+    # u0 polls again at 20000ms — u1 expired (> 10 s silent).
+    syncs = [
+        (0, "u0", 1_000_000),
+        (1, "u1", 1_000_300),
+        (2, "u0", 1_005_000),
+        (3, "u0", 1_020_000),
+    ]
+    syncs_df = spark.createDataFrame(syncs, SYNCS_SCHEMA)
+    states_df = spark.createDataFrame(
+        [(0, "s0"), (1, "s1"), (2, "s2"), (3, "s3")],
+        StructType(
+            [StructField("sync_id", LongType()), StructField("data", StringType())]
+        ),
+    )
+    rows = pr.state_deltas(syncs_df, states_df).collect()
+    by_sync: dict[int, list] = {}
+    for r in rows:
+        by_sync.setdefault(r.sync_id, []).append((r.origin, r.data))
+
+    # sync 0: clock 0, last_known 0 -> stamp at T=0 fails T > 0: empty
+    assert 0 not in by_sync
+    # sync 1 (u1, clock 6): sees u0's stamp (T=0? no — T=0 not > 0)...
+    # u1's own stamp at clock 6 > last_known 0: delivered
+    assert ("2", "s1") in by_sync.get(1, [])
+    # sync 2 (u0 at 5s, clock 100, last_known 0): sees u1's stamp
+    # (T=6 > 0) and its own fresh stamp (T=100 > 0)
+    assert sorted(by_sync[2]) == [("1", "s2"), ("2", "s1")]
+    # sync 3 (u0 at 20s, last_known 100): BOTH u0 and u1 expired (15s /
+    # 19.7s > 10s silent — updateClients sweeps the caller too,
+    # model/game.go:95-107); u0 reconnects with a fresh proxy id 3 and
+    # re-stamps (T=400 > 100); u1's old state is GONE
+    assert sorted(by_sync[3]) == [("3", "s3")]
