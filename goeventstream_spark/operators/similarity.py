@@ -226,15 +226,19 @@ def lsh_banded_near_dup(
     ]
     # Norms are precomputed in the scan-side projection (where codegen
     # can split the 64-term sum into sub-methods, INPUT_ROW available)
-    # and carried through the join + dedup — the post-aggregate verify
-    # then only pays the 64-term dot, which fits Janino's 64 KB method
-    # limit in its own stage. Same anatomy as embedding_near_dup's
-    # measured fix; cos = dot/(na*nb) is value-identical either way.
+    # and carried through the join — the post-join verify then only pays
+    # the 64-term dot, which fits Janino's 64 KB method limit. Same
+    # anatomy as embedding_near_dup's measured fix; cos = dot/(na*nb) is
+    # value-identical either way. Each row also carries its FULL 8-band
+    # signature vector (_sigs, 8 short strings) for the first-band dedup
+    # below.
+    sigs_arr = F.array(*band_sigs)
     banded = emb.select(
         "vec_id",
         "embedding",
         norm(F.col("embedding"), dims).alias("_n"),
-        F.posexplode(F.array(*band_sigs)).alias("band_id", "band_sig"),
+        sigs_arr.alias("_sigs"),
+        F.posexplode(sigs_arr).alias("band_id", "band_sig"),
     )
     # The banded relation IS the corpus (x bands) — never broadcast it:
     # Catalyst's size estimate can pick a broadcast join for the self-join,
@@ -242,43 +246,52 @@ def lsh_banded_near_dup(
     # shuffle-hash join on the (band_id, band_sig) equi keys.
     banded = banded.hint("shuffle_hash")
     a, b = banded.alias("a"), banded.alias("b")
-    # Dedup candidate pairs BEFORE the exact verify: a pair colliding in
-    # k bands would otherwise pay the 192-term cosine k times. After the
-    # groupBy, verify cost is proportional to |unique candidates| —
-    # the quantity LSH actually bounds. first() is safe: both embeddings
-    # are identical across a pair's collision rows.
-    cand = a.join(
+    # First-colliding-band dedup: a pair colliding in k bands would pay
+    # the exact cosine k times, and the obvious groupBy(vec_a, vec_b)
+    # fix shuffles two embeddings per CANDIDATE row — measured 2x the
+    # whole query's cost at sf0.1. Instead each side carries its full
+    # signature vector and the pair is emitted only from its LOWEST
+    # colliding band (no band j < band_id with _sigs_a[j] == _sigs_b[j]).
+    # That is a codegen'd filter fused into the join stage: unique pairs
+    # with zero post-join shuffle, and verify cost proportional to
+    # |unique candidates| — the quantity LSH actually bounds at 100 TB.
+    # exists()/zip_with() ON PURPOSE, not a flat OR over element_at:
+    # a flat OR references only plain columns, so Catalyst inlines it
+    # into the ShuffledHashJoin CONDITION — which knocks the join stage
+    # (and the fused 64-term verify dot below) out of whole-stage
+    # codegen entirely. Measured at sf0.1: flat-OR 23.6 s vs HOF 5.7 s.
+    # The HOF's interpreted lambdas cost ~3 s on the 1M collision rows,
+    # but keep the filter OUT of the join condition, so the join +
+    # verify stay codegen'd — the right trade at any scale.
+    no_earlier_band = ~F.exists(
+        F.zip_with(
+            F.slice(F.col("a._sigs"), 1, F.col("a.band_id")),
+            F.slice(F.col("b._sigs"), 1, F.col("b.band_id")),
+            lambda x, y: x == y,
+        ),
+        lambda same: same,
+    )
+    verified = a.join(
         b,
         (F.col("a.band_id") == F.col("b.band_id"))
         & (F.col("a.band_sig") == F.col("b.band_sig"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
+    ).where(no_earlier_band).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.col("a.embedding").alias("_ea"),
-        F.col("b.embedding").alias("_eb"),
-        F.col("a._n").alias("_na"),
-        F.col("b._n").alias("_nb"),
-    )
-    uniq = cand.groupBy("vec_a", "vec_b").agg(
-        F.first("_ea").alias("_ea"),
-        F.first("_eb").alias("_eb"),
-        F.first("_na").alias("_na"),
-        F.first("_nb").alias("_nb"),
-    )
-    # Fusion barrier (CollectMetricsExec never joins a codegen stage):
-    # gives the 64-term dot its own stage instead of fusing it into the
-    # HashAggregate's result projection, whose deferred locals Janino
-    # cannot split. Also surfaces the post-dedup candidate count — the
-    # quantity banded LSH must keep bounded at 100 TB.
-    uniq = uniq.observe("lsh_banded_candidates", F.count(F.lit(1)).alias("n_candidates"))
-    return uniq.select(
-        "vec_a",
-        "vec_b",
-        (dot(F.col("_ea"), F.col("_eb"), dims) / (F.col("_na") * F.col("_nb"))).alias(
-            "cos_sim"
-        ),
+        (
+            dot(F.col("a.embedding"), F.col("b.embedding"), dims)
+            / (F.col("a._n") * F.col("b._n"))
+        ).alias("cos_sim"),
     ).where(F.col("cos_sim") >= F.lit(threshold))
+    # The exact verify fuses into the join stage — candidate pairs never
+    # materialize as rows (the embeddings die inside the codegen'd
+    # projection). observe() AFTER the threshold filter costs one
+    # accumulator add per RESULT row, not per candidate: a barrier here
+    # on the 1M-candidate stream measured +8 s at sf0.1.
+    return verified.observe(
+        "lsh_banded_near_dups", F.count(F.lit(1)).alias("n_pairs")
+    )
 
 
 def ivf_index(emb: DataFrame, n_centroids: int = 16, seed: int = 42, max_iter: int = 8):
