@@ -201,29 +201,36 @@ def lsh_banded_near_dup(
         for p in range(n_planes)
     ]
 
-    def proj_sign(p: int) -> Column:
-        # HOF form on purpose: 32 flat 64-term sums in one projection
-        # make janino's codegen OOM a default-sized driver; the
-        # aggregate/zip_with lambda keeps the expression tree small and
-        # evaluates interpreted (fine for this one corpus map pass).
-        expr = F.aggregate(
-            F.zip_with(
-                _as_double(F.col("embedding")),
-                F.array(*[F.lit(v) for v in planes[p]]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (expr >= 0).cast("int")
+    # All 32 projections in ONE numpy matmul per Arrow batch: the
+    # per-plane JVM forms are both bad here — 32 flat 64-term sums make
+    # Janino's codegen OOM a default-sized driver, and the HOF
+    # aggregate/zip_with form evaluates interpreted (measured ~2 s of
+    # the query at sf0.1, and it re-evaluates in every plan node that
+    # references it: scan filter, Generate, and Project). One
+    # vectorized UDF with a self-contained closure (driver-contract
+    # pickling rule) is the 100 TB map pass.
+    from pyspark.sql.functions import pandas_udf
 
-    band_sigs = [
-        F.concat_ws(
-            "",
-            *[proj_sign(b * planes_per_band + r).cast("string") for r in range(planes_per_band)],
+    _planes, _ppb, _bands = planes, planes_per_band, bands
+
+    @pandas_udf("array<string>")
+    def band_sig_udf(embs):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(_planes, dtype=np.float64)  # (n_planes, dims)
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        signs = (X @ P.T >= 0).astype(np.uint8)  # (n, n_planes)
+        return pd.Series(
+            [
+                [
+                    "".join(map(str, row[b * _ppb : (b + 1) * _ppb]))
+                    for b in range(_bands)
+                ]
+                for row in signs
+            ]
         )
-        for b in range(bands)
-    ]
+
     # Norms are precomputed in the scan-side projection (where codegen
     # can split the 64-term sum into sub-methods, INPUT_ROW available)
     # and carried through the join — the post-join verify then only pays
@@ -232,13 +239,17 @@ def lsh_banded_near_dup(
     # value-identical either way. Each row also carries its FULL 8-band
     # signature vector (_sigs, 8 short strings) for the first-band dedup
     # below.
-    sigs_arr = F.array(*band_sigs)
     banded = emb.select(
         "vec_id",
         "embedding",
         norm(F.col("embedding"), dims).alias("_n"),
-        sigs_arr.alias("_sigs"),
-        F.posexplode(sigs_arr).alias("band_id", "band_sig"),
+        band_sig_udf(F.col("embedding")).alias("_sigs"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "_n",
+        "_sigs",
+        F.posexplode("_sigs").alias("band_id", "band_sig"),
     )
     # The banded relation IS the corpus (x bands) — never broadcast it:
     # Catalyst's size estimate can pick a broadcast join for the self-join,
