@@ -188,6 +188,38 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = DEFAULT_SHINGLE_K, threshold: 
     return jac.where(F.col("jaccard") >= F.lit(threshold))
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = DEFAULT_SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word k-gram with an evaluation/benchmark set (the published
+    training-data hygiene step — e.g. the 13-gram overlap filter of the
+    GPT-3 appendix-C methodology, here with the repo-wide shingle k).
+
+    Returns (doc_id, n_contaminated_ngrams): one row per contaminated
+    corpus document with the count of its distinct shingles that also
+    occur anywhere in the benchmark set. Join anti-wise against this
+    output to drop the offenders.
+
+    100 TB shape: benchmark sets are tiny relative to the corpus (a few
+    M n-grams vs ~10^11), so the benchmark shingle set is broadcast and
+    the corpus-side shingle stream joins map-side — the corpus is never
+    shuffled by this operator; the only shuffle is the per-doc count
+    aggregation over the (rare) hit stream.
+    """
+    bench_sh = shingles(benchmark, k, id_col, text_col).select("shingle").distinct()
+    corp_sh = shingles(corpus, k, id_col, text_col)
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+
+
 def _hex_val(ch: F.Column) -> F.Column:
     """Portable hex-digit -> 0..15 (instr is 1-based, like strpos)."""
     return F.instr(F.lit("0123456789abcdef"), ch) - F.lit(1)

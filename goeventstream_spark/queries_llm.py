@@ -147,6 +147,30 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+# Deterministic eval-set split for the decontamination demo: first md5
+# hex digit of the doc id = '0' (~1/16 of docs act as the "benchmark").
+# Content-stable — no rand(), identical split in both engines.
+_BENCH_PRED_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+
+
+@query(
+    "decontaminate",
+    f"""
+    WITH {_SHINGLES},
+    bench AS (SELECT doc_id FROM documents WHERE {_BENCH_PRED_SQL}),
+    bsh AS (SELECT DISTINCT sh.shingle FROM sh JOIN bench ON sh.doc_id = bench.doc_id)
+    SELECT sh.doc_id AS doc_id, count(*) AS n_contaminated_ngrams
+    FROM sh JOIN bsh ON sh.shingle = bsh.shingle
+    WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)
+    GROUP BY 1
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return dedup.decontaminate(docs.where(~is_bench), docs.where(is_bench))
+
+
 _BITS = dedup.SIMHASH_BITS
 _WV = " + ".join(
     f"(strpos('0123456789abcdef', substr(md5(word), {j + 1}, 1)) - 1) * {16 ** (_BITS // 4 - 1 - j)}"

@@ -134,3 +134,30 @@ def test_sample_by_hash_deterministic_and_stable(spark, sf_dir):
     assert k25 <= k50
     n = docs.count()
     assert 0.15 * n < len(k25) < 0.35 * n and 0.4 * n < len(k50) < 0.6 * n
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    """A corpus doc sharing a word 3-gram with the benchmark set is
+    flagged with the exact count of its distinct overlapping shingles;
+    disjoint docs produce no row."""
+    from goeventstream_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox"
+            (1, "see the quick brown fox run"),
+            # no 3-gram in common
+            (2, "a completely different sentence here"),
+            # shares one shingle, repeated (distinct shingles counted once)
+            (3, "the quick brown cat and the quick brown cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in dedup.decontaminate(corpus, bench).collect()
+    }
+    assert out == {1: 2, 3: 1}
