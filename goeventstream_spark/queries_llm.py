@@ -171,6 +171,73 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(docs.where(~is_bench), docs.where(is_bench))
 
 
+@query(
+    "curate_corpus",
+    rf"""
+    WITH {_SHINGLES},
+    bench AS (SELECT doc_id FROM documents WHERE {_BENCH_PRED_SQL}),
+    qual AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, count(*) AS n_words,
+               CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS dr,
+               CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS sr
+        FROM words GROUP BY doc_id
+      ) WHERE (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END) + dr + sr >= 1.5
+    ),
+    corpusq AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN qual ON d.doc_id = qual.doc_id
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM bench)
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id FROM (
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        FROM corpusq
+      ) GROUP BY h
+    ),
+    flagged AS (
+      SELECT DISTINCT sh.doc_id
+      FROM sh
+      JOIN (SELECT DISTINCT s2.shingle FROM sh s2 JOIN bench ON s2.doc_id = bench.doc_id) bsh
+        ON sh.shingle = bsh.shingle
+      WHERE sh.doc_id IN (SELECT doc_id FROM keep)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN keep ON d.doc_id = keep.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation funnel — the composed shape of a
+    training-data pipeline pass: heuristic quality gate, exact content
+    dedup (keep lowest id), then benchmark decontamination, emitting
+    the surviving documents' metadata.
+
+    Each stage is an existing operator; the funnel is pure composition,
+    so the whole thing stays one Catalyst plan (filters and pruning
+    flow across stage boundaries). Scale notes per stage: quality is
+    one agg shuffle over words; dedup one agg shuffle on content hash;
+    decontamination broadcasts the (tiny) benchmark shingle set.
+    """
+    docs = _docs(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    corpus = docs.where(~is_bench)
+    bench = docs.where(is_bench)
+    qual_ids = (
+        text.quality_score(corpus)
+        .where(F.col("quality_score") >= 1.5)
+        .select("doc_id")
+    )
+    survivors = corpus.join(qual_ids, "doc_id")
+    keep_ids = dedup.exact_dedup(survivors).select(F.col("keep_doc_id").alias("doc_id"))
+    survivors = survivors.join(keep_ids, "doc_id")
+    flagged = dedup.decontaminate(survivors, bench).select("doc_id")
+    return survivors.join(flagged, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 _BITS = dedup.SIMHASH_BITS
 _WV = " + ".join(
     f"(strpos('0123456789abcdef', substr(md5(word), {j + 1}, 1)) - 1) * {16 ** (_BITS // 4 - 1 - j)}"

@@ -138,3 +138,12 @@ def test_tpch_q3_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     before_take = plan.split("TakeOrderedAndProject")[-1]
     assert "Window" not in before_take, plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    # The benchmark shingle set must broadcast (it is tiny vs the
+    # corpus at scale); the corpus-side shingle stream joins map-side
+    # with no sort-merge on the shingle key.
+    df = q.QUERIES["decontaminate"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert "SortMergeJoin" not in plans.physical_plan(df)
