@@ -47,6 +47,7 @@ HEADLINE = [
     "lsh_banded_near_dup",
     "tpch_q3_shipping_priority",
     "tpch_q17_small_qty_revenue",
+    "curate_corpus",
 ]
 
 
