@@ -53,3 +53,27 @@ def dataset_mix(df: DataFrame, rates: DataFrame, id_col: str = "doc_id") -> Data
         .withColumn("sample_key", sample_key(id_col))
         .where(F.col("sample_key") <= F.col("keep_threshold"))
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    val_hex: str = "0ccc",
+    test_hex: str = "1999",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic three-way corpus split on the content-stable
+    sample key: key <= ``val_hex`` -> 'val', else <= ``test_hex`` ->
+    'test', else 'train' (defaults ~5% / ~5% / ~90%).
+
+    Same 100 TB contract as ``sample_by_hash``: purely map-side, no
+    RNG state, and stable under corpus growth — a doc's split never
+    changes when new data arrives, which is what keeps eval sets
+    uncontaminated across pipeline re-runs.
+    """
+    k = sample_key(id_col)
+    return df.withColumn(
+        "split",
+        F.when(k <= F.lit(val_hex), "val")
+        .when(k <= F.lit(test_hex), "test")
+        .otherwise("train"),
+    )

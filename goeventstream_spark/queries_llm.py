@@ -564,6 +564,31 @@ def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "train_val_test_split",
+    """
+    SELECT split, source, n_docs, CAST(total_chars AS BIGINT) AS total_chars FROM (
+      SELECT CASE WHEN k <= '0ccc' THEN 'val'
+                  WHEN k <= '1999' THEN 'test'
+                  ELSE 'train' END AS split,
+             source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      FROM (
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS k, source, n_chars
+        FROM documents
+      ) GROUP BY 1, 2
+    )
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5/5/90 split audit: docs and chars per
+    (split, source) — one map-side split column, one agg shuffle."""
+    split = sampling.train_val_test_split(_docs(spark, sf_dir))
+    return split.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "doc_chunks",
     """
     SELECT doc_id,
