@@ -394,7 +394,7 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt(l_quantity) AS qty_sqrt,
            l_quantity * l_quantity AS qty_sq,
            CAST(l_partkey % 10 AS BIGINT) AS pk_mod,
-           sign(l_discount - 0.05) AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate
     FROM lineitem
@@ -1131,4 +1131,200 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_quantity", "l_extendedprice", "l_discount"],
         "measure",
         "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H compound shapes round 2: exists / distribution / not-in /
+# having / scalar-subquery + anti-join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi residual (l_shipdate > o_orderdate), then a tiny hash agg
+    on priority. The quarter filter prunes the orders scan first
+    (pushed predicate), so the semi join shuffles only one quarter of
+    orders against lineitem keyed on orderkey — at 100 TB both sides
+    hash-partition on l_orderkey and the agg is 5 groups, map-side
+    combined."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution-of-counts. Left outer join with a
+    join-time residual filter (NOT a post-filter — null-extended rows
+    must survive), per-customer count, then the count-of-counts
+    re-aggregation. Two shuffles (custkey, then c_count); the second
+    input is one row per customer and the final group count is tiny.
+    count(o_orderkey) counts non-null keys only, so no-order customers
+    land in the c_count=0 bucket on both engines."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN rewritten as a broadcast anti-join
+    (s_suppkey is non-null, so NOT IN == anti-join with no null trap),
+    the brand-filtered part dim broadcast into lineitem, then
+    count(DISTINCT supplier) per (brand, type). Spark plans the
+    distinct-agg as a two-phase expand+agg on the same (brand, type)
+    hash partitioning — one shuffle total after the map-side joins."""
+    bad_supp = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-by-HAVING semi-reduction first — the
+    lineitem agg shrinks to the rare >300-quantity orders BEFORE any
+    join, so the joins move only the survivors (AQE converts them to
+    broadcasts at runtime when the survivor set is small; no hint,
+    because at 100 TB the survivor count is data-dependent). Quantity
+    sums accumulate as DECIMAL — order-free exact — and cast to DOUBLE
+    only at the edge."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_dq"))
+        .where(F.col("_dq") > 300)
+        .select("l_orderkey", F.col("_dq").cast("double").alias("sum_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    """
+    WITH ab AS (
+      SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar subquery (average positive
+    balance) broadcast as a 1-row cross join, NOT EXISTS as an
+    anti-join on custkey, then a tiny segment agg. The scalar agg is
+    computed once map-side-combined; the anti-join shuffles on custkey
+    (or broadcasts the distinct o_custkey side under AQE). DECIMAL
+    accumulation keeps the average and the final sums order-free
+    exact; the avg division is one double op, identical both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("avg_bal"))
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
     )

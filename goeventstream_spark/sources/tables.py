@@ -40,12 +40,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Schema comes from parquet footers (no
     inference pass); column pruning/pushdown happen in the scan node.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw INT64 nanos (legacy
-    conf, runtime-settable) and convert with integer division — NOT
-    float division, which would lose precision on ~1.7e18 ns epochs.
-    DuckDB performs the identical nanos->micros truncation, so oracle
-    timestamps agree exactly.
+    Timestamp columns are normalized to TIMESTAMP_LTZ instants no matter
+    how the fixture writer stamped them:
+
+    - TIMESTAMP(NANOS) (round-1 fixtures): Spark's vectorized reader
+      rejects nanos, so we read raw INT64 (legacy conf, runtime-settable)
+      and convert with integer division — NOT float division, which
+      would lose precision on ~1.7e18 ns epochs.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-2 fixtures): Spark
+      infers TIMESTAMP_NTZ, which the datetime-arithmetic functions
+      (unix_millis etc.) reject. The wall times are UTC by generation,
+      and the session tz is pinned UTC below, so a plain cast reattaches
+      the instant exactly.
+
+    DuckDB reads both encodings as naive-UTC timestamps, so oracle
+    epoch arithmetic agrees exactly with either path.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -58,8 +67,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return _ntz_to_instant(df)
+    return _ntz_to_instant(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _ntz_to_instant(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP_LTZ.
+
+    Callers pin the session tz to UTC first, so the cast interprets the
+    stored UTC wall time as UTC — an exact instant reattachment. The
+    cast sits directly above the scan; Catalyst still prunes columns,
+    and tick/range predicates are pushed below it by
+    ``load_events_delta`` where scan pruning matters.
+    """
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if not ntz_cols:
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -97,10 +121,24 @@ def load_events_delta(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") != "bigint":  # pragma: no cover
-        return load_table(spark, sf_dir, "events")
-    lo_ns = (stream_start_ms + (t_lo + 1) * tick_ms) * 1_000_000
-    hi_ns = (stream_start_ms + (t_hi + 1) * tick_ms) * 1_000_000
-    return raw.where((F.col("ts") >= lo_ns) & (F.col("ts") < hi_ns)).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        lo_ns = (stream_start_ms + (t_lo + 1) * tick_ms) * 1_000_000
+        hi_ns = (stream_start_ms + (t_hi + 1) * tick_ms) * 1_000_000
+        return raw.where((F.col("ts") >= lo_ns) & (F.col("ts") < hi_ns)).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    if ts_type == "timestamp_ntz":
+        # Same range rewrite against the stored NTZ column: the micros
+        # bounds become NTZ literals (constant-folded from the LTZ
+        # epoch constructor under the pinned-UTC session), so the
+        # comparison is literal-vs-stored-column -> parquet row-group
+        # (and at scale partition) pruning, exactly as the nanos path.
+        lo_us = (stream_start_ms + (t_lo + 1) * tick_ms) * 1_000
+        hi_us = (stream_start_ms + (t_hi + 1) * tick_ms) * 1_000
+        lo_lit = F.timestamp_micros(F.lit(lo_us)).cast("timestamp_ntz")
+        hi_lit = F.timestamp_micros(F.lit(hi_us)).cast("timestamp_ntz")
+        return _ntz_to_instant(
+            raw.where((F.col("ts") >= lo_lit) & (F.col("ts") < hi_lit))
+        )
+    return load_table(spark, sf_dir, "events")  # pragma: no cover
