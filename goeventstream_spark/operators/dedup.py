@@ -297,3 +297,98 @@ def simhash_near_dup_pairs(docs: DataFrame, bits: int = SIMHASH_BITS, chunks: in
     return cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_docs: DataFrame | None = None,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every doc
+    gets ``cluster_id`` = the minimum doc id reachable through pairs —
+    the canonical "group near-dups, then keep one" step a real curation
+    pipeline runs after MinHash/SimHash candidate generation.
+
+    Min-label propagation to fixpoint: each round every vertex sends its
+    current label across its edges and keeps the min — one shuffle per
+    round over |E|+|V| rows, so rounds = O(component diameter). Near-dup
+    components are short chains (diameter ~ duplicate-burst length), so
+    this converges in a handful of rounds at any corpus size; for
+    adversarially long chains the same join primitive composes into
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) with O(log n) rounds.
+
+    Scale discipline: ``localCheckpoint`` truncates lineage each round
+    so the plan does not grow with iterations (on a cluster, swap for
+    reliable ``checkpoint``); convergence detection is one scalar agg —
+    labels are monotone non-increasing, so sum(label) strictly decreases
+    until the fixpoint.
+
+    If ``all_docs`` is given, docs in no pair appear as singleton
+    clusters (cluster_id = own id).
+    """
+    sym = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    edges = sym.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "lbl")
+        labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    clusters = labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+    if all_docs is None:
+        return clusters
+    return all_docs.select(id_col).join(clusters, id_col, "left").select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick one representative per near-dup cluster: the highest
+    ``quality_score`` member (ties broken by lowest doc id). Returns
+    (cluster_id, rep_doc_id, n_members, rep_quality) — the "keep best,
+    drop the rest" decision table a curation funnel joins against.
+
+    One window over the cluster assignment joined to per-doc quality:
+    shuffle on cluster_id only; quality is per-doc map-side input.
+    """
+    scored = clusters.join(quality.select(id_col, "quality_score"), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("cluster_id")))
+        .where(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("rep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality_score").alias("rep_quality"),
+        )
+    )

@@ -658,3 +658,98 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-term concentration (repetition quality signal) — see
     text.repetition_stats."""
     return text.repetition_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components) + representative selection
+# ---------------------------------------------------------------------------
+
+_JPAIRS_CTE = (
+    _SHINGLES
+    + """,
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  jpairs AS (
+    SELECT doc_a, doc_b FROM (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    ) WHERE jaccard >= 0.5
+  ),
+  cedges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM jpairs
+    UNION SELECT doc_b AS src, doc_a AS dst FROM jpairs
+  ),
+  reach AS (
+    SELECT src AS id, src AS lbl FROM cedges
+    UNION
+    SELECT e.dst AS id, r.lbl FROM reach r JOIN cedges e ON e.src = r.id
+  ),
+  comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)"""
+)
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_JPAIRS_CTE}
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact n-gram Jaccard near-dup pairs
+    (dedup.dedup_clusters): min-label propagation, O(diameter) rounds,
+    one shuffle per round. Oracle = DuckDB recursive transitive closure.
+    At 100 TB the pair source is the LSH candidate path; the exact
+    Jaccard pairs here keep the oracle deterministic."""
+    docs = _docs(spark, sf_dir)
+    return dedup.dedup_clusters(dedup.ngram_jaccard_pairs(docs), all_docs=docs)
+
+
+@query(
+    "dedup_representatives",
+    f"""
+    WITH RECURSIVE {_JPAIRS_CTE},
+    s AS (
+      SELECT doc_id, count(*) AS n_words,
+             CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS distinct_ratio,
+             CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio
+      FROM words GROUP BY doc_id
+    ),
+    qual AS (
+      SELECT doc_id,
+             (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END
+              + distinct_ratio + stopword_ratio) AS quality_score
+      FROM s
+    ),
+    assign AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    ranked AS (
+      SELECT a.cluster_id, a.doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY a.cluster_id
+                                ORDER BY q.quality_score DESC, a.doc_id) AS rk,
+             count(*) OVER (PARTITION BY a.cluster_id) AS n_members
+      FROM assign a JOIN qual q ON a.doc_id = q.doc_id
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           quality_score AS rep_quality
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster: highest quality_score member of each
+    near-dup component (dedup.dedup_representatives) — the decision
+    table the curation funnel joins to drop redundant docs."""
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.dedup_clusters(dedup.ngram_jaccard_pairs(docs), all_docs=docs)
+    return dedup.dedup_representatives(docs, clusters, text.quality_score(docs))

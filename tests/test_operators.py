@@ -161,3 +161,38 @@ def test_decontaminate_flags_exact_ngram_overlap(spark):
         for r in dedup.decontaminate(corpus, bench).collect()
     }
     assert out == {1: 2, 3: 1}
+
+
+def test_dedup_clusters_chain_and_singletons(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) must collapse to one component
+    labeled by its min id even though no single pair links 1 to 4 —
+    this is the transitivity near-dup pairs alone don't give you.
+    Docs outside any pair come back as singleton clusters."""
+    from goeventstream_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id"])
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(pairs, all_docs=docs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_representatives_picks_best_quality(spark):
+    from goeventstream_spark.operators import dedup
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    docs = spark.createDataFrame([(1,), (2,), (3,), (7,)], ["doc_id"])
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 2.0), (3, 2.0), (7, 1.0)], ["doc_id", "quality_score"]
+    )
+    clusters = dedup.dedup_clusters(pairs, all_docs=docs)
+    reps = {
+        r.cluster_id: (r.rep_doc_id, r.n_members)
+        for r in dedup.dedup_representatives(docs, clusters, quality).collect()
+    }
+    # cluster 1: quality tie between 2 and 3 -> lowest doc_id wins
+    assert reps == {1: (2, 3), 7: (7, 1)}
