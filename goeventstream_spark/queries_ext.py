@@ -1328,3 +1328,103 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: funnel, retention cohorts, rate anomalies
+# (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user: each stage is
+    the first occurrence strictly after the previous stage's first
+    occurrence (analytics.funnel). All shuffles keyed on user_id; each
+    stage joins against a monotonically smaller completer set."""
+    from goeventstream_spark.operators import analytics
+
+    return analytics.funnel(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+      FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+           count(*) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users active N days after their first-seen
+    day, per first-day cohort (analytics.retention_cohorts). Integer
+    day arithmetic only — exact on every engine."""
+    from goeventstream_spark.operators import analytics
+
+    return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "event_rate_zscore",
+    """
+    WITH counts AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT count(*) AS n, sum(n_events) AS s, sum(n_events * n_events) AS ss
+      FROM counts
+    )
+    SELECT user_id, day, n_events, zscore FROM (
+      SELECT user_id, day, n_events,
+             (n_events - CAST(s AS DOUBLE) / n)
+               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)) / (n - 1))
+               AS zscore
+      FROM counts, st
+    ) WHERE abs(zscore) >= 2.0
+    """,
+)
+def q_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous per-(user, day) activity via z-scores against the
+    global count distribution (analytics.rate_zscore). Mean/variance
+    derive from exact integer sums in a spelled-out double-op order, so
+    any engine agrees bit-for-bit — built-in stddev aggregates (Welford,
+    engine-specific accumulation) would not."""
+    from goeventstream_spark.operators import analytics
+
+    return analytics.rate_zscore(load_table(spark, sf_dir, "events"))

@@ -753,3 +753,63 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     clusters = dedup.dedup_clusters(dedup.ngram_jaccard_pairs(docs), all_docs=docs)
     return dedup.dedup_representatives(docs, clusters, text.quality_score(docs))
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram stats + embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bigram_topk",
+    """
+    WITH w AS (
+      SELECT lang, doc_id, word, pos FROM (
+        SELECT lang, doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    bg AS (
+      SELECT lang,
+             word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      FROM w
+    ),
+    cnt AS (
+      SELECT lang, bigram, count(*) AS n FROM bg
+      WHERE bigram IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT lang, bigram, n, rk FROM (
+      SELECT lang, bigram, n,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS BIGINT) AS rk
+      FROM cnt
+    ) WHERE rk <= 5
+    """,
+)
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-5 bigrams per language (text.bigram_topk):
+    shuffle-free zip_with bigram generation, one count shuffle, tiny
+    per-language top-k window."""
+    return text.bigram_topk(_docs(spark, sf_dir))
+
+
+@query(
+    "embedding_quantize",
+    """
+    SELECT vec_id,
+           127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+           array_to_string(
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)
+                      * (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))))
+                    AS BIGINT)),
+             ',') AS qvec
+    FROM embeddings
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column
+    (similarity.quantize_embeddings): map-side higher-order functions,
+    no shuffle; quantized vector emitted as a joined string for
+    cross-engine hashing."""
+    return similarity.quantize_embeddings(_emb(spark, sf_dir))

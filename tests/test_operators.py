@@ -196,3 +196,48 @@ def test_dedup_representatives_picks_best_quality(spark):
     }
     # cluster 1: quality tie between 2 and 3 -> lowest doc_id wins
     assert reps == {1: (2, 3), 7: (7, 1)}
+
+
+def test_pii_redact_counts_and_scrubs(spark):
+    """Emails/phones/IPs are replaced with kind tokens and counted;
+    clean text passes through untouched with zero counts. The fixture
+    corpus contains no PII (verified), so the operator contract is
+    pinned here instead of an all-zero oracle query."""
+    from goeventstream_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith@corp.co.uk today"),
+            (2, "call +1-555-123-4567 from 10.0.0.1 now"),
+            (3, "perfectly clean text with no identifiers"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.pii_redact(docs).collect()}
+    assert out[1].n_email == 2 and "[EMAIL]" in out[1].redacted_text
+    assert "alice@example.com" not in out[1].redacted_text
+    assert out[2].n_phone == 1 and out[2].n_ipv4 == 1
+    assert "[PHONE]" in out[2].redacted_text and "[IPV4]" in out[2].redacted_text
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
+    assert out[3].redacted_text == "perfectly clean text with no identifiers"
+
+
+def test_bigram_topk_counts(spark):
+    from goeventstream_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b a b c"),
+            (2, "en", "a b x"),
+            (3, "fr", "le chat"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {
+        (r.lang, r.bigram): (r.n, r.rk)
+        for r in text.bigram_topk(docs, top_k=2, group_col="lang").collect()
+    }
+    # "a b" appears twice in doc1 + once in doc2 = 3; no cross-doc bigrams
+    assert out[("en", "a b")] == (3, 1)
+    assert out[("fr", "le chat")] == (1, 1)
+    assert len([k for k in out if k[0] == "en"]) == 2
