@@ -1428,3 +1428,283 @@ def q_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goeventstream_spark.operators import analytics
 
     return analytics.rate_zscore(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H multi-way join battery: Q5/Q7/Q8/Q10/Q14 shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n_name, {_Q3_REVENUE} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join with the same-nation residual
+    (c_nationkey = s_nationkey) binding the customer and supplier
+    legs. Join order: year-filtered orders ⋈ customer and ⋈ lineitem
+    shuffle on their keys; supplier/nation/region are broadcast dims,
+    with region's filter cascading through nation to prune the
+    supplier leg before it touches the fact."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == region.r_regionkey
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.expr(_Q3_REVENUE).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {_Q3_REVENUE} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair trade volume by ship year. The
+    disjunctive nation-pair predicate sits ABOVE both broadcast nation
+    joins (it references columns from both legs), but each leg is
+    pre-pruned to the two candidate nations so the filter's fan-in is
+    tiny. Facts join on their natural keys; the final agg has
+    2 pairs x years groups."""
+    nations = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = nations.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nations.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(supp.join(F.broadcast(n1), supp.s_nationkey == n1.n1_key)),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust.join(F.broadcast(n2), cust.c_nationkey == n2.n2_key)),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.expr(_Q3_REVENUE).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           coalesce(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE), 0.0)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    market for one part type, by order year. Eight relations; every
+    dim leg broadcasts, the two facts shuffle once each. The share is
+    a conditional-sum / total-sum ratio — both sums accumulate as
+    DECIMAL (order-free exact) and divide once as doubles, so the
+    ratio is bit-identical cross-engine. The NULL-else CASE keeps the
+    conditional sum's decimal type identical to the total's."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+            ).alias("volume"),
+            "nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume"))).cast("double"),
+                F.lit(0.0),
+            )
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name, rk FROM (
+      SELECT c_custkey, c_name, revenue, c_acctbal, n_name,
+             CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rk
+      FROM (
+        SELECT c_custkey, c_name, {_Q3_REVENUE} AS revenue, c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+      )
+    ) WHERE rk <= 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    half-year window. Same TakeOrderedAndProject discipline as Q3: the
+    per-customer aggregate (millions of groups at scale) is topped by
+    orderBy().limit(20) — per-partition top-k + driver merge — and rk
+    derives AFTER the take over 20 rows."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    agg = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(_Q3_REVENUE).alias("revenue"))
+    )
+    top = agg.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rk"
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT coalesce(CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+                  END) AS DOUBLE), 0.0) * 100.0
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month — a
+    scalar conditional-aggregation ratio over a month-pruned fact scan
+    with the part dim broadcast in. DECIMAL sums, one double division
+    at the edge."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(F.col("p_type"), vol.alias("volume"))
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("p_type") == "PROMO", F.col("volume"))).cast("double"),
+                    F.lit(0.0),
+                )
+                * F.lit(100.0)
+                / F.sum("volume").cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
