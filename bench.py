@@ -48,6 +48,14 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q17_small_qty_revenue",
     "curate_corpus",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q13_custdist",
+    "tpch_q18_large_orders",
+    "dedup_clusters",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "bigram_topk",
+    "embedding_quantize",
 ]
 
 
