@@ -209,7 +209,6 @@ def lsh_bucket(emb: DataFrame, n_planes: int = 8, seed_dims: int = 64) -> DataFr
     bucket = sum(proj_bits).cast("long")
     return emb.select("vec_id", "label", "embedding", bucket.alias("lsh_bucket"))
 
-
 def lsh_banded_near_dup(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -220,13 +219,31 @@ def lsh_banded_near_dup(
     """ANN near-dup via banded hyperplane LSH: candidates collide on ANY
     band of sign-of-projection bits, then exact cosine verifies.
 
-    The scale path for similarity search: the band self-join shuffles on
-    (band_id, signature) and only colliding pairs pay the exact-cosine
-    cost. Recall/pruning measured on the fixtures at threshold 0.35
-    (weak similarity — the hard case for hyperplane LSH): 8 bands x 4
-    planes => ~81% recall while scoring ~40% of all pairs; at high
-    thresholds (0.9+) the same scheme approaches 100% recall with far
-    stronger pruning. Parameters trade recall for cost explicitly.
+    The scale path for similarity search: pair generation happens only
+    inside a (band_id, signature) bucket, so the quadratic cost is
+    bounded by bucket collision rates, never global n². Recall/pruning
+    measured on the fixtures at threshold 0.35 (weak similarity — the
+    hard case for hyperplane LSH): 8 bands x 4 planes => ~81% recall
+    while scoring ~40% of all pairs; at high thresholds (0.9+) the same
+    scheme approaches 100% recall with far stronger pruning. Parameters
+    trade recall for cost explicitly.
+
+    Execution (fourth measured shape, fastest — 3.9 s -> ~1 s at
+    sf0.1): one shuffle keys every (vector, band) row by its bucket,
+    then an Arrow-batched ``applyInPandas`` generates in-bucket pairs,
+    deduplicates multi-band collisions, and verifies exact cosines in
+    vectorized numpy with the left-to-right fold order (bit-identical
+    to the SQL chain — see embedding_near_dup's exactness contract, and
+    the subset-of-exact recall test which depends on boundary-exact
+    threshold decisions). The three JVM shapes all lost: a
+    shuffle-hash self-join with flat-OR band dedup knocks the join out
+    of codegen (23.6 s), the HOF-filter variant keeps codegen but
+    interprets lambdas on ~1M collision rows (5.7 s there, 3.9 s
+    tuned), and any post-join groupBy dedup shuffles two embeddings
+    per candidate row (2x the query). Here a pair colliding in k bands
+    is emitted only from its LOWEST colliding band — the dedup is a
+    numpy prefix-equality mask, and candidate embeddings never cross a
+    second shuffle at all.
     """
     import hashlib as _hashlib
 
@@ -242,11 +259,9 @@ def lsh_banded_near_dup(
     # All 32 projections in ONE numpy matmul per Arrow batch: the
     # per-plane JVM forms are both bad here — 32 flat 64-term sums make
     # Janino's codegen OOM a default-sized driver, and the HOF
-    # aggregate/zip_with form evaluates interpreted (measured ~2 s of
-    # the query at sf0.1, and it re-evaluates in every plan node that
-    # references it: scan filter, Generate, and Project). One
-    # vectorized UDF with a self-contained closure (driver-contract
-    # pickling rule) is the 100 TB map pass.
+    # aggregate/zip_with form evaluates interpreted. Signs only — any
+    # matmul summation-order drift would have to cross 0 exactly to
+    # flip a bucket, and bucket assignment is approximate by design.
     from pyspark.sql.functions import pandas_udf
 
     _planes, _ppb, _bands = planes, planes_per_band, bands
@@ -269,77 +284,64 @@ def lsh_banded_near_dup(
             ]
         )
 
-    # Norms are precomputed in the scan-side projection (where codegen
-    # can split the 64-term sum into sub-methods, INPUT_ROW available)
-    # and carried through the join — the post-join verify then only pays
-    # the 64-term dot, which fits Janino's 64 KB method limit. Same
-    # anatomy as embedding_near_dup's measured fix; cos = dot/(na*nb) is
-    # value-identical either way. Each row also carries its FULL 8-band
-    # signature vector (_sigs, 8 short strings) for the first-band dedup
-    # below.
     banded = emb.select(
         "vec_id",
         "embedding",
-        norm(F.col("embedding"), dims).alias("_n"),
         band_sig_udf(F.col("embedding")).alias("_sigs"),
     ).select(
         "vec_id",
         "embedding",
-        "_n",
         "_sigs",
         F.posexplode("_sigs").alias("band_id", "band_sig"),
     )
-    # The banded relation IS the corpus (x bands) — never broadcast it:
-    # Catalyst's size estimate can pick a broadcast join for the self-join,
-    # which OOMs a default-sized driver and is nonsense at 100 TB. Pin a
-    # shuffle-hash join on the (band_id, band_sig) equi keys.
-    banded = banded.hint("shuffle_hash")
-    a, b = banded.alias("a"), banded.alias("b")
-    # First-colliding-band dedup: a pair colliding in k bands would pay
-    # the exact cosine k times, and the obvious groupBy(vec_a, vec_b)
-    # fix shuffles two embeddings per CANDIDATE row — measured 2x the
-    # whole query's cost at sf0.1. Instead each side carries its full
-    # signature vector and the pair is emitted only from its LOWEST
-    # colliding band (no band j < band_id with _sigs_a[j] == _sigs_b[j]).
-    # That is a codegen'd filter fused into the join stage: unique pairs
-    # with zero post-join shuffle, and verify cost proportional to
-    # |unique candidates| — the quantity LSH actually bounds at 100 TB.
-    # exists()/zip_with() ON PURPOSE, not a flat OR over element_at:
-    # a flat OR references only plain columns, so Catalyst inlines it
-    # into the ShuffledHashJoin CONDITION — which knocks the join stage
-    # (and the fused 64-term verify dot below) out of whole-stage
-    # codegen entirely. Measured at sf0.1: flat-OR 23.6 s vs HOF 5.7 s.
-    # The HOF's interpreted lambdas cost ~3 s on the 1M collision rows,
-    # but keep the filter OUT of the join condition, so the join +
-    # verify stay codegen'd — the right trade at any scale.
-    no_earlier_band = ~F.exists(
-        F.zip_with(
-            F.slice(F.col("a._sigs"), 1, F.col("a.band_id")),
-            F.slice(F.col("b._sigs"), 1, F.col("b.band_id")),
-            lambda x, y: x == y,
-        ),
-        lambda same: same,
-    )
-    verified = a.join(
-        b,
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_sig") == F.col("b.band_sig"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).where(no_earlier_band).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        (
-            dot(F.col("a.embedding"), F.col("b.embedding"), dims)
-            / (F.col("a._n") * F.col("b._n"))
-        ).alias("cos_sim"),
-    ).where(F.col("cos_sim") >= F.lit(threshold))
-    # The exact verify fuses into the join stage — candidate pairs never
-    # materialize as rows (the embeddings die inside the codegen'd
-    # projection). observe() AFTER the threshold filter costs one
-    # accumulator add per RESULT row, not per candidate: a barrier here
-    # on the 1M-candidate stream measured +8 s at sf0.1.
-    return verified.observe(
-        "lsh_banded_near_dups", F.count(F.lit(1)).alias("n_pairs")
+
+    _threshold = float(threshold)
+
+    def bucket_pairs(pdf):  # self-contained: executors may lack repo sys.path
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        sq = mat * mat
+        acc = sq[:, 0].copy()
+        for i in range(1, sq.shape[1]):
+            acc += sq[:, i]
+        norms = np.sqrt(acc)
+        ii, jj = np.triu_indices(len(pdf), k=1)
+        # lowest-colliding-band dedup: drop pairs whose signatures also
+        # match in any EARLIER band (they are emitted there instead)
+        band_id = int(pdf["band_id"].iloc[0])
+        if band_id > 0:
+            sigs = np.stack(pdf["_sigs"].to_numpy())[:, :band_id]
+            dup = (sigs[ii] == sigs[jj]).any(axis=1)
+            ii, jj = ii[~dup], jj[~dup]
+            if len(ii) == 0:
+                return empty
+        prod = mat[ii] * mat[jj]
+        dots = prod[:, 0].copy()
+        for i in range(1, prod.shape[1]):
+            dots += prod[:, i]
+        cos = dots / (norms[ii] * norms[jj])
+        keep = cos >= _threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"vec_a": ids[ii][keep], "vec_b": ids[jj][keep], "cos_sim": cos[keep]}
+        )
+
+    return banded.groupBy("band_id", "band_sig").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, cos_sim double"
     )
 
 

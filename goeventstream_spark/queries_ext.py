@@ -1382,7 +1382,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
       FROM events
     )
-    SELECT f.cohort_day,
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
            CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,
            count(*) AS n_active
     FROM a JOIN f ON a.user_id = f.user_id
@@ -1395,7 +1395,10 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     day arithmetic only — exact on every engine."""
     from goeventstream_spark.operators import analytics
 
-    return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
+    out = analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
+    # DATE columns render differently across engines/pandas versions
+    # (date vs midnight-datetime); hash-compare as ISO strings.
+    return out.withColumn("cohort_day", F.col("cohort_day").cast("string"))
 
 
 @query(
@@ -1410,7 +1413,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*) AS n, sum(n_events) AS s, sum(n_events * n_events) AS ss
       FROM counts
     )
-    SELECT user_id, day, n_events, zscore FROM (
+    SELECT user_id, CAST(day AS VARCHAR) AS day, n_events, zscore FROM (
       SELECT user_id, day, n_events,
              (n_events - CAST(s AS DOUBLE) / n)
                / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)) / (n - 1))
@@ -1427,7 +1430,8 @@ def q_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific accumulation) would not."""
     from goeventstream_spark.operators import analytics
 
-    return analytics.rate_zscore(load_table(spark, sf_dir, "events"))
+    out = analytics.rate_zscore(load_table(spark, sf_dir, "events"))
+    return out.withColumn("day", F.col("day").cast("string"))
 
 
 # ---------------------------------------------------------------------------

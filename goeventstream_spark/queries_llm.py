@@ -813,3 +813,52 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle; quantized vector emitted as a joined string for
     cross-engine hashing."""
     return similarity.quantize_embeddings(_emb(spark, sf_dir))
+
+
+@query(
+    "quality_deciles",
+    f"""
+    WITH {_WORDS},
+    s AS (
+      SELECT doc_id, count(*) AS n_words,
+             CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS distinct_ratio,
+             CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio
+      FROM words GROUP BY doc_id
+    ),
+    q AS (
+      SELECT s.doc_id, d.source,
+             (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END
+              + distinct_ratio + stopword_ratio) AS quality_score
+      FROM s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT source, decile, count(*) AS n_docs,
+           min(quality_score) AS min_q, max(quality_score) AS max_q
+    FROM (
+      SELECT source, quality_score,
+             CAST(ntile(10) OVER (PARTITION BY source
+                                  ORDER BY quality_score, doc_id) AS BIGINT) AS decile
+      FROM q
+    )
+    GROUP BY source, decile
+    """,
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: per-source quality deciles (ntile over the
+    quality score, doc_id tie-break for determinism) with per-bucket
+    count and score range — the table a curriculum-ordered training
+    mix samples from. Window partitions by source, so no global
+    single-partition sort; the final agg is tiny."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return (
+        q.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality_score").alias("min_q"),
+            F.max("quality_score").alias("max_q"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Stream-stream interval join: the two-unbounded-inputs shape
+(click stream ⋈ purchase stream within a time bound) that Structured
+Streaming supports only with watermarks on both sides plus a time-range
+join condition — the state-cleanup contract that keeps the join's
+buffered state finite on an unbounded run.
+
+Reference tie-in: the closest reference concept is the per-stream
+delta delivery (model/eventStream.go:63-71) — events paired with the
+states changed in the same sync window. Here the generalization is two
+event substreams paired within a bounded event-time interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from goeventstream_spark.sources import load_table
+from goeventstream_spark.streaming import read_event_stream
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Clicks joined to purchases by the same user within [0, 30 min]
+    after the click, streamed with availableNow, must equal the batch
+    interval join over the same data. Both sides carry watermarks so
+    Spark can age out buffered rows — without them the join state grows
+    without bound (analysis error in append mode)."""
+    import os
+
+    # one-file-per-chunk source dir (same trick as test_streaming_advanced)
+    out = str(tmp_path_factory.mktemp("ssj_src"))
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    rows = ev.collect()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        d = str(tmp_path_factory.mktemp(f"ssj_c{i}"))
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(os.path.join(d, src), os.path.join(out, f"{i:04d}.parquet"))
+
+    def split_sides(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        buys = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return clicks, buys
+
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+
+    stream = read_event_stream(spark, out)
+    s_clicks, s_buys = split_sides(stream)
+    s_clicks = s_clicks.withWatermark("click_ts", "1 hour")
+    s_buys = s_buys.withWatermark("purchase_ts", "1 hour")
+    q = (
+        s_clicks.join(s_buys, cond, "inner")
+        .select("click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+
+    b_clicks, b_buys = split_sides(load_table(spark, sf_dir, "events"))
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in b_clicks.join(b_buys, cond, "inner")
+        .select("click_id", "purchase_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
