@@ -1712,3 +1712,104 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side conjunctive filter + scalar
+    decimal sum — the query whose entire cost is how much the scan
+    prunes. All three predicates push to parquet (plan-verified
+    pattern, tests/test_plans.py); at 100 TB on a date-partitioned
+    lake the year bound becomes partition pruning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(8,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q9_profit_proxy",
+    """
+    SELECT n_name, o_year,
+           CAST(sum(rev) AS DOUBLE) - CAST(sum(cost) AS DOUBLE) AS profit
+    FROM (
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS rev,
+             CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS cost
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%_1%'
+    )
+    GROUP BY n_name, o_year
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product profit by supplier nation and order
+    year (cost proxied by retailprice x quantity — the fixtures carry
+    no partsupp). Part filter broadcast-pruned into the fact, supplier
+    -> nation cascade broadcast, one shuffle each for the orders join
+    and the final (nation, year) agg. The two money measures sum as
+    separate DECIMALs and subtract once as doubles — decimal
+    subtraction widths diverge across engines, double subtraction of
+    exact sums does not."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%_1%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+            ).alias("_rev"),
+            (
+                F.col("p_retailprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("_cost"),
+        )
+        .groupBy("n_name", "o_year")
+        .agg(
+            (F.sum("_rev").cast("double") - F.sum("_cost").cast("double")).alias("profit")
+        )
+    )
