@@ -1813,3 +1813,41 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_rev").cast("double") - F.sum("_cost").cast("double")).alias("profit")
         )
     )
+
+
+@query(
+    "fuzzy_part_pairs",
+    """
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: near-identical part names by Levenshtein edit
+    distance, blocked on p_size so the self-join is per-block instead
+    of global n² — the same blocking discipline as the embedding
+    near-dup path (at scale the block key is any cheap exact attribute;
+    edit distance only runs on in-block pairs). Both engines implement
+    classic Levenshtein, so the integer distances agree exactly."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    a, b = part.alias("a"), part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(dist <= 3)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
