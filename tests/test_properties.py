@@ -101,3 +101,101 @@ def _spark():
 
         _session = get_spark(app_name="prop-tests", shuffle_partitions=4)
     return _session
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges_strategy)
+def test_dedup_clusters_matches_union_find(edge_list):
+    """dedup_clusters (distributed min-label propagation) must agree
+    with a plain sequential union-find on arbitrary random graphs —
+    including multi-edges, long chains, and cycles."""
+    from goeventstream_spark.operators import dedup
+
+    spark = _spark()
+    nodes = sorted({v for e in edge_list for v in e} | {99})
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    if edge_list:
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edge_list], "doc_a long, doc_b long"
+        )
+    else:
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(pairs, all_docs=docs).collect()
+    }
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in nodes:
+        root = find(n)
+        comp_min = min(m for m in nodes if find(m) == root)
+        want[n] = comp_min
+    assert got == want
+
+
+funnel_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),                        # user
+        st.integers(0, 3600),                     # seconds offset
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(funnel_strategy)
+def test_funnel_matches_python_model(rows):
+    """analytics.funnel must equal the sequential per-user model: first
+    view, then first click strictly after it, then first purchase
+    strictly after that."""
+    from goeventstream_spark.operators import analytics
+
+    spark = _spark()
+    data = [
+        (i, EPOCH + dt.timedelta(seconds=sec), u, etype, "{}")
+        for i, (u, sec, etype) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, SCHEMA)
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase)
+        for r in analytics.funnel(df).collect()
+    }
+
+    want = {}
+    by_user = {}
+    for i, (u, sec, etype) in enumerate(rows):
+        by_user.setdefault(u, []).append((EPOCH + dt.timedelta(seconds=sec), etype))
+    for u, evs in by_user.items():
+        evs.sort()
+        tv = min((t for t, e in evs if e == "view"), default=None)
+        if tv is None:
+            continue
+        tc = min((t for t, e in evs if e == "click" and t > tv), default=None)
+        tp = (
+            min((t for t, e in evs if e == "purchase" and t > tc), default=None)
+            if tc is not None
+            else None
+        )
+        want[u] = (tv, tc, tp)
+    assert got == want
