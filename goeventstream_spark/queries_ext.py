@@ -1835,19 +1835,29 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic Levenshtein, so the integer distances agree exactly."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
     a, b = part.alias("a"), part.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # Bounded Levenshtein (threshold form): abandons a pair as soon as
+    # the running distance exceeds 3 — O(k*n) per pair instead of
+    # O(n*m), returning -1 above the bound and the exact distance at or
+    # below it. The |len diff| <= k band is the free pre-filter the
+    # bound implies (join-time, prunes before any distance work).
+    bounded = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
+    len_band = (
+        F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 3
+    )
     return (
         a.join(
             b,
             (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & len_band,
         )
-        .where(dist <= 3)
+        .withColumn("_d", bounded)
+        .where(F.col("_d") >= 0)
         .select(
             F.col("a.p_partkey").alias("part_a"),
             F.col("b.p_partkey").alias("part_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            dist.cast("long").alias("edit_dist"),
+            F.col("_d").cast("long").alias("edit_dist"),
         )
     )
