@@ -1861,3 +1861,77 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_d").cast("long").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "error_bursts",
+    """
+    SELECT user_id, event_id, ts, CAST(n_recent AS BIGINT) AS n_recent FROM (
+      SELECT user_id, event_id, ts,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+             ) AS n_recent
+      FROM events WHERE event_type = 'error'
+    ) WHERE n_recent >= 3
+    """,
+)
+def q_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (CEP-lite): error events where the same user
+    produced >= 3 errors within the trailing 24 h — a per-key
+    RANGE-frame window over event-time seconds. The frame bound is a
+    physical rangeBetween on an integer seconds column (both engines
+    define RANGE identically over integers; an INTERVAL frame on raw
+    timestamps has engine-specific tie semantics). Partitioned by
+    user_id — no global window, scales with the key count."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return (
+        ev.withColumn("n_recent", F.count("*").over(w).cast("long"))
+        .where(F.col("n_recent") >= 3)
+        .select("user_id", "event_id", "ts", "n_recent")
+    )
+
+
+@query(
+    "state_dwell_time",
+    """
+    SELECT user_id, event_type,
+           CAST(sum(dwell_ms) AS BIGINT) AS total_dwell_ms,
+           count(*) AS n_intervals
+    FROM (
+      SELECT user_id, event_type,
+             epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_ms(ts) AS dwell_ms
+      FROM events
+    ) WHERE dwell_ms IS NOT NULL
+    GROUP BY user_id, event_type
+    """,
+)
+def q_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state dwell time: seconds each user spends 'in' an event
+    type before their next event — the analytic generalization of the
+    reference's last-writer-wins state stream (model/stateStream.go:
+    19-21: a state holds until the next report overwrites it). One
+    lead() window per user + one agg, both keyed on user_id. Dwell is
+    measured in exact integer MILLISECONDS (unix_millis / epoch_ms) —
+    second-level forms disagree across engines on sub-second
+    truncation vs rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn(
+            "dwell_ms",
+            F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts"),
+        )
+        .where(F.col("dwell_ms").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("dwell_ms").cast("long").alias("total_dwell_ms"),
+            F.count("*").alias("n_intervals"),
+        )
+    )
