@@ -276,3 +276,41 @@ def bigram_topk(
         .where(F.col("rk") <= top_k)
         .select(group_col, "bigram", "n", "rk")
     )
+
+
+def sequence_packing(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    packs (training-sequence bins) per group, in deterministic doc-id
+    order — the step that turns a curated corpus into model-ready
+    concatenated sequences.
+
+    pack_id = floor(cumulative_tokens_before_this_doc / budget): a pure
+    running-sum window per group (one shuffle on the group key), no
+    sequential driver loop. This is the streaming-greedy discipline
+    (docs may straddle a boundary and spill into the next pack) rather
+    than best-fit bin packing — identical to how packed pretraining
+    datasets are actually laid out, and fully order-deterministic.
+    """
+    from pyspark.sql import Window
+
+    tokens = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit("")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.withColumn("n_tokens", tokens.cast("long"))
+        .withColumn(
+            "pack_id",
+            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget_tokens))
+            .cast("long"),
+        )
+        .select(id_col, group_col, "n_tokens", "pack_id")
+    )

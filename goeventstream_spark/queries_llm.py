@@ -862,3 +862,29 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality_score").alias("max_q"),
         )
     )
+
+
+@query(
+    "sequence_packing",
+    """
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(coalesce(cum_before, 0) / 512.0) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cum_before
+      FROM (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+      )
+    )
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy training-sequence packing into 512-token budgets per
+    source (text.sequence_packing): one running-sum window per group,
+    deterministic doc-id order, no sequential loop."""
+    return text.sequence_packing(_docs(spark, sf_dir))
