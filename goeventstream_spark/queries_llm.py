@@ -888,3 +888,107 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (text.sequence_packing): one running-sum window per group,
     deterministic doc-id order, no sequential loop."""
     return text.sequence_packing(_docs(spark, sf_dir))
+
+
+@query(
+    "curate_corpus_near",
+    rf"""
+    WITH RECURSIVE {_SHINGLES},
+    bench AS (SELECT doc_id FROM documents WHERE {_BENCH_PRED_SQL}),
+    qual AS (
+      SELECT doc_id, quality_score FROM (
+        SELECT doc_id, count(*) AS n_words,
+               CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS dr,
+               CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS sr,
+               (CASE WHEN count(*) >= 20 AND count(*) <= 100000 THEN 1.0 ELSE 0.0 END)
+                 + CAST(count(DISTINCT word) AS DOUBLE) / count(*)
+                 + CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                 AS quality_score
+        FROM words GROUP BY doc_id
+      ) WHERE quality_score >= 1.5
+    ),
+    surv AS (
+      SELECT q.doc_id, q.quality_score FROM qual q
+      WHERE q.doc_id NOT IN (SELECT doc_id FROM bench)
+    ),
+    shq AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN surv ON sh.doc_id = surv.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shq GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shq a JOIN shq b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    cedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jpairs
+      UNION SELECT doc_b AS src, doc_a AS dst FROM jpairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS lbl FROM cedges
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN cedges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    assign AS (
+      SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id, s.quality_score
+      FROM surv s LEFT JOIN comp c ON s.doc_id = c.id
+    ),
+    reps AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_score DESC, doc_id) AS rk
+        FROM assign
+      ) WHERE rk = 1
+    ),
+    flagged AS (
+      SELECT DISTINCT sh.doc_id
+      FROM sh
+      JOIN (SELECT DISTINCT s2.shingle FROM sh s2 JOIN bench ON s2.doc_id = bench.doc_id) bsh
+        ON sh.shingle = bsh.shingle
+      WHERE sh.doc_id IN (SELECT doc_id FROM reps)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN reps ON d.doc_id = reps.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def q_curate_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware curation funnel — the full modern pipeline pass:
+    quality gate, NEAR-duplicate clustering (exact n-gram Jaccard pairs
+    -> connected components), keep the best-quality representative per
+    cluster, then benchmark decontamination. Versus curate_corpus
+    (exact-hash dedup), this drops paraphrased/near-identical documents
+    too — the step that actually shrinks crawled corpora.
+
+    Every stage is an existing operator; only the connected-components
+    loop breaks the single Catalyst plan (inherent to iterative graph
+    algorithms — O(diameter) rounds, localCheckpoint between rounds).
+    At 100 TB the pair source becomes the MinHash-LSH candidate path;
+    exact Jaccard here keeps the DuckDB recursive-CTE oracle exact.
+    """
+    docs = _docs(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    corpus = docs.where(~is_bench)
+    bench = docs.where(is_bench)
+    qual = text.quality_score(corpus).where(F.col("quality_score") >= 1.5)
+    survivors = corpus.join(qual.select("doc_id"), "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(survivors)
+    clusters = dedup.dedup_clusters(pairs, all_docs=survivors)
+    reps = dedup.dedup_representatives(survivors, clusters, qual).select(
+        F.col("rep_doc_id").alias("doc_id")
+    )
+    kept = survivors.join(reps, "doc_id")
+    flagged = dedup.decontaminate(kept, bench).select("doc_id")
+    return kept.join(flagged, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
