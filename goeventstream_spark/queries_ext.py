@@ -1935,3 +1935,45 @@ def q_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_intervals"),
         )
     )
+
+
+@query(
+    "tpch_q11_balance_concentration",
+    """
+    WITH tot AS (
+      SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM supplier WHERE s_acctbal > 0
+    )
+    SELECT n_nationkey, nation_bal FROM (
+      SELECT n_nationkey,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS nation_bal,
+             total_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey, tot
+      WHERE s_acctbal > 0
+      GROUP BY n_nationkey, total_bal
+    ) WHERE nation_bal > total_bal * 0.05
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups kept only if their share exceeds a
+    fraction of a GLOBAL scalar aggregate — the HAVING-against-
+    scalar-subquery pattern. The scalar total broadcasts as a 1-row
+    cross join computed once (map-side combined); the per-nation agg
+    shuffles on the group key; the share filter is a post-agg
+    predicate on tiny data. Both sums accumulate as DECIMAL and the
+    share comparison happens in doubles, identical both engines."""
+    supp = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 0)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    tot = supp.agg(
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_nationkey", "total_bal")
+        .agg(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("nation_bal")
+        )
+        .where(F.col("nation_bal") > F.col("total_bal") * 0.05)
+        .select("n_nationkey", "nation_bal")
+    )
