@@ -1977,3 +1977,79 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nation_bal") > F.col("total_bal") * 0.05)
         .select("n_nationkey", "nation_bal")
     )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    f"""
+    SELECT {_Q3_REVENUE} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size >= 10 AND p_size <= 30
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size >= 20 AND p_size <= 50
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst CNF-converts the disjunction to push the single-side
+    conjuncts below the join (p_brand/p_size reach the part scan,
+    l_quantity reaches the lineitem scan) while the cross-side
+    residual evaluates post-join — the optimizer shape this query
+    exists to exercise. One broadcast join, one scalar decimal sum."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return joined.where(disj).agg(F.expr(_Q3_REVENUE).alias("revenue"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, {_Q3_REVENUE} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier quarter revenue, keep the
+    supplier(s) hitting the GLOBAL maximum — max-of-aggregate as a
+    1-row broadcast rejoined against the aggregate (ties all kept, as
+    the spec demands). The revenue view computes once and feeds both
+    the max and the final join; DECIMAL sums make the equality
+    comparison exact (doubles from identical decimal sums are
+    bit-identical, so revenue = max(revenue) is safe cross-engine)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(_Q3_REVENUE).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
