@@ -147,3 +147,17 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
     df = q.QUERIES["decontaminate"](spark, sf_dir)
     assert plans.has_broadcast_join(df)
     assert "SortMergeJoin" not in plans.physical_plan(df)
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs predicate spanning both join sides must CNF-split
+    so each scan gets its own side's disjunction (l_quantity bounds on
+    the lineitem scan, p_brand/p_size on the part scan) — losing this
+    means a full-fact scan at 100 TB."""
+    df = q.QUERIES["tpch_q19_disjunctive_revenue"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    scans = [seg for seg in plan.split("FileScan parquet") if "DataFilters" in seg]
+    li_scan = next(s for s in scans if "l_quantity" in s.split("DataFilters")[0])
+    part_scan = next(s for s in scans if "p_brand" in s.split("DataFilters")[0])
+    assert "l_quantity" in li_scan.split("DataFilters")[1].split("]")[0]
+    assert "p_brand" in part_scan.split("DataFilters")[1].split("]")[0]
