@@ -68,13 +68,23 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dims: int | None
     joined = emb.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
     )
+    scored = _arrow_pair_scores(joined)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
 
-    # Arrow-batched scoring: the broadcast join stays a pure JVM plan;
-    # only the 64-dim arithmetic moves to numpy, with the reduction as
-    # an explicit left-to-right column fold so the doubles are
-    # bit-identical to the SQL sum chain (see embedding_near_dup for
-    # the exactness contract). Per-pair JVM expression cosines evaluate
-    # 3 chained 64-term folds row-at-a-time — measured 3x slower.
+
+def _arrow_pair_scores(joined: DataFrame) -> DataFrame:
+    """Arrow-batched cosine over (query_id, vec_id, q_embedding,
+    embedding) pair rows: the join stays a pure JVM plan; only the
+    per-pair arithmetic moves to numpy, with the reduction as an
+    explicit left-to-right column fold so the doubles are bit-identical
+    to the SQL sum chain (see embedding_near_dup for the exactness
+    contract). Per-pair JVM expression cosines evaluate 3 chained
+    64-term folds row-at-a-time — measured 3x slower."""
+
     def batch_cosine(it):  # self-contained for foreign-cwd executors
         import numpy as np
         import pandas as pd
@@ -95,13 +105,8 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dims: int | None
                 {"query_id": pdf["query_id"], "vec_id": pdf["vec_id"], "cos_sim": cos}
             )
 
-    scored = joined.select("query_id", "vec_id", "q_embedding", "embedding").mapInPandas(
+    return joined.select("query_id", "vec_id", "q_embedding", "embedding").mapInPandas(
         batch_cosine, "query_id long, vec_id long, cos_sim double"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= k)
     )
 
 
@@ -455,11 +460,7 @@ def ivf_topk(
     cand = assigned.join(F.broadcast(probes), "centroid_id").where(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("q_embedding"), F.col("embedding"), dims).alias("cos_sim"),
-    )
+    scored = _arrow_pair_scores(cand)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(F.col("rk") <= k)
 
