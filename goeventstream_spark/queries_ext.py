@@ -2053,3 +2053,32 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "event_transitions",
+    """
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ) WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: counts of consecutive
+    (prev_event, next_event) pairs per user — the first-order Markov
+    view of the event log. One lag() window keyed on user_id, one tiny
+    (5x5 here) count agg; at scale both stages shuffle on bounded
+    keys."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )

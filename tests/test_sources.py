@@ -74,3 +74,30 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
     ).collect()
     assert sum(r.n for r in got) == spark.table("customer").count()
     assert len(got) == 5
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """A lake accretes columns over time: files written before a column
+    existed must still read alongside newer files. mergeSchema unions
+    the footers; old files surface the new column as NULL — pinned here
+    so the read path's contract survives refactors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    new = spark.createDataFrame([(3, "c", 1.5)], ["id", "v", "score"])
+    old.write.mode("overwrite").parquet(str(tmp_path / "d1"))
+    new.write.mode("overwrite").parquet(str(tmp_path / "d2"))
+    # one directory, mixed-schema files
+    import shutil
+
+    dest = tmp_path / "lake"
+    os.makedirs(dest)
+    for i, d in enumerate((tmp_path / "d1", tmp_path / "d2")):
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(d / f, dest / f"{i}_{f}")
+    df = spark.read.option("mergeSchema", "true").parquet(str(dest))
+    rows = {r.id: (r.v, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 1.5)}
