@@ -2082,3 +2082,44 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "division_customers_all_statuses",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT s.o_orderstatus FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = s.o_orderstatus
+      )
+    )
+    """,
+)
+def q_division_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers with at least one order in EVERY
+    status that exists in the orders table (for-all quantification).
+    The oracle keeps the textbook double-NOT-EXISTS; the Spark plan
+    uses the scalable group-count form — count distinct statuses per
+    customer equals the (broadcast, 1-row) global distinct count. Same
+    result by definition since per-customer distinct statuses are a
+    subset of the global set; one shuffle on custkey instead of nested
+    correlated subqueries."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    n_statuses = orders.agg(
+        F.count_distinct("o_orderstatus").alias("_n_statuses")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderstatus").alias("_n_mine")
+    )
+    full = (
+        per_cust.crossJoin(F.broadcast(n_statuses))
+        .where(F.col("_n_mine") == F.col("_n_statuses"))
+        .select("o_custkey")
+    )
+    return cust.join(full, cust.c_custkey == F.col("o_custkey")).select(
+        "c_custkey", "c_name"
+    )
