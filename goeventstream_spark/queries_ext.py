@@ -2123,3 +2123,32 @@ def q_division_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(full, cust.c_custkey == F.col("o_custkey")).select(
         "c_custkey", "c_name"
     )
+
+
+@query(
+    "hll_segment_customers",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT o_custkey) AS est_customers,
+           count(DISTINCT o_custkey) AS exact_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_hll_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-segment HLL sketches
+    (Apache DataSketches via hll_sketch_agg) alongside the exact
+    count. Sketches are THE 100 TB distinct-count tool — partial
+    per-partition sketches merge associatively (hll_union_agg), so
+    re-aggregation across days/partitions never rescans raw data;
+    test_scale_patterns pins the union-merge accuracy. At the gate
+    cardinalities (<=512 per segment) DataSketches HLL is still in its
+    exact sparse mode, so the estimate column hash-matches the exact
+    oracle; the pytest tolerance pin covers the estimating regime."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )

@@ -157,3 +157,25 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_hll_union_merge_accuracy(spark, sf_dir):
+    """The scale contract of sketches: per-segment partial HLL
+    sketches unioned with hll_union_agg must estimate the GLOBAL
+    distinct count within DataSketches' published error (~1.6% at
+    lgK=12; allow 3x) — this is what lets a 100 TB lake maintain
+    distinct counts per partition and merge on demand instead of
+    rescanning."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    partials = j.groupBy("c_mktsegment").agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    est = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0].est
+    exact = j.select("o_custkey").distinct().count()
+    assert abs(est - exact) / exact < 0.05, (est, exact)
