@@ -992,3 +992,27 @@ def q_curate_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(flagged, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@query("pq_codes")
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (similarity.pq_index): 8 uint8
+    codes per 64-dim vector, codebooks trained on a bounded
+    deterministic sample. Rows-only by design (KMeans codebooks are
+    not SQL-expressible); encode determinism + reconstruction
+    distortion pinned in test_scale_patterns."""
+    codes, _ = similarity.pq_index(_emb(spark, sf_dir))
+    return codes.select("vec_id", F.concat_ws(",", F.col("codes")).alias("code_str"))
+
+
+@query("pq_adc_topk")
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (similarity.pq_adc_topk): per-query
+    distance tables + O(subspaces) lookups per candidate over the
+    32x-compressed codes. Rows-only by design; recall floor vs exact
+    cosine pinned in test_scale_patterns."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.pq_adc_topk(emb, qs, k=5)

@@ -179,3 +179,30 @@ def test_hll_union_merge_accuracy(spark, sf_dir):
     ).collect()[0].est
     exact = j.select("o_custkey").distinct().count()
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
+    """PQ-ADC shortlist + exact re-rank must recover most of the exact
+    top-5 neighbor sets (measured 1.0 on the fixtures; floor leaves
+    regen margin), and encoding must be deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_index,
+    )
+    from goeventstream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, qs, k=5).collect()}
+    approx = {(r.query_id, r.vec_id) for r in pq_adc_topk(emb, qs, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ recall {recall:.2f} below floor"
+
+    c1 = {r.vec_id: list(r.codes) for r in pq_index(emb)[0].collect()}
+    c2 = {r.vec_id: list(r.codes) for r in pq_index(emb)[0].collect()}
+    assert c1 == c2
