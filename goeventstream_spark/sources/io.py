@@ -53,3 +53,33 @@ def write_partitioned_parquet(
     """Partition-pruned layout: the scan side of delta_scan/time-range
     queries prunes whole directories when filters hit these columns."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    target_files: int | None = None,
+) -> None:
+    """Layout-optimized parquet write: repartition to a bounded file
+    count (small-file compaction) and sort WITHIN each partition on
+    the cluster columns, so every row group's min/max statistics span
+    a narrow range of the cluster key — the property that lets later
+    scans with predicates on those columns skip whole row groups
+    (and, with one file per partition range, whole files).
+
+    This is the batch-side of the 100 TB layout discipline: the event
+    lake partitions by (game, date) directories and clusters by ts
+    within files; a delta scan then prunes directories AND row groups.
+    repartitionByRange samples the cluster key to build range bounds
+    (one exchange, skew absorbed by sampling — NOT a single-partition
+    global sort), so each output file owns a contiguous, disjoint key
+    range; the local sort then orders rows inside every row group.
+    A plain hash repartition would spread the full key range into
+    every file and leave row-group stats useless (measured: widest
+    row-group span == global span).
+    """
+    out = df
+    if target_files is not None:
+        out = out.repartitionByRange(target_files, *cluster_cols)
+    out.sortWithinPartitions(*cluster_cols).write.mode("overwrite").parquet(path)
