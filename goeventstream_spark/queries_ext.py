@@ -2152,3 +2152,37 @@ def q_hll_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est_customers"),
         F.count_distinct("o_custkey").alias("exact_customers"),
     )
+
+
+@query(
+    "priority_share_by_month",
+    """
+    SELECT order_month, o_orderpriority, n,
+           CAST(n AS DOUBLE) / CAST(month_total AS DOUBLE) AS share
+    FROM (
+      SELECT order_month, o_orderpriority, n,
+             sum(n) OVER (PARTITION BY order_month) AS month_total
+      FROM (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+               o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+      )
+    )
+    """,
+)
+def q_priority_share_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total: per-month order-priority mix as a window OVER an
+    aggregate — the aggregate shrinks the data to (month x priority)
+    rows first, so the window runs on a tiny relation with the same
+    grouping key (no second exchange under AQE-coalesced partitioning).
+    Shares divide exact integer counts as doubles — identical on any
+    engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"),
+        "o_orderpriority",
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("order_month")
+    return agg.withColumn(
+        "share", F.col("n").cast("double") / F.sum("n").over(w).cast("double")
+    ).select("order_month", "o_orderpriority", "n", "share")
