@@ -56,6 +56,10 @@ HEADLINE = [
     "retention_cohorts",
     "bigram_topk",
     "embedding_quantize",
+    "tpch_q9_profit_proxy",
+    "event_transitions",
+    "pq_adc_topk",
+    "hll_segment_customers",
 ]
 
 
