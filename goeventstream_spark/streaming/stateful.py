@@ -437,3 +437,137 @@ def game_registry(
     if _tws_runtime_available():
         return _game_registry_tws(src, client_timeout_ms, game_timeout_ms)
     return _game_registry_fallback(src, client_timeout_ms, game_timeout_ms)
+
+
+# ---------------------------------------------------------------------------
+# streaming_funnel: incremental ordered-funnel progression per user
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t_view_ms", LongType()),
+        StructField("t_click_ms", LongType()),
+        StructField("t_purchase_ms", LongType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t_view_ms", LongType()),
+        StructField("t_click_ms", LongType()),
+        StructField("t_purchase_ms", LongType()),
+    ]
+)
+
+_FUNNEL_COLS = ["user_id", "t_view_ms", "t_click_ms", "t_purchase_ms"]
+
+
+def _advance_funnel(stage, pdfs, steps):
+    """Fold a batch of (ts, event_type) rows into the 3-stage tuple in
+    event-time order. Greedy in-order advancement equals the batch
+    min-after-min semantics when events arrive in event-time order
+    (the watermark contract); returns (changed, new_stage)."""
+    tv, tc, tp = stage
+    changed = False
+    rows = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        rows.extend(zip(ms, pdf["event_type"].tolist()))
+    for m, etype in sorted(rows):
+        if etype == steps[0] and tv is None:
+            tv, changed = m, True
+        elif etype == steps[1] and tc is None and tv is not None and m > tv:
+            tc, changed = m, True
+        elif etype == steps[2] and tp is None and tc is not None and m > tc:
+            tp, changed = m, True
+    return changed, (tv, tc, tp)
+
+
+class _FunnelProcessor:
+    """Spark 4 StatefulProcessor: per-user funnel stage machine —
+    emits the user's (t_view, t_click, t_purchase) row whenever a
+    stage advances. The streaming twin of analytics.funnel (same
+    semantics under in-order arrival; the batch form is the oracle)."""
+
+    def __init__(self, steps) -> None:
+        self._steps = steps
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("funnel", FUNNEL_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator["object"]:
+        import pandas as pd
+
+        cur = self._state.get() if self._state.exists() else (None, None, None)
+        changed, new = _advance_funnel(cur, rows, self._steps)
+        if not changed:
+            return
+        self._state.update(new)
+        yield pd.DataFrame([(key[0], *new)], columns=_FUNNEL_COLS)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def _funnel_tws(src: DataFrame, steps) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type("_FunnelTWS", (_FunnelProcessor, StatefulProcessor), {})
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(steps),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+def _funnel_fallback(src: DataFrame, steps) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):  # self-contained: executor-safe
+        import pandas as _pd
+
+        cur = state.get if state.exists else (None, None, None)
+        changed, new = _advance_funnel(cur, pdfs, steps)
+        if not changed:
+            return
+        state.update(new)
+        yield _pd.DataFrame([(key[0], *new)], columns=_FUNNEL_COLS)
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    watermark: str | None = "0 seconds",
+) -> DataFrame:
+    """Incremental funnel over an unbounded event stream: keyed state
+    tracks each user's (first view, first click after it, first
+    purchase after that); a row is emitted whenever a user advances a
+    stage, so the LAST row per user is their current funnel position.
+
+    Semantics contract: greedy in-order advancement — identical to the
+    batch analytics.funnel under event-time-ordered arrival, which the
+    watermark enforces (late rows are dropped, not reordered). Per-user
+    state is three longs; no timers, so state lives for the stream's
+    lifetime (add a TTL timer if user cardinality is unbounded).
+    """
+    src = events.select("user_id", "ts", "event_type")
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    if _tws_runtime_available():
+        return _funnel_tws(src, steps)
+    return _funnel_fallback(src, steps)

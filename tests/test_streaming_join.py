@@ -86,3 +86,51 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path_facto
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The keyed-state streaming funnel's final per-user position must
+    equal the batch funnel over the same (event-time-ordered) data."""
+    import os
+
+    from goeventstream_spark.operators import analytics
+    from goeventstream_spark.streaming import read_event_stream
+    from goeventstream_spark.streaming.stateful import streaming_funnel
+
+    out = str(tmp_path_factory.mktemp("sf_src"))
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    rows = ev.collect()
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        d = str(tmp_path_factory.mktemp(f"sf_c{i}"))
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(os.path.join(d, src), os.path.join(out, f"{i:04d}.parquet"))
+
+    q = (
+        streaming_funnel(read_event_stream(spark, out))
+        .writeStream.format("memory")
+        .queryName("sfunnel_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {}
+    for r in spark.sql(
+        "SELECT * FROM sfunnel_out ORDER BY coalesce(t_purchase_ms, 0),"
+        " coalesce(t_click_ms, 0), t_view_ms"
+    ).collect():
+        got[r.user_id] = (r.t_view_ms, r.t_click_ms, r.t_purchase_ms)  # last wins
+
+    def ms(t):
+        return None if t is None else int(t.timestamp() * 1000)
+
+    want = {
+        r.user_id: (ms(r.t_view), ms(r.t_click), ms(r.t_purchase))
+        for r in analytics.funnel(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want and len(want) > 0
