@@ -2186,3 +2186,230 @@ def q_priority_share_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn(
         "share", F.col("n").cast("double") / F.sum("n").over(w).cast("double")
     ).select("order_month", "o_orderpriority", "n", "share")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion tranche: Q2 / Q12 / Q20 / Q21 shapes.  The fixture
+# schema has no partsupp / shipmode / commitdate / receiptdate columns
+# (FIXTURES.md), so Q2 and Q20 derive the part-supplier relation from
+# lineitem and Q12/Q21 derive lateness from l_shipdate vs o_orderdate;
+# the *plan shapes* (correlated-min decorrelation, dual conditional
+# counts, nested semi-join with HAVING + scalar subquery, semi+anti
+# self-join) are the TPC-H ones.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT *, min(supplycost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM ps
+    )
+    SELECT p_partkey, p_name, s_name, supplycost
+    FROM best JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size >= 30 AND supplycost = min_cost
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: "the supplier with the minimum cost for each
+    part" — a correlated scalar-min subquery decorrelated to a window
+    min. The part-supplier cost relation is derived from lineitem
+    (min extendedprice per (part, supplier)) since the fixture has no
+    partsupp. The window partitions by l_partkey, a PREFIX of the
+    aggregation key (l_partkey, l_suppkey), so Catalyst reuses the agg
+    exchange: one shuffle covers both. Dims broadcast. min() over
+    doubles is order-independent -> bit-exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("min_cost", F.min("supplycost").over(w)).where(
+        F.col("supplycost") == F.col("min_cost")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") >= 30)
+        .select("p_partkey", "p_name")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "supplycost")
+    )
+
+
+@query(
+    "tpch_q12_priority_by_linestatus",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + dual conditional counts per
+    category (l_linestatus stands in for l_shipmode). The year filter
+    is pushed into the lineitem scan; the join shuffles both sides on
+    orderkey (at 100 TB: co-partitioned bucketed layout makes it
+    shuffle-free); the 2-group agg is map-side combined."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q20_surplus_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped
+      WHERE qty > 1.2 * (SELECT avg(qty) FROM shipped))
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries -> a HAVING-style
+    aggregate gate inside a left-semi join. Suppliers whose shipped
+    quantity of widget parts exceeds 1.2x the mean shipped quantity
+    (relative threshold: scale-invariant, unlike Q20's partsupp stock
+    comparison which needs a table the fixture lacks). The aggregate
+    relation is tiny (one row per supplier), so the threshold join is
+    a broadcast of a scalar and the final semi join broadcasts the
+    qualifying-supplier set into the supplier scan. l_quantity is an
+    integral double -> sums exact in any fold order."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thresh = shipped.agg((F.avg("qty") * 1.2).alias("bar"))
+    qual = shipped.join(F.broadcast(thresh), F.col("qty") > F.col("bar")).select(
+        "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return supp.join(
+        F.broadcast(qual), supp.s_suppkey == qual.l_suppkey, "left_semi"
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 180 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM base l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM base l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM base l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order — EXISTS + NOT EXISTS over the same
+    relation, decorrelated to a left-semi and a left-anti self-join
+    (lateness = shipped >180 days after order date; the reference
+    Q21's receipt>commit columns don't exist in the fixture). The base
+    relation is computed once; all three legs key on l_orderkey, so at
+    100 TB one hash partitioning on orderkey serves the self-joins
+    back-to-back without re-shuffling (Catalyst reuses the exchange),
+    and the supplier dim broadcasts."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAY"),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    l1 = base.where(F.col("late") == 1)
+    l2 = base.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = base.where(F.col("late") == 1).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = l1.join(
+        l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "left_semi"
+    ).join(l3, (F.col("l_orderkey") == l3.k3) & (F.col("l_suppkey") != l3.s3), "left_anti")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
