@@ -392,3 +392,74 @@ def dedup_representatives(
             F.col("quality_score").alias("rep_quality"),
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level exact dedup (the training-data "repeated
+    passage" scrub): slide a ``window``-token window with ``stride``
+    over each document, hash each span (md5 of the space-joined
+    tokens), and report per document how many of its spans also occur
+    verbatim in at least one OTHER document.
+
+    Unlike document-level exact_dedup (whole-text hash) or MinHash
+    (similarity), this catches boilerplate passages shared across
+    otherwise-distinct documents — the thing substring-dedup passes in
+    real pretraining pipelines (e.g. suffix-array dedup) target. The
+    windowed rolling-hash formulation is the scalable stand-in for a
+    suffix array: spans are generated map-side (explode over start
+    positions, zero shuffle), then ONE shuffle groups spans by hash to
+    count distinct source docs, and one more aggregates back per doc.
+    At 100 TB both shuffles carry compact (hash, doc_id) pairs, never
+    raw text; skewed boilerplate hashes (the whole point of the query)
+    are bounded by count-distinct partial aggregation.
+
+    Output: (doc_id, n_spans, dup_spans, dup_ratio) with dup_ratio an
+    exact integer-count division.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("ws") - F.lit(window - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    spans = (
+        docs.select(F.col(id_col), toks.alias("ws"))
+        .select(id_col, F.explode(starts).alias("span_start"), "ws")
+        .select(
+            id_col,
+            "span_start",
+            F.md5(F.concat_ws(" ", F.slice("ws", F.col("span_start"), window))).alias("h"),
+        )
+    )
+    cross_doc = (
+        spans.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    # Shuffle semi-join on h (NOT broadcast): the duplicated-hash set is
+    # proportional to the amount of boilerplate — unbounded at 100 TB —
+    # and spans is already hash-partitioned on h by the agg above, so
+    # Catalyst reuses that exchange for the join side.
+    flagged = spans.join(cross_doc, "h", "left_semi").groupBy(id_col).agg(
+        F.count("*").alias("dup_spans")
+    )
+    per_doc = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    return (
+        per_doc.join(flagged, id_col, "left")
+        .na.fill({"dup_spans": 0})
+        .select(
+            id_col,
+            "n_spans",
+            "dup_spans",
+            (F.col("dup_spans").cast("double") / F.col("n_spans").cast("double")).alias(
+                "dup_ratio"
+            ),
+        )
+    )

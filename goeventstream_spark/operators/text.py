@@ -314,3 +314,31 @@ def sequence_packing(
         )
         .select(id_col, group_col, "n_tokens", "pack_id")
     )
+
+
+def token_diversity(docs: DataFrame) -> DataFrame:
+    """Lexical-diversity quality signals per document: type-token ratio
+    and the Gini-Simpson index 1 - sum(tf_i^2)/n^2 (the probability two
+    random tokens differ). Simpson is the RATIONAL stand-in for Shannon
+    entropy — same ordering, but built from integer counts and a single
+    double division, so it is bit-exact across engines where entropy's
+    transcendental log is not (cf. the rational idf in term_scores).
+
+    Scale shape: explode -> map-side partial agg on (doc, word) -> one
+    shuffle -> per-doc sum. The squared-count sum aggregates the compact
+    tf relation, never raw tokens.
+    """
+    tf = _words(docs).groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("tf") * F.col("tf")).alias("sum_sq"),
+    )
+    n = F.col("n_words").cast("double")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_types").cast("long").alias("n_types"),
+        (F.col("n_types").cast("double") / n).alias("type_token_ratio"),
+        (F.lit(1.0) - F.col("sum_sq").cast("double") / (n * n)).alias("simpson_diversity"),
+    )

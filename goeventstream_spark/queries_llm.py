@@ -1016,3 +1016,64 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     return similarity.pq_adc_topk(emb, qs, k=5)
+
+
+@query(
+    "duplicated_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, s AS span_start,
+             md5(array_to_string(ws[s : s + 19], ' ')) AS h
+      FROM toks, unnest(generate_series(1, greatest(len(ws) - 19, 1), 10)) AS t(s)
+    ), cross_doc AS (
+      SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+    ), flagged AS (
+      SELECT doc_id, count(*) AS dup_spans FROM spans
+      WHERE h IN (SELECT h FROM cross_doc) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_spans,
+           coalesce(f.dup_spans, 0) AS dup_spans,
+           CAST(coalesce(f.dup_spans, 0) AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+             AS dup_ratio
+    FROM per_doc p LEFT JOIN flagged f ON p.doc_id = f.doc_id
+    """,
+)
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (dedup.duplicated_spans): 20-token
+    rolling windows at stride 10, md5 span hashes, per-doc counts of
+    spans shared verbatim with another document — the repeated-passage
+    scrub that document-level and near-dup dedup both miss."""
+    return dedup.duplicated_spans(_docs(spark, sf_dir), window=20, stride=10)
+
+
+@query(
+    "token_diversity",
+    """
+    WITH words AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS type_token_ratio,
+           1.0 - CAST(sum(tf * tf) AS DOUBLE)
+                 / (CAST(sum(tf) AS DOUBLE) * CAST(sum(tf) AS DOUBLE))
+             AS simpson_diversity
+    FROM tf GROUP BY doc_id
+    """,
+)
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (text.token_diversity): type-token ratio and
+    Gini-Simpson index from integer term frequencies — the rational
+    (bit-exact cross-engine) stand-in for entropy-based quality
+    scoring."""
+    return text.token_diversity(_docs(spark, sf_dir))
