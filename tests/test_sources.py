@@ -149,3 +149,74 @@ def test_clustered_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
     widest = max(mx - mn for mn, mx in spans)
     assert len(spans) >= 4
     assert widest < total * 0.6, (widest, total)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.sources.io import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path, orders.schema)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    a = sorted(r.o_orderkey for r in orders.select("o_orderkey").collect())
+    b = sorted(r.o_orderkey for r in back.select("o_orderkey").collect())
+    assert a == b
+
+
+def _rowgroup_spans(path, col):
+    import os
+
+    import pyarrow.parquet as pq_
+
+    spans, gmin, gmax = [], None, None
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq_.ParquetFile(os.path.join(path, f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == col
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append(st.max - st.min)
+            gmin = st.min if gmin is None else min(gmin, st.min)
+            gmax = st.max if gmax is None else max(gmax, st.max)
+    return spans, gmax - gmin
+
+
+def test_zorder_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """write_zordered_parquet must tighten row-group min/max stats on
+    BOTH cluster dimensions simultaneously — the property single-column
+    range clustering cannot give: clustering on ts alone leaves user_id
+    spans at ~the global span in every row group."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.sources.io import (
+        write_clustered_parquet,
+        write_zordered_parquet,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"), "user_id"
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered_parquet(ev, zpath, ["ts_ms", "user_id"], bits=10, target_files=8)
+    spath = str(tmp_path / "single")
+    write_clustered_parquet(ev, spath, ["ts_ms"], target_files=8)
+
+    z_ts, ts_total = _rowgroup_spans(zpath, "ts_ms")
+    z_uid, uid_total = _rowgroup_spans(zpath, "user_id")
+    s_uid, _ = _rowgroup_spans(spath, "user_id")
+
+    mean = lambda xs: sum(xs) / len(xs)
+    # z-order: BOTH dims well under global span on average.
+    assert mean(z_ts) < ts_total * 0.6, (mean(z_ts), ts_total)
+    assert mean(z_uid) < uid_total * 0.6, (mean(z_uid), uid_total)
+    # single-column clustering leaves the second dim unclustered —
+    # z-order must beat it substantially on that dim.
+    assert mean(z_uid) < mean(s_uid) * 0.75, (mean(z_uid), mean(s_uid))
