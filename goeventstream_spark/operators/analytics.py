@@ -121,3 +121,106 @@ def rate_zscore(
         .where(F.abs(F.col("zscore")) >= threshold)
         .select(user_col, "day", "n_events", "zscore")
     )
+
+
+def resample_locf(
+    events: DataFrame,
+    grain: str = "hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series resampling with gap fill: one row per (user, hour)
+    from each user's first to last event, carrying the last observed
+    value forward across empty hours (LOCF) — the hypertable
+    "resample + fill" operator that turns an irregular event stream
+    into an aligned series for training/monitoring.
+
+    Plan: per-user hourly agg (one shuffle on (user, hour) collapsed
+    map-side), then per-user min/max to build the hour spine with
+    ``sequence`` + ``explode`` (row generation is map-side, no
+    shuffle), a left join back on (user, hour), and one
+    last(ignorenulls) window per user ordered by hour. Every stage
+    keys on user_id, so at 100 TB one hash partitioning serves the
+    agg, the join, and the window back-to-back. The spine length is
+    bounded by the observed per-user time range — no global calendar
+    cross join.
+    """
+    from pyspark.sql import Window
+
+    hour = F.date_trunc(grain, F.col(ts_col))
+    hourly = (
+        events.groupBy(F.col(user_col), hour.alias("bucket_ts"))
+        .agg(F.max_by(F.col(value_col), F.col("event_id")).alias("obs_value"),
+             F.count("*").alias("n_events"))
+    )
+    spine = (
+        hourly.groupBy(user_col)
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            user_col,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {grain.upper()}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, [user_col, "bucket_ts"], "left")
+        .select(
+            user_col,
+            "bucket_ts",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("obs_value", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )
+
+
+def dq_audit(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Data-quality audit over the star schema: primary-key duplicate
+    counts, foreign-key orphan counts, and null-rate checks, one row
+    per check — the validation gate a pipeline runs before promoting a
+    snapshot. Each check is an independent aggregate/anti-join; the
+    orphan checks broadcast the (distinct-key-projected) dimension
+    when small and the union of one-row results is free.
+    """
+    def one(name, df_cnt):
+        return df_cnt.select(F.lit(name).alias("check"),
+                             F.col("n").cast("long").alias("n_violations"))
+
+    pk_dup = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("n")
+    )
+    fk_cust = (
+        orders.join(
+            customer.select(F.col("c_custkey").alias("k")),
+            orders.o_custkey == F.col("k"),
+            "left_anti",
+        ).agg(F.count("*").alias("n"))
+    )
+    fk_order = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("k")),
+            lineitem.l_orderkey == F.col("k"),
+            "left_anti",
+        ).agg(F.count("*").alias("n"))
+    )
+    null_date = orders.agg(
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("n")
+    )
+    neg_price = lineitem.agg(
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias("n")
+    )
+    return (
+        one("orders_pk_duplicates", pk_dup)
+        .unionByName(one("orders_custkey_orphans", fk_cust))
+        .unionByName(one("lineitem_orderkey_orphans", fk_order))
+        .unionByName(one("orders_null_orderdate", null_date))
+        .unionByName(one("lineitem_negative_price", neg_price))
+    )

@@ -2413,3 +2413,111 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Operational-analytics tranche: time-series resample + gap fill,
+# data-quality audit, exact integer-cents histogram.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "resample_hourly_locf",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+             arg_max(value, event_id) AS obs_value, count(*) AS n_events
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM bounds
+    )
+    SELECT s.user_id, s.bucket_ts,
+           coalesce(h.n_events, 0) AS n_events,
+           last_value(h.obs_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.bucket_ts = h.bucket_ts
+    """,
+)
+def q_resample_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable resample + gap fill (analytics.resample_locf): an
+    aligned per-user hourly series over each user's observed range,
+    empty hours carrying the last observed value forward. Restricted
+    to 20 users to bound fixture output; the operator itself has no
+    such limit."""
+    from goeventstream_spark.operators.analytics import resample_locf
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    return resample_locf(ev)
+
+
+@query(
+    "dq_audit",
+    """
+    SELECT 'orders_pk_duplicates' AS check_name,
+           (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_orphans',
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'lineitem_orderkey_orphans',
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'orders_null_orderdate',
+           (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+    UNION ALL
+    SELECT 'lineitem_negative_price',
+           (SELECT count(*) FROM lineitem WHERE l_extendedprice < 0)
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot promotion gate (analytics.dq_audit): PK-duplicate,
+    FK-orphan, null-rate, and domain checks as one small relation —
+    the validation pass a 100 TB lake runs per partition before
+    publishing."""
+    from goeventstream_spark.operators.analytics import dq_audit
+
+    return dq_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
+    ).withColumnRenamed("check", "check_name")
+
+
+@query(
+    "price_histogram",
+    """
+    SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) // 5000000 AS bucket,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram in exact integer-cents space: round the
+    2-decimal price to cents FIRST (double *100 of a 2-decimal value
+    sits ~1e-10 off the integer; DuckDB's cast rounds where Spark's
+    truncates, so the explicit round() is what makes the bucket ids
+    bit-exact cross-engine), then integer-divide into $50k buckets.
+    One map-side projection + a tiny agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.withColumn("bucket", F.floor(cents / F.lit(5000000)).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
