@@ -383,8 +383,10 @@ def state_deltas(
     Model: every poll reports the caller's state (``states``:
     (sync_id, data) — GameRequest.State non-nil on every request), so
     proxy p's live stamp at any instant is p's most recent poll, stamped
-    with that poll's clock (SetState stamps stateStream.T, which ticks
-    in lockstep with the event clock — model/game.go:86-88). A receiver
+    with that poll's STATE clock = event clock + 1 (SetState stamps
+    stateStream.T, which starts at 1 — model/stateStream.go:11-17 —
+    and ticks in lockstep with the event clock, model/game.go:86-88;
+    so a first-poll state echoes back immediately: 1 > 0). A receiver
     sync k by user u then sees p's state iff (model/game.go:60-74 order
     of operations):
 
@@ -395,8 +397,9 @@ def state_deltas(
        expires, model/game.go:96-99; expiry deletes the state, and a
        later re-poll re-creates it, so only the LATEST poll's age
        matters);
-    3. the LWW delta condition last_known < clock(m_p) (<= clock_k
-       holds automatically — clocks are monotone).
+    3. the LWW delta condition last_known < clock(m_p) + 1, i.e.
+       last_known <= clock(m_p) (stamp <= stateStream.T_k holds
+       automatically — clocks are monotone).
 
     Scalable form: stamps replicated per receiving user (output is
     O(stamps x receivers) by nature, like deliveries), then one
@@ -433,7 +436,11 @@ def state_deltas(
         F.col("sync_id").alias("_sid"),
         F.lit(0).alias("_side"),
         F.col("poll_ms").alias("s_ms"),
-        F.col("clock_t").alias("s_clock"),
+        # SetState stamps stateStream.T, which starts at 1 and ticks in
+        # lockstep with the event clock (model/stateStream.go:11-25) —
+        # so the stamp is clock_t + 1, and the LWW delta condition
+        # last_known < stamp is the reference's last_known <= clock.
+        (F.col("clock_t") + 1).cast("long").alias("s_clock"),
         F.col("proxy_id").alias("s_proxy"),
         F.col("data").alias("s_data"),
         F.lit(None).cast("long").alias("r_sync_id"),

@@ -789,7 +789,7 @@ _PROTO_ENVELOPE_TAIL = """,
     st_merged AS (
       SELECT s.game, s.gen, tg.user_id AS recv_u, s.sender,
              s.poll_ms AS _ms, s.sync_id AS _sid, 0 AS _side,
-             s.poll_ms AS s_ms, s.clock_t AS s_clock, s.proxy_id AS s_proxy,
+             s.poll_ms AS s_ms, s.clock_t + 1 AS s_clock, s.proxy_id AS s_proxy,
              s.data AS s_data,
              CAST(NULL AS BIGINT) AS r_sync_id, CAST(NULL AS BIGINT) AS r_last_known
       FROM stamps s JOIN dtargets tg ON s.game = tg.game AND s.gen = tg.gen

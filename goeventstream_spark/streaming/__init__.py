@@ -4,7 +4,11 @@ from goeventstream_spark.streaming.windows import (
     session_window_stats,
     windowed_counts,
 )
-from goeventstream_spark.streaming.stateful import client_registry, game_registry
+from goeventstream_spark.streaming.stateful import (
+    client_registry,
+    game_registry,
+    game_server,
+)
 
 __all__ = [
     "read_event_stream",
@@ -13,4 +17,5 @@ __all__ = [
     "delta_delivery",
     "client_registry",
     "game_registry",
+    "game_server",
 ]

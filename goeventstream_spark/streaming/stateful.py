@@ -571,3 +571,259 @@ def streaming_funnel(
     if _tws_runtime_available():
         return _funnel_tws(src, steps)
     return _funnel_fallback(src, steps)
+
+
+# ---------------------------------------------------------------------------
+# game_server: the FULL reference request lifecycle (model/game.go:60-74)
+# as one streaming job — tick, GC/restart, liveness sweep, connect +
+# proxy allocation, event append with T assignment, LWW state upsert,
+# MarkSent, delta scans, and the serialized GameResponse envelope.
+# ---------------------------------------------------------------------------
+
+GAME_SERVER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("game", StringType()),
+        StructField("sync_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("t", LongType()),
+        StructField("proxy_id", StringType()),
+        StructField("response", StringType()),
+    ]
+)
+
+GAME_SERVER_STATE_SCHEMA = StructType([StructField("blob", StringType())])
+
+_SERVER_COLS = ["game", "sync_id", "user_id", "t", "proxy_id", "response"]
+
+TICK_MS = 50
+
+
+def _new_server_state():
+    return {
+        "gen": 0,
+        "last_poll": None,
+        "next_proxy": 1,
+        "last_tick": None,
+        "ev_t": 0,
+        "state_t": 1,
+        "last_sent": 0,
+        "active": {},      # user -> [proxy, last_touch_ms]
+        "last_known": {},  # user -> last T this client saw (this gen)
+        "log": [],         # [t, kind_order, event_type, origin, body]
+        "states": {},      # proxy -> [state_t, data_json]
+    }
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def _process_server_polls(st, game, polls, client_timeout_ms, game_timeout_ms):
+    """Run the reference's Process() (model/game.go:60-74) over a
+    (poll_ms, sync_id)-sorted poll batch against a python state dict.
+    Returns output rows; mutates ``st``. The tick is the reference's
+    own imperative formula (strict elapsed > 50 with remainder carry,
+    model/game.go:81-90) — the batch replay's closed-form clock is
+    proven equivalent, here we just run the original.
+    Serialization canonicalizations match operators/protocol_replay.
+    game_response exactly (events sort by (t, kind_order, mapped
+    origin, serialized); states by numeric origin; seed body 'seed').
+    """
+    out = []
+    for now, sync_id, user, posted, state_json in polls:
+        # GC -> recreate (deterministic-limit idealization, shared
+        # with the batch replay: every > 60 s gap restarts)
+        if st["last_poll"] is None or now - st["last_poll"] > game_timeout_ms:
+            gen = st["gen"] + 1
+            st.update(_new_server_state())
+            st["gen"] = gen
+            st["last_tick"] = now
+            # Restart(): _a appended at T = LastSentT + 1 = 1
+            st["log"].append([1, 0, "_a", "_", "seed"])
+        st["last_poll"] = now
+
+        # tick(now) — model/game.go:81-90
+        elapsed = now - st["last_tick"]
+        if elapsed > TICK_MS:
+            count = elapsed // TICK_MS
+            st["ev_t"] += count
+            st["state_t"] += count
+            st["last_tick"] = now - (elapsed % TICK_MS)
+
+        append_t = st["last_sent"] + 1
+
+        # updateClients: lazy expiry sweep, then touch/create caller
+        for u in sorted(list(st["active"])):
+            proxy, touch = st["active"][u]
+            if now - touch > client_timeout_ms:
+                st["log"].append([append_t, 1, "_d", "_", str(proxy)])
+                st["states"].pop(str(proxy), None)
+                del st["active"][u]
+        ukey = str(user)
+        if ukey not in st["active"]:
+            proxy = st["next_proxy"]
+            st["next_proxy"] += 1
+            st["active"][ukey] = [proxy, now]
+            st["log"].append([append_t, 2, "_c", "_", str(proxy)])
+        else:
+            st["active"][ukey][1] = now
+        proxy = str(st["active"][ukey][0])
+
+        # applyEvents: Origin = caller proxy, T = LastSentT + 1
+        for seq, (etype, body) in enumerate(posted):
+            st["log"].append([append_t, 3 + seq, etype, proxy, body or ""])
+
+        # applyState: LWW upsert stamped with the state stream clock
+        if state_json is not None:
+            st["states"][proxy] = [st["state_t"], state_json]
+
+        # MarkSent, then the delta scans
+        st["last_sent"] = st["ev_t"]
+        last_known = st["last_known"].get(ukey, 0)
+
+        evs = []
+        for t, kind, etype, origin, body in st["log"]:
+            if last_known < t <= st["ev_t"]:
+                o = "_" if etype in ("_a", "_c", "_d") else origin
+                s = f'{{"T":{t},"Type":"{etype}","Origin":"{o}","Body":"{_esc(body)}"}}'
+                evs.append((t, kind, o, s))
+        evs.sort()
+        sts = []
+        for p, (stt, data) in st["states"].items():
+            if last_known < stt <= st["state_t"]:
+                sts.append((int(p), f'{{"T":{stt},"Origin":"{p}","Data":{data}}}'))
+        sts.sort()
+
+        response = (
+            '{"T":%d,"Events":[%s],"States":[%s],"ProxyId":"%s"}'
+            % (
+                st["ev_t"],
+                ",".join(s for *_k, s in evs),
+                ",".join(s for _o, s in sts),
+                proxy,
+            )
+        )
+        st["last_known"][ukey] = st["ev_t"]
+        out.append((game, sync_id, user, st["ev_t"], proxy, response))
+    return out
+
+
+def _fold_server_batch(blob, game, pdfs, client_timeout_ms, game_timeout_ms):
+    import json as _json
+
+    st = _json.loads(blob) if blob else _new_server_state()
+    polls = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        posted = [
+            _json.loads(p) if p else [] for p in pdf["posted_json"].tolist()
+        ]
+        state_js = [
+            (s if isinstance(s, str) else None) for s in pdf["state_json"].tolist()
+        ]
+        polls.extend(
+            zip(
+                pdf["poll_ms"].tolist(),
+                pdf["sync_id"].tolist(),
+                pdf["user_id"].tolist(),
+                posted,
+                state_js,
+            )
+        )
+    if not polls:
+        return blob, None
+    polls.sort(key=lambda p: (p[0], p[1]))
+    out = _process_server_polls(st, game, polls, client_timeout_ms, game_timeout_ms)
+    return _json.dumps(st), out
+
+
+class _GameServerProcessor:
+    """One key = one game = the reference's one mutex: the whole
+    server, stream-resident. State is the reference's in-memory Game
+    struct as JSON (registry + clocks + log + LWW states); memory is
+    O(log length) per game per generation, exactly like the reference
+    (model/eventStream.go grows unboundedly within a stream's life —
+    the GC/restart is what bounds it, there and here)."""
+
+    def __init__(self, client_timeout_ms: int, game_timeout_ms: int) -> None:
+        self._client_timeout_ms = client_timeout_ms
+        self._game_timeout_ms = game_timeout_ms
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState("server", GAME_SERVER_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator["object"]:
+        import pandas as pd
+
+        blob = self._st.get()[0] if self._st.exists() else None
+        blob, out = _fold_server_batch(
+            blob, key[0], rows, self._client_timeout_ms, self._game_timeout_ms
+        )
+        if out is None:
+            return
+        self._st.update((blob,))
+        yield pd.DataFrame(out, columns=_SERVER_COLS)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator["object"]:
+        return
+        yield  # pragma: no cover
+
+    def close(self) -> None:
+        pass
+
+
+def game_server(
+    polls: DataFrame,
+    client_timeout_ms: int = CLIENT_TIMEOUT_MS,
+    game_timeout_ms: int = GAME_TIMEOUT_MS,
+) -> DataFrame:
+    """The reference server as a streaming query: input rows are polls
+    (game, sync_id, user_id, poll_ms, posted_json, state_json) arriving
+    in event-time order per game; output is one GameResponse envelope
+    row per poll, envelope-equal to the batch
+    ``protocol_replay.game_response`` (pinned in test_streaming.py).
+
+    posted_json: JSON array of [event_type, body] pairs posted with the
+    poll (GameRequest.Events); state_json: the state map JSON or null
+    (GameRequest.State).
+
+    Scale: one key = one game; state is O(current-generation log) per
+    game — the reference's own memory shape. Partitioning gives the
+    per-game mutex for free (R17); games shard across executors.
+    """
+    src = polls.select(
+        "game", "sync_id", "user_id", "poll_ms", "posted_json", "state_json"
+    )
+    if _tws_runtime_available():
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        proc_cls = type("_GameServerTWS", (_GameServerProcessor, StatefulProcessor), {})
+        return src.groupBy("game").transformWithStateInPandas(
+            statefulProcessor=proc_cls(client_timeout_ms, game_timeout_ms),
+            outputStructType=GAME_SERVER_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ct, gt = client_timeout_ms, game_timeout_ms
+
+    def _update(key, pdfs, state):
+        import pandas as _pd
+
+        blob = state.get[0] if state.exists else None
+        blob, out = _fold_server_batch(blob, key[0], pdfs, ct, gt)
+        if out is None:
+            return
+        state.update((blob,))
+        yield _pd.DataFrame(out, columns=_SERVER_COLS)
+
+    return src.groupBy("game").applyInPandasWithState(
+        _update,
+        outputStructType=GAME_SERVER_OUTPUT_SCHEMA,
+        stateStructType=GAME_SERVER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -311,10 +311,11 @@ def test_game_response_envelope_json(spark, schedule):
         )
         want_st = sorted((t, o, json.dumps(json.loads(d), separators=(", ", ": "))) for t, o, d in st[sid])
         assert [g[:2] for g in got_st] == [w[:2] for w in want_st], f"sync {sid}"
-        # every state the receiver sees is fresher than its last_known
-        # and no older than the client timeout — spot the invariants
+        # the state clock runs one ahead of the event clock
+        # (stateStream.T = T + 1), so a state stamped at this very
+        # poll carries doc["T"] + 1 — never more
         for s in doc["States"]:
-            assert s["T"] <= doc["T"]
+            assert s["T"] <= doc["T"] + 1
 
 
 def test_state_deltas_lww_and_expiry(spark):
@@ -341,16 +342,19 @@ def test_state_deltas_lww_and_expiry(spark):
     for r in rows:
         by_sync.setdefault(r.sync_id, []).append((r.origin, r.data))
 
-    # sync 0: clock 0, last_known 0 -> stamp at T=0 fails T > 0: empty
-    assert 0 not in by_sync
-    # sync 1 (u1, clock 6): sees u0's stamp (T=0? no — T=0 not > 0)...
-    # u1's own stamp at clock 6 > last_known 0: delivered
-    assert ("2", "s1") in by_sync.get(1, [])
-    # sync 2 (u0 at 5s, clock 100, last_known 0): sees u1's stamp
-    # (T=6 > 0) and its own fresh stamp (T=100 > 0)
+    # State stamps are stateStream.T = event clock + 1 (the state
+    # clock starts at 1, model/stateStream.go:11-17). So the very
+    # first poll echoes its own state: stamp 1 > last_known 0 — the
+    # reference really does this (applyState precedes GetDeltaState).
+    assert by_sync.get(0) == [("1", "s0")]
+    # sync 1 (u1, clock 6, last_known 0): u0's stamp (T=1 > 0) and
+    # u1's own stamp (T=7 > 0)
+    assert sorted(by_sync[1]) == [("1", "s0"), ("2", "s1")]
+    # sync 2 (u0 at 5s, clock 100, last_known 0): u1's stamp (T=7 > 0)
+    # and its own fresh stamp (T=101 > 0)
     assert sorted(by_sync[2]) == [("1", "s2"), ("2", "s1")]
     # sync 3 (u0 at 20s, last_known 100): BOTH u0 and u1 expired (15s /
     # 19.7s > 10s silent — updateClients sweeps the caller too,
     # model/game.go:95-107); u0 reconnects with a fresh proxy id 3 and
-    # re-stamps (T=400 > 100); u1's old state is GONE
+    # re-stamps (T=401 > 100); u1's old state is GONE
     assert sorted(by_sync[3]) == [("3", "s3")]

@@ -207,3 +207,54 @@ def test_game_registry_matches_batch_proxy_assignment(spark, sf_dir, chunked_eve
         for r in log.where(F.col("event_type") == "_d").collect()
     )
     assert got_d == want_d
+
+
+def test_game_server_envelope_equals_batch(spark, sf_dir, chunked_events_dir):
+    """The full streaming server (stateful.game_server) must produce
+    GameResponse envelopes byte-equal to the batch replay
+    (protocol_replay.game_response) on the same in-order poll schedule
+    — T, delivered events, LWW state deltas, and proxy ids, across
+    micro-batch boundaries and game GC generations."""
+    from goeventstream_spark.streaming import game_server
+
+    stream = read_event_stream(spark, chunked_events_dir)
+    polls = stream.select(
+        (F.col("user_id") % 4).cast("string").alias("game"),
+        F.col("event_id").alias("sync_id"),
+        "user_id",
+        F.unix_millis("ts").alias("poll_ms"),
+        F.to_json(F.array(F.array(F.col("event_type"), F.col("props")))).alias(
+            "posted_json"
+        ),
+        F.col("props").alias("state_json"),
+    )
+    _run_stream(game_server(polls), "game_server_out", "append")
+    got = {
+        r.sync_id: (r.t, r.proxy_id, r.response)
+        for r in spark.sql("SELECT * FROM game_server_out").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    syncs = ev.select(
+        F.col("event_id").alias("sync_id"),
+        "user_id",
+        F.unix_millis("ts").alias("poll_ms"),
+        (F.col("user_id") % 4).alias("game_key"),
+    )
+    posted = ev.select(
+        F.col("event_id").alias("sync_id"),
+        F.lit(0).cast("long").alias("event_seq"),
+        "event_type",
+        F.col("props").alias("body"),
+    )
+    states = ev.select(F.col("event_id").alias("sync_id"), F.col("props").alias("data"))
+    want = {
+        r.sync_id: (r.t, r.proxy_id, r.response)
+        for r in pr.game_response(syncs, posted, states, game_col="game_key").collect()
+    }
+
+    assert set(got) == set(want)
+    mismatches = [
+        (sid, got[sid], want[sid]) for sid in sorted(got) if got[sid] != want[sid]
+    ]
+    assert not mismatches, mismatches[:3]
