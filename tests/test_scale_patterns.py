@@ -206,3 +206,57 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
     c1 = {r.vec_id: list(r.codes) for r in pq_index(emb)[0].collect()}
     c2 = {r.vec_id: list(r.codes) for r in pq_index(emb)[0].collect()}
     assert c1 == c2
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE's skew-join handling must actually engage on a skewed
+    shuffle join: with one key owning ~90% of the fact rows and
+    broadcast disabled, the final adaptive SortMergeJoin marks the
+    skewed side (skew=true) and splits it into multiple sub-partitions
+    — the runtime defense that keeps one straggler task from owning a
+    hot key at 100 TB (salting, test above, is the static form for
+    when even AQE's split granularity isn't enough)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # shrink the skew thresholds so fixture-sized data qualifies
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        # 90% of rows collapse onto one join key. The round-robin
+        # repartition gives the shuffle MANY map tasks: AQE splits a
+        # skewed reduce partition along map-output boundaries, so a
+        # single-mapper shuffle (one fixture file = one scan task) is
+        # unsplittable no matter how skewed — at 100 TB the thousands
+        # of scan tasks provide this granularity naturally.
+        fact = li.repartition(16).select(
+            F.when(F.col("l_linenumber") > 1, F.lit(0))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_quantity",
+        )
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+        )
+        joined = fact.join(dim, "k").groupBy("o_orderpriority").agg(
+            F.sum("l_quantity").alias("q")
+        )
+        # collect() finalizes THIS DataFrame's own QueryExecution (a
+        # noop write would plan a separate one, still isFinalPlan=false)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
