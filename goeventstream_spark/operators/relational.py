@@ -251,3 +251,29 @@ def multigrain_rollup(
         F.col("n_events").cast("long").alias("n_events"),
         F.col("_sum_dec").cast("double").alias("sum_value"),
     )
+
+
+def merge_partial_aggs(
+    parts: Sequence[DataFrame], key_cols: Sequence[str]
+) -> DataFrame:
+    """Incremental-view-maintenance merge: union partial aggregates
+    computed over disjoint slices (yesterday's materialized rollup +
+    today's delta) and re-aggregate per key — correct for any
+    decomposable aggregate, using the same naming convention as
+    salted_agg (min_*/max_* merge by min/max, everything else by sum;
+    avg must be carried as sum + count and derived after the merge).
+
+    This is THE pattern that makes a 100 TB rollup cheap to keep
+    fresh: each day aggregates only its own partition (map-side
+    combine over the new data), and the merge touches one row per
+    (key, slice) — never the raw history. Decimal sums and integer
+    counts merge bit-exactly regardless of slice boundaries.
+    """
+    it = iter(parts)
+    unioned = next(it)
+    for p in it:
+        unioned = unioned.unionByName(p)
+    merge_exprs = [
+        _merge_fn(c)(c).alias(c) for c in unioned.columns if c not in key_cols
+    ]
+    return unioned.groupBy(*key_cols).agg(*merge_exprs)

@@ -2521,3 +2521,49 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@query(
+    "incremental_rollup_merge",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (relational.merge_partial_aggs):
+    the rollup is computed as yesterday's materialized partial (80% of
+    orders) merged with today's delta partial (20%), and must equal
+    the from-scratch aggregate bit-for-bit — decimal sums and counts
+    are decomposable, avg derives from the merged sum/count. The
+    oracle IS the from-scratch form; hash-equality proves the merge
+    path exact. At 100 TB each day aggregates only its own partition
+    and the merge never rescans history."""
+    from goeventstream_spark.operators.relational import merge_partial_aggs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exprs = [
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    ]
+    hist = li.where(F.col("l_orderkey") % 5 < 4).groupBy("l_returnflag").agg(*exprs)
+    delta = li.where(F.col("l_orderkey") % 5 == 4).groupBy("l_returnflag").agg(*exprs)
+    merged = merge_partial_aggs([hist, delta], ["l_returnflag"])
+    return merged.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "min_qty",
+        "max_qty",
+        (F.col("sum_qty").cast("double") / F.col("n_rows").cast("double")).alias(
+            "avg_qty"
+        ),
+    )
