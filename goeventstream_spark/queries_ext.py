@@ -2567,3 +2567,35 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_qty"
         ),
     )
+
+
+@query(
+    "vectorized_udf_score",
+    """
+    SELECT o_orderkey,
+           (o_totalprice * 0.0001) * (o_totalprice * 0.0001) * 0.5
+             + o_totalprice * 0.001 + 1.0 AS score
+    FROM orders
+    """,
+)
+def q_vectorized_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar pandas_udf surface (SURVEY.md §2b "UDF surface"):
+    an Arrow-batched vectorized score over orders. The UDF computes
+    the same fp expression the oracle does, term-for-term in the same
+    order, so results are bit-exact. This is the DOCUMENTED slow path
+    — the plan test next to it pins that the equivalent built-in
+    expression stays in WholeStageCodegen, which is why every hot-path
+    operator in this engine uses built-ins; pandas_udf exists for the
+    cases (custom python math, model scoring) that have no built-in
+    form, at ~Arrow-transfer cost instead of per-row pickling.
+    Closure is self-contained (imports inside) per the executor
+    pickling contract."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def poly_score(price):  # type: ignore[misc]
+        x = price * 0.0001
+        return x * x * 0.5 + price * 0.001 + 1.0
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", poly_score("o_totalprice").alias("score"))

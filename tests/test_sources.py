@@ -220,3 +220,39 @@ def test_zorder_write_tightens_both_dimensions(spark, sf_dir, tmp_path):
     # single-column clustering leaves the second dim unclustered —
     # z-order must beat it substantially on that dim.
     assert mean(z_uid) < mean(s_uid) * 0.75, (mean(z_uid), mean(s_uid))
+
+
+def test_jsonl_corrupt_record_capture(spark, tmp_path):
+    """Malformed JSONL rows must be captured, not crash the read and
+    not silently vanish: PERMISSIVE mode + an explicit _corrupt_record
+    column routes bad lines to a quarantine column — the ingest
+    robustness a 100 TB lake needs (one bad producer must not kill a
+    billion-row backfill)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": 3, "v": broken}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    good = sorted(r.id for r in rows if r._corrupt_record is None)
+    bad = sorted(r._corrupt_record for r in rows if r._corrupt_record is not None)
+    assert good == [1, 2]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
