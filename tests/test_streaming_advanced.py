@@ -188,3 +188,61 @@ def test_rate_source_live_ingest_registry(spark):
     # LWW state rows carry the latest props per user
     states = [r for r in rows if r.marker == "state" and r.user_id == 0]
     assert states and all(json.loads(r.data)["value"] % 5 == 0 for r in states)
+
+
+def test_foreach_batch_transactional_partitioned_sink(spark, sf_dir, tmp_path_factory, tmp_path):
+    """The foreachBatch production sink pattern: each micro-batch
+    writes to a (event_date, batch_id)-partitioned parquet lake under
+    dynamic partition overwrite, so a batch replayed after a crash
+    overwrites exactly its own partitions instead of duplicating — the
+    lake-side half of exactly-once. batch_id MUST be part of the
+    partition key: partitioning by date alone lets a later batch that
+    straddles a date boundary clobber an earlier batch's rows for that
+    date (this test caught exactly that). The final lake must equal
+    the full input, and date filters must prune the lake layout."""
+    src_dir, _ = _chunks_dir(spark, sf_dir, tmp_path_factory)
+    lake = str(tmp_path / "lake")
+    stream = read_event_stream(spark, src_dir)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        def sink(batch_df, batch_id):
+            (
+                batch_df.withColumn("event_date", F.to_date("ts"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("event_date", "batch_id")
+                .parquet(lake)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    got = spark.read.parquet(lake)
+    want = load_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
+    g = got.groupBy("event_date").count().collect()
+    w = (
+        want.withColumn("event_date", F.to_date("ts"))
+        .groupBy("event_date")
+        .count()
+        .collect()
+    )
+    assert sorted((str(r.event_date), r["count"]) for r in g) == sorted(
+        (str(r.event_date), r["count"]) for r in w
+    )
+    # partition pruning works against the lake layout
+    one_day = g[0].event_date
+    pruned = spark.read.parquet(lake).where(F.col("event_date") == F.lit(one_day))
+    assert pruned.count() == next(r["count"] for r in g if r.event_date == one_day)
