@@ -585,6 +585,7 @@ def pq_adc_topk(
     n_codes: int = 256,
     dims: int = 64,
     rerank: int = 50,
+    index: tuple | None = None,
 ) -> DataFrame:
     """Asymmetric-distance PQ search with exact re-ranking: each query
     builds per-subspace lookup tables of exact distances to every
@@ -601,7 +602,14 @@ def pq_adc_topk(
     the ADC-only shortlist is the recall bottleneck (real embeddings
     on low-dimensional manifolds quantize far better).
     """
-    codes_df, books = pq_index(emb, n_subspaces, n_codes, dims)
+    if index is not None:
+        # A persisted index (codes table written back as parquet +
+        # codebooks as a small JSON artifact) — search never retrains:
+        # the index IS a table, reload and join (pinned in
+        # test_scale_patterns.test_pq_index_persistence_roundtrip).
+        codes_df, books = index
+    else:
+        codes_df, books = pq_index(emb, n_subspaces, n_codes, dims)
 
     _books, _ns = books, n_subspaces
 

@@ -260,3 +260,45 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pq_index_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """The ANN index is a TABLE: persist PQ codes as parquet and the
+    codebooks as a small JSON artifact, reload both, and search with
+    the reloaded index — results must be identical to searching with a
+    freshly trained index (training is deterministic). This is the
+    100 TB workflow: encode once, write the 32x-compressed codes
+    beside the corpus, and every later search scans codes only —
+    never retrains, never rereads raw embeddings except for the
+    shortlist re-rank."""
+    import json
+
+    from goeventstream_spark.operators import similarity
+    from goeventstream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+
+    # n_codes must match the search-time codebook size (pq_adc_topk
+    # trains 256-entry books; pq_index's own default is 16)
+    codes_df, books = similarity.pq_index(emb, n_codes=256)
+    codes_path = str(tmp_path / "pq_codes")
+    codes_df.write.mode("overwrite").parquet(codes_path)
+    books_path = tmp_path / "codebooks.json"
+    books_path.write_text(json.dumps(books))
+
+    loaded_codes = spark.read.parquet(codes_path)
+    loaded_books = json.loads(books_path.read_text())
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.cos_sim, 9))
+        for r in similarity.pq_adc_topk(
+            emb, qs, k=5, index=(loaded_codes, loaded_books)
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, round(r.cos_sim, 9))
+        for r in similarity.pq_adc_topk(emb, qs, k=5).collect()
+    )
+    assert got == want and len(got) > 0
