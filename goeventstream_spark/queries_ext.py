@@ -2599,3 +2599,58 @@ def q_vectorized_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return orders.select("o_orderkey", poly_score("o_totalprice").alias("score"))
+
+
+@query(
+    "price_qty_regression",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+           (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def q_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (price vs quantity) from exact decimal
+    moment sums — NOT the built-in regr_slope/corr, whose streaming
+    (Welford-style) accumulation is fold-order-dependent and so can't
+    hash-match another engine. Computing n/sx/sy/sxx/sxy as exact
+    DECIMAL sums first and deriving slope/intercept in one fixed
+    double expression makes the result bit-exact AND is the scalable
+    form anyway: the moments are decomposable partials (map-side
+    combined, mergeable across partitions like incremental_rollup_
+    merge), where a two-pass covariance would rescan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dp).cast("double").alias("sy"),
+        F.sum(dq * dq).cast("double").alias("sxx"),
+        F.sum(dq * dp).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+    )

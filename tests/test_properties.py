@@ -199,3 +199,103 @@ def test_funnel_matches_python_model(rows):
         )
         want[u] = (tv, tc, tp)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # group key
+            st.integers(min_value=-100, max_value=100),  # value
+            st.integers(min_value=0, max_value=2),   # slice id
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_merge_partial_aggs_matches_direct(rows):
+    """Slicing the input ARBITRARILY and merging per-slice partials
+    must equal the from-scratch aggregate for every decomposable
+    aggregate (count / sum / min / max) — the incremental-view-
+    maintenance invariant, independent of where slice boundaries
+    fall."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.relational import merge_partial_aggs
+
+    spark = _spark()
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", LongType()),
+            StructField("slice", LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    exprs = lambda: [
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    ]
+    parts = [
+        df.where(F.col("slice") == i).groupBy("k").agg(*exprs()) for i in range(3)
+    ]
+    merged = {
+        r.k: (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in merge_partial_aggs(parts, ["k"]).collect()
+    }
+    direct = {
+        r.k: (r.n, r.sum_v, r.min_v, r.max_v)
+        for r in df.groupBy("k").agg(*exprs()).collect()
+    }
+    assert merged == direct
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_duplicated_spans_matches_python_model(docs):
+    """duplicated_spans (window=3, stride=2) must agree with a direct
+    python model of the same windowing on arbitrary token lists."""
+    import hashlib
+
+    from goeventstream_spark.operators.dedup import duplicated_spans
+
+    spark = _spark()
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r.doc_id: (r.n_spans, r.dup_spans)
+        for r in duplicated_spans(df, window=3, stride=2).collect()
+    }
+
+    def spans_of(toks):
+        out = []
+        stop = max(len(toks) - 2, 1)
+        for start in range(1, stop + 1, 2):
+            out.append(" ".join(toks[start - 1 : start + 2]))
+        return out
+
+    all_spans = {i: spans_of(t) for i, t in enumerate(docs)}
+    owners = {}
+    for i, sp in all_spans.items():
+        for s_ in set(sp):
+            owners.setdefault(s_, set()).add(i)
+    want = {}
+    for i, sp in all_spans.items():
+        dup = sum(1 for s_ in sp if len(owners[s_]) >= 2)
+        want[i] = (len(sp), dup)
+    assert got == want
+    # sanity on the hash: md5 agreement is assumed by the oracle
+    assert hashlib.md5(b"aa bb cc").hexdigest()
