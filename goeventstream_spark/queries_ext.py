@@ -2654,3 +2654,74 @@ def q_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
     )
+
+
+@query(
+    "segment_session_report",
+    """
+    WITH sess AS (
+      SELECT user_id, session_id,
+             count(*) AS n_events,
+             CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS dur_ms,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      FROM (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 10000
+                         THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+      )
+      GROUP BY user_id, session_id
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(sum(dur_ms) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_dur_ms,
+           CAST(sum(purchased) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS conversion_rate
+    FROM sess JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_segment_session_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end event-analytics composition — the stream-side
+    sibling of curate_corpus: sessionize (10 s gap) -> per-session
+    stats (duration, events, purchase flag) -> broadcast dim join to
+    customer segment -> per-segment conversion report, all one
+    Catalyst plan. Every stage up to the final 5-group agg keys on
+    user_id, so ONE hash partitioning serves the sessionize windows,
+    the session agg, and (via broadcast) the dim join; conversion and
+    duration averages divide exact integer sums."""
+    from goeventstream_spark.operators import stream_ops as so
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        so.sessionize(ev, gap_s=10)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias("dur_ms"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchased"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        sess.join(F.broadcast(cust), sess.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            (F.sum("dur_ms").cast("double") / F.count("*").cast("double")).alias(
+                "avg_dur_ms"
+            ),
+            (F.sum("purchased").cast("double") / F.count("*").cast("double")).alias(
+                "conversion_rate"
+            ),
+        )
+    )
