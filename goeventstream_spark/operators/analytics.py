@@ -129,6 +129,7 @@ def resample_locf(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    seq_col: str = "event_id",
 ) -> DataFrame:
     """Time-series resampling with gap fill: one row per (user, hour)
     from each user's first to last event, carrying the last observed
@@ -151,7 +152,7 @@ def resample_locf(
     hour = F.date_trunc(grain, F.col(ts_col))
     hourly = (
         events.groupBy(F.col(user_col), hour.alias("bucket_ts"))
-        .agg(F.max_by(F.col(value_col), F.col("event_id")).alias("obs_value"),
+        .agg(F.max_by(F.col(value_col), F.col(seq_col)).alias("obs_value"),
              F.count("*").alias("n_events"))
     )
     spine = (
@@ -197,19 +198,28 @@ def dq_audit(
     pk_dup = orders.agg(
         (F.count("*") - F.count_distinct("o_orderkey")).alias("n")
     )
+    # Orphan = NON-NULL foreign key with no parent. The explicit
+    # isNotNull guard keeps the semantics NULL-safe and identical to
+    # the oracle's guarded NOT IN (a bare NOT IN over a parent set
+    # containing NULL returns zero rows — the classic NULL trap a DQ
+    # gate must not fall into); NULL keys are a separate check.
     fk_cust = (
-        orders.join(
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(
             customer.select(F.col("c_custkey").alias("k")),
-            orders.o_custkey == F.col("k"),
+            F.col("o_custkey") == F.col("k"),
             "left_anti",
-        ).agg(F.count("*").alias("n"))
+        )
+        .agg(F.count("*").alias("n"))
     )
     fk_order = (
-        lineitem.join(
+        lineitem.where(F.col("l_orderkey").isNotNull())
+        .join(
             orders.select(F.col("o_orderkey").alias("k")),
-            lineitem.l_orderkey == F.col("k"),
+            F.col("l_orderkey") == F.col("k"),
             "left_anti",
-        ).agg(F.count("*").alias("n"))
+        )
+        .agg(F.count("*").alias("n"))
     )
     null_date = orders.agg(
         F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("n")

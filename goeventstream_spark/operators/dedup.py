@@ -443,23 +443,21 @@ def duplicated_spans(
         .where(F.col("n_docs") >= 2)
         .select("h")
     )
-    # Shuffle semi-join on h (NOT broadcast): the duplicated-hash set is
-    # proportional to the amount of boilerplate — unbounded at 100 TB —
-    # and spans is already hash-partitioned on h by the agg above, so
-    # Catalyst reuses that exchange for the join side.
-    flagged = spans.join(cross_doc, "h", "left_semi").groupBy(id_col).agg(
-        F.count("*").alias("dup_spans")
-    )
-    per_doc = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
-    return (
-        per_doc.join(flagged, id_col, "left")
-        .na.fill({"dup_spans": 0})
-        .select(
-            id_col,
-            "n_spans",
-            "dup_spans",
-            (F.col("dup_spans").cast("double") / F.col("n_spans").cast("double")).alias(
-                "dup_ratio"
-            ),
-        )
+    # ONE pass over spans: a shuffle left join on h (NOT broadcast —
+    # the duplicated-hash set is proportional to the amount of
+    # boilerplate, unbounded at 100 TB; spans is already
+    # hash-partitioned on h by the agg above, so the exchange is
+    # reused) tags each span occurrence, then a single per-doc agg
+    # yields both counts — no second spans aggregate, no final join.
+    tagged = spans.join(cross_doc.withColumn("_dup", F.lit(1)), "h", "left")
+    return tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("dup_spans"),
+    ).select(
+        id_col,
+        "n_spans",
+        "dup_spans",
+        (F.col("dup_spans").cast("double") / F.col("n_spans").cast("double")).alias(
+            "dup_ratio"
+        ),
     )

@@ -611,7 +611,10 @@ def pq_adc_topk(
     else:
         codes_df, books = pq_index(emb, n_subspaces, n_codes, dims)
 
-    _books, _ns = books, n_subspaces
+    # The index is self-describing: subspace count comes from the
+    # codebooks themselves, so a persisted index built with a different
+    # geometry than this call's n_subspaces still scores correctly.
+    _books, _ns = books, len(books)
 
     def score(it):  # self-contained
         import numpy as np

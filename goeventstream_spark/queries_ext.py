@@ -2466,11 +2466,15 @@ def q_resample_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'orders_custkey_orphans',
            (SELECT count(*) FROM orders
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL))
     UNION ALL
     SELECT 'lineitem_orderkey_orphans',
            (SELECT count(*) FROM lineitem
-            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderkey IS NOT NULL))
     UNION ALL
     SELECT 'orders_null_orderdate',
            (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)

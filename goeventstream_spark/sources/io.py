@@ -150,17 +150,28 @@ def write_zordered_parquet(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cluster_cols)],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cluster_cols)],
     ).collect()[0]
+    if any(stats[f"mn_{i}"] is None for i in range(len(cluster_cols))):
+        # empty input or an all-NULL cluster column: nothing to
+        # cluster on — write as-is rather than crash mid-compaction
+        df.write.mode("overwrite").parquet(path)
+        return
     binned = df
     bin_cols = []
     for i, c in enumerate(cluster_cols):
         mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
         span = (mx - mn) or 1.0
         bc = f"__zbin_{i}"
+        # NULL cluster values bin to bucket 0 explicitly (least() would
+        # otherwise skip the NULL and silently place them in the TOP
+        # bucket, polluting that row group's stats for this dimension)
         binned = binned.withColumn(
             bc,
-            F.least(
-                F.lit((1 << bits) - 1),
-                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(1 << bits)).cast("long"),
+            F.coalesce(
+                F.least(
+                    F.lit((1 << bits) - 1),
+                    ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(1 << bits)).cast("long"),
+                ),
+                F.lit(0),
             ),
         )
         bin_cols.append(bc)

@@ -265,8 +265,6 @@ def test_merge_partial_aggs_matches_direct(rows):
 def test_duplicated_spans_matches_python_model(docs):
     """duplicated_spans (window=3, stride=2) must agree with a direct
     python model of the same windowing on arbitrary token lists."""
-    import hashlib
-
     from goeventstream_spark.operators.dedup import duplicated_spans
 
     spark = _spark()
@@ -297,5 +295,3 @@ def test_duplicated_spans_matches_python_model(docs):
         dup = sum(1 for s_ in sp if len(owners[s_]) >= 2)
         want[i] = (len(sp), dup)
     assert got == want
-    # sanity on the hash: md5 agreement is assumed by the oracle
-    assert hashlib.md5(b"aa bb cc").hexdigest()

@@ -109,8 +109,6 @@ def test_clustered_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
     makes predicate-pushdown row-group skipping effective); an
     unsorted write of the same data has near-global ranges in every
     row group."""
-    import pyarrow.parquet as pq_
-
     from goeventstream_spark.sources import load_table
     from goeventstream_spark.sources.io import write_clustered_parquet
 
@@ -122,33 +120,15 @@ def test_clustered_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
     clustered = str(tmp_path / "clustered")
     write_clustered_parquet(ev, clustered, ["ts_ms"], target_files=4)
 
-    import os
-
-    spans = []
-    global_min, global_max = None, None
-    for f in os.listdir(clustered):
-        if not f.endswith(".parquet"):
-            continue
-        md = pq_.ParquetFile(os.path.join(clustered, f)).metadata
-        ts_idx = next(
-            i for i in range(md.num_columns)
-            if md.row_group(0).column(i).path_in_schema == "ts_ms"
-        )
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ts_idx).statistics
-            spans.append((st.min, st.max))
-            global_min = st.min if global_min is None else min(global_min, st.min)
-            global_max = st.max if global_max is None else max(global_max, st.max)
-    total = global_max - global_min
     # range partitioning gives each file a contiguous disjoint key
     # range, so every row-group span must sit well under the global
     # span (~1/target_files of it up to sampling skew).
     # (ts is written as epoch millis: Spark's INT96 timestamp output
     # carries no parquet min/max stats, a real layout consideration —
     # int64 epoch columns are what a stats-pruned lake stores.)
-    widest = max(mx - mn for mn, mx in spans)
+    spans, total = _rowgroup_spans(clustered, "ts_ms")
     assert len(spans) >= 4
-    assert widest < total * 0.6, (widest, total)
+    assert max(spans) < total * 0.6, (max(spans), total)
 
 
 def test_orc_roundtrip(spark, sf_dir, tmp_path):
