@@ -77,3 +77,42 @@ def train_val_test_split(
         .when(k <= F.lit(test_hex), "test")
         .otherwise("train"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: tuple[str, ...],
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the k
+    rows with the highest priority, where priority = max of ``w``
+    independent uniform draws (w = integer weight). max-of-w-uniforms
+    is distributed as u^(1/w) — the exponential-keys (Efraimidis-
+    Spirakis A-Res) priority — but computed entirely in *exact*
+    arithmetic: draws are md5 hex strings (lexicographic order on
+    lowercase hex == numeric order), so no pow()/log() float whose
+    libm rounding could differ across engines or runs.
+
+    Plan: explode(sequence(1, w)) materializes the draws (map-side,
+    xw fan-out), a per-row max aggregation collapses them (shuffle on
+    the row key), and the global top-k plans as TakeOrderedAndProject
+    (per-partition top-k + driver merge of k x partitions rows — no
+    single-partition window).
+
+    Scale contract: fan-out equals the mean weight, so this form is
+    for BOUNDED integer weights (quantities, small counts). For
+    unbounded weights, decompose w into powers of two and draw one key
+    per set bit (log2(w) fan-out) — same distribution, same exactness.
+    """
+    ks = [F.col(c) for c in key_cols]
+    draw_id = F.concat_ws("#", *ks, F.col("_r"))
+    pri = (
+        df.withColumn("_w", F.col(weight_col).cast("int"))
+        .withColumn("_r", F.explode(F.sequence(F.lit(1), F.col("_w"))))
+        .withColumn("_pri", F.md5(draw_id))
+        .groupBy(*ks)
+        .agg(F.max("_pri").alias("sample_pri"), F.min("_w").alias("weight"))
+    )
+    order = [F.col("sample_pri").desc()] + [F.col(c).asc() for c in key_cols]
+    return pri.orderBy(*order).limit(k)

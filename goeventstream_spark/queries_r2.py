@@ -1,0 +1,246 @@
+"""Round-2 additions: temporal state history (interval concurrency,
+SCD2, CDC merge), iterative graph analytics (fixed-point PageRank),
+and exact weighted sampling — each declared with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goeventstream_spark.operators import graph as gr
+from goeventstream_spark.operators import sampling as sp
+from goeventstream_spark.operators import stream_ops as so
+from goeventstream_spark.operators import temporal as tp
+from goeventstream_spark.queries import query
+from goeventstream_spark.sources import load_table
+
+# Gap-sessionization oracle fragment shared with session_stats.
+_SESSIONS_SQL = """
+  sess AS (
+    SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+    FROM (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+    ) GROUP BY user_id, session_id
+  )
+"""
+
+CDC_CUTOFF = "2024-01-16 00:00:00"
+
+
+@query(
+    "max_concurrent_sessions",
+    f"""
+    WITH {_SESSIONS_SQL},
+    b AS (
+      SELECT session_start AS ts, 1 AS delta, user_id, session_id FROM sess
+      UNION ALL
+      SELECT session_end, -1, user_id, session_id FROM sess
+    ),
+    bd AS (SELECT CAST(ts AS DATE) AS day, ts, delta, user_id, session_id FROM b),
+    runq AS (
+      SELECT day, CAST(sum(delta) OVER (PARTITION BY day
+                    ORDER BY ts, delta DESC, user_id, session_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM bd
+    ),
+    mr AS (SELECT day, max(run) AS max_run FROM runq GROUP BY day),
+    dn AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM bd GROUP BY day),
+    cr AS (
+      SELECT day, CAST(COALESCE(sum(net) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS carry
+      FROM dn
+    )
+    SELECT CAST(mr.day AS TIMESTAMP) AS day,
+           CAST(cr.carry + GREATEST(mr.max_run, 0) AS BIGINT) AS max_concurrent
+    FROM mr JOIN cr ON mr.day = cr.day
+    """,
+)
+def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval overlap: peak concurrent sessions per day,
+    computed with a two-phase (per-day + day-carry) prefix sum instead
+    of one global running-sum window. See operators/temporal.py."""
+    sessions = so.session_stats(load_table(spark, sf_dir, "events"), gap_s=3600)
+    return tp.max_concurrency_by_day(sessions)
+
+
+@query(
+    "scd2_user_activity",
+    """
+    SELECT user_id, attr, valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM (
+      SELECT user_id, event_type AS attr, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM (
+        SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+      ) WHERE prev IS NULL OR event_type <> prev
+    )
+    """,
+)
+def q_scd2_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 change tracking of each user's activity state:
+    one row per attribute run with half-open [valid_from, valid_to)
+    validity. Generalizes the reference's LWW state map into the
+    'what was the value at time t' dimension shape."""
+    return tp.scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "cdc_apply_snapshot",
+    f"""
+    WITH base AS (
+      SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    chg AS (
+      SELECT user_id, op, ts, value FROM (
+        SELECT user_id, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+           CASE WHEN c.op = 'U' THEN c.value ELSE b.value END AS value,
+           CASE WHEN c.op = 'U' THEN c.ts ELSE b.ts END AS updated_at
+    FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op = 'U'
+    """,
+)
+def q_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO: the first half-month's latest-state snapshot
+    updated by the second half-month's change stream ('error' events
+    act as deletes, everything else as LWW upserts)."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit(CDC_CUTOFF))
+    base = (
+        events.where(F.col("ts") < cutoff)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("user_id", "value", "ts")
+    )
+    changelog = events.where(F.col("ts") >= cutoff).withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    return tp.cdc_apply(base, changelog)
+
+
+@query(
+    "nation_pagerank",
+    f"""
+    WITH e AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+    norm AS (
+      SELECT e.src, e.dst, (CAST(e.w AS BIGINT) * {gr.W_SCALE}) // ow.out_w AS wn
+      FROM e JOIN ow ON e.src = ow.src
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, {gr.SCALE} // n AS rank FROM nodes, nn),
+    c1 AS (
+      SELECT dst, CAST(sum((r.rank * norm.wn) // {gr.W_SCALE}) AS BIGINT) AS in_sum
+      FROM norm JOIN r0 r ON norm.src = r.node GROUP BY dst
+    ),
+    r1 AS (
+      SELECT node, ({gr.SCALE} * 15) // (100 * n)
+                   + (85 * COALESCE(in_sum, 0)) // 100 AS rank
+      FROM nodes LEFT JOIN c1 ON node = c1.dst, nn
+    ),
+    c2 AS (
+      SELECT dst, CAST(sum((r.rank * norm.wn) // {gr.W_SCALE}) AS BIGINT) AS in_sum
+      FROM norm JOIN r1 r ON norm.src = r.node GROUP BY dst
+    ),
+    r2 AS (
+      SELECT node, ({gr.SCALE} * 15) // (100 * n)
+                   + (85 * COALESCE(in_sum, 0)) // 100 AS rank
+      FROM nodes LEFT JOIN c2 ON node = c2.dst, nn
+    ),
+    c3 AS (
+      SELECT dst, CAST(sum((r.rank * norm.wn) // {gr.W_SCALE}) AS BIGINT) AS in_sum
+      FROM norm JOIN r2 r ON norm.src = r.node GROUP BY dst
+    ),
+    r3 AS (
+      SELECT node, ({gr.SCALE} * 15) // (100 * n)
+                   + (85 * COALESCE(in_sum, 0)) // 100 AS rank
+      FROM nodes LEFT JOIN c3 ON node = c3.dst, nn
+    )
+    SELECT n.n_name, r3.rank FROM r3 JOIN nation n ON r3.node = n.n_nationkey
+    """,
+)
+def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the supplier-nation -> customer-nation
+    trade graph: the one heavy edge-aggregation stage, then 3 unrolled
+    power iterations as broadcast joins over the tiny aggregated graph.
+    Exact BIGINT arithmetic — bit-identical across engines."""
+    edges = gr.nation_trade_edges(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    ranks = gr.pagerank_fixed_point(edges, iterations=3)
+    nation = load_table(spark, sf_dir, "nation")
+    return ranks.join(
+        F.broadcast(nation), ranks.node == nation.n_nationkey
+    ).select("n_name", "rank")
+
+
+@query(
+    "weighted_sample_lineitems",
+    """
+    WITH draws AS (
+      SELECT l_orderkey, l_linenumber, w,
+             md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)
+                 || '#' || CAST(r AS VARCHAR)) AS pri
+      FROM (
+        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS w,
+               UNNEST(generate_series(1, CAST(l_quantity AS INT))) AS r
+        FROM lineitem
+      )
+    )
+    SELECT l_orderkey, l_linenumber, max(pri) AS sample_pri, min(w) AS weight
+    FROM draws GROUP BY l_orderkey, l_linenumber
+    ORDER BY sample_pri DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_weighted_sample_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sampling without replacement (quantity-weighted
+    top-100 lineitems) via the max-of-w-uniform-draws priority — all
+    md5/string arithmetic, no float pow/log. Plans the global top-k as
+    TakeOrderedAndProject."""
+    return sp.weighted_sample_topk(
+        load_table(spark, sf_dir, "lineitem"),
+        weight_col="l_quantity",
+        key_cols=("l_orderkey", "l_linenumber"),
+        k=100,
+    )

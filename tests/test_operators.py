@@ -241,3 +241,79 @@ def test_bigram_topk_counts(spark):
     assert out[("en", "a b")] == (3, 1)
     assert out[("fr", "le chat")] == (1, 1)
     assert len([k for k in out if k[0] == "en"]) == 2
+
+
+def test_max_concurrency_carry_across_midnight(spark):
+    """A session spanning midnight raises the NEXT day's base level via
+    the carry even when that day only closes sessions (max_run < 0)."""
+    from goeventstream_spark.operators.temporal import max_concurrency_by_day
+
+    rows = [
+        # two sessions open on day 1, one closes day 1, one spans into day 2
+        (1, 1, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+        (2, 1, "2024-01-01 10:30:00", "2024-01-02 01:00:00"),
+        # day 2: only the close of session (2,1) — peak there is the carry
+        # day 3: fresh session, overlapping nothing
+        (3, 1, "2024-01-03 09:00:00", "2024-01-03 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, session_id long, session_start string, session_end string"
+    ).select(
+        "user_id",
+        "session_id",
+        F.to_timestamp("session_start").alias("session_start"),
+        F.to_timestamp("session_end").alias("session_end"),
+    )
+    got = {
+        r["day"].strftime("%Y-%m-%d"): r["max_concurrent"]
+        for r in max_concurrency_by_day(df).collect()
+    }
+    assert got == {"2024-01-01": 2, "2024-01-02": 1, "2024-01-03": 1}
+
+
+def test_max_concurrency_closed_interval_touch(spark):
+    """Closed-interval semantics: a session starting exactly when
+    another ends counts as overlapping at that instant (+1 sorts
+    before -1)."""
+    from goeventstream_spark.operators.temporal import max_concurrency_by_day
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+        (2, 1, "2024-01-01 11:00:00", "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, session_id long, session_start string, session_end string"
+    ).select(
+        "user_id",
+        "session_id",
+        F.to_timestamp("session_start").alias("session_start"),
+        F.to_timestamp("session_end").alias("session_end"),
+    )
+    [r] = max_concurrency_by_day(df).collect()
+    assert r["max_concurrent"] == 2
+
+
+def test_cdc_apply_delete_insert_upsert(spark):
+    """cdc_apply: 'D' removes base keys, 'U' upserts (including keys
+    new to the snapshot), untouched base keys survive, and only the
+    LAST changelog entry per key counts."""
+    from goeventstream_spark.operators.temporal import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01 00:00:00"), (2, 20.0, "2024-01-01 00:00:00")],
+        "user_id long, value double, ts string",
+    ).select("user_id", "value", F.to_timestamp("ts").alias("ts"))
+    chg = spark.createDataFrame(
+        [
+            # key 1: upsert then delete -> gone
+            (1, "U", 11.0, "2024-01-02 00:00:00", 1),
+            (1, "D", None, "2024-01-03 00:00:00", 2),
+            # key 3: insert (not in base)
+            (3, "U", 30.0, "2024-01-02 00:00:00", 3),
+            # key 4: delete of a nonexistent key -> stays absent
+            (4, "D", None, "2024-01-02 00:00:00", 4),
+        ],
+        "user_id long, op string, value double, ts string, event_id long",
+    ).select("user_id", "op", "value", F.to_timestamp("ts").alias("ts"), "event_id")
+    got = {r["user_id"]: r["value"] for r in cdc_apply(base, chg).collect()}
+    assert got == {2: 20.0, 3: 30.0}

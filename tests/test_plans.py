@@ -161,3 +161,56 @@ def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
     part_scan = next(s for s in scans if "p_brand" in s.split("DataFilters")[0])
     assert "l_quantity" in li_scan.split("DataFilters")[1].split("]")[0]
     assert "p_brand" in part_scan.split("DataFilters")[1].split("]")[0]
+
+
+def test_weighted_sample_topk_is_take_ordered(spark, sf_dir):
+    """The weighted-sample global top-100 must plan as
+    TakeOrderedAndProject, not a global sort or single-partition
+    window — at 100 TB the priority relation has one row per item."""
+    import goeventstream_spark.queries_r2  # noqa: F401
+
+    df = q.QUERIES["weighted_sample_lineitems"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_concurrency_sweep_windows_are_day_partitioned(spark, sf_dir):
+    """The sweep-line prefix sum over the boundary relation must be
+    partitioned by day; the only unpartitioned window runs over the
+    one-row-per-day aggregate (bounded by calendar length)."""
+    import goeventstream_spark.queries_r2  # noqa: F401
+
+    df = q.QUERIES["max_concurrent_sessions"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    wins = [seg.split("\n")[0] for seg in plan.split("Window [")[1:]]
+    # sessionize (lag + cumsum) + in-day prefix sum + day carry; the
+    # explode-based boundary fan-out must NOT have duplicated the
+    # sessionize subtree (a union formulation doubles these).
+    assert len(wins) == 4, plan
+    # Exactly one window may be unpartitioned — the carry over the
+    # one-row-per-day aggregate. Physical text shows partitioned
+    # windows as "...], [partCols], [ord ASC...]", unpartitioned as
+    # "...], [ord ASC...]" — count nodes whose first bracket group
+    # after the exprs is already the sort spec.
+    unpart = [
+        w
+        for w in wins
+        if "ASC" in w.split("], [")[1] or "DESC" in w.split("], [")[1]
+    ]
+    assert len(unpart) == 1, wins
+    assert "day" in unpart[0].split("], [")[1], wins
+
+
+def test_pagerank_iterations_broadcast_no_cartesian(spark, sf_dir):
+    """After the one heavy edge aggregation, every power-iteration join
+    runs over the tiny aggregated graph: broadcast joins only, no
+    CartesianProduct, no windows, no sort-merge join on the rank
+    relation."""
+    import goeventstream_spark.queries_r2  # noqa: F401
+
+    df = q.QUERIES["nation_pagerank"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plans.has_broadcast_join(df)
