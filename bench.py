@@ -62,6 +62,10 @@ HEADLINE = [
     "hll_segment_customers",
     "tpch_q21_waiting_suppliers",
     "duplicated_spans",
+    "max_concurrent_sessions",
+    "nation_pagerank",
+    "weighted_sample_lineitems",
+    "cdc_apply_snapshot",
 ]
 
 
@@ -71,6 +75,7 @@ def main() -> None:
     from goeventstream_spark import queries as q
     import goeventstream_spark.queries_llm  # noqa: F401  (registers)
     import goeventstream_spark.queries_ext  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r2  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

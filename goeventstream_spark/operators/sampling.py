@@ -94,25 +94,34 @@ def weighted_sample_topk(
     lowercase hex == numeric order), so no pow()/log() float whose
     libm rounding could differ across engines or runs.
 
-    Plan: explode(sequence(1, w)) materializes the draws (map-side,
-    xw fan-out), a per-row max aggregation collapses them (shuffle on
-    the row key), and the global top-k plans as TakeOrderedAndProject
-    (per-partition top-k + driver merge of k x partitions rows — no
-    single-partition window).
+    Plan: each row folds its w draws in place with
+    ``array_max(transform(sequence(1, w), md5(...)))`` — map-side, no
+    exploded rows ever hit a shuffle. A groupBy on the item key then
+    merges duplicate keys (their draw ids coincide, so the union of
+    draws is just max(w) draws — the aggregation takes max priority
+    and max weight), and the global top-k plans as
+    TakeOrderedAndProject (per-partition top-k + driver merge of
+    k x partitions rows — no single-partition window).
 
-    Scale contract: fan-out equals the mean weight, so this form is
-    for BOUNDED integer weights (quantities, small counts). For
-    unbounded weights, decompose w into powers of two and draw one key
-    per set bit (log2(w) fan-out) — same distribution, same exactness.
+    Scale contract: md5 work equals the mean weight per row, so this
+    form is for BOUNDED integer weights (quantities, bucketed counts
+    — the declared query deciles its weight for exactly this reason).
+    For unbounded weights, decompose w into powers of two and draw one
+    key per set bit (log2(w) fan-out) — same distribution, same
+    exactness.
     """
     ks = [F.col(c) for c in key_cols]
-    draw_id = F.concat_ws("#", *ks, F.col("_r"))
+    row_pri = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), F.col("_w")),
+            lambda r: F.md5(F.concat_ws("#", *[F.col(c) for c in key_cols], r)),
+        )
+    )
     pri = (
         df.withColumn("_w", F.col(weight_col).cast("int"))
-        .withColumn("_r", F.explode(F.sequence(F.lit(1), F.col("_w"))))
-        .withColumn("_pri", F.md5(draw_id))
+        .select(*ks, F.col("_w"), row_pri.alias("_pri"))
         .groupBy(*ks)
-        .agg(F.max("_pri").alias("sample_pri"), F.min("_w").alias("weight"))
+        .agg(F.max("_pri").alias("sample_pri"), F.max("_w").cast("long").alias("weight"))
     )
     order = [F.col("sample_pri").desc()] + [F.col(c).asc() for c in key_cols]
     return pri.orderBy(*order).limit(k)

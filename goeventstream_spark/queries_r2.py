@@ -217,30 +217,36 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "weighted_sample_lineitems",
     """
-    WITH draws AS (
+    WITH it AS (
+      SELECT l_orderkey, l_linenumber,
+             (CAST(l_quantity AS INT) + 9) // 10 AS w
+      FROM lineitem
+    ),
+    draws AS (
       SELECT l_orderkey, l_linenumber, w,
              md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)
                  || '#' || CAST(r AS VARCHAR)) AS pri
-      FROM (
-        SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS w,
-               UNNEST(generate_series(1, CAST(l_quantity AS INT))) AS r
-        FROM lineitem
-      )
+      FROM (SELECT *, UNNEST(generate_series(1, w)) AS r FROM it)
     )
-    SELECT l_orderkey, l_linenumber, max(pri) AS sample_pri, min(w) AS weight
+    SELECT l_orderkey, l_linenumber, max(pri) AS sample_pri,
+           CAST(max(w) AS BIGINT) AS weight
     FROM draws GROUP BY l_orderkey, l_linenumber
     ORDER BY sample_pri DESC, l_orderkey, l_linenumber
     LIMIT 100
     """,
 )
 def q_weighted_sample_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact weighted sampling without replacement (quantity-weighted
-    top-100 lineitems) via the max-of-w-uniform-draws priority — all
-    md5/string arithmetic, no float pow/log. Plans the global top-k as
-    TakeOrderedAndProject."""
+    """Exact weighted sampling without replacement (top-100 lineitems
+    weighted by quantity DECILE, 1..5 — the bounded-weight contract
+    that keeps per-row draw work constant) via the max-of-w-uniform-
+    draws priority — all md5/string arithmetic, no float pow/log.
+    Plans the global top-k as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_decile", F.expr("(CAST(l_quantity AS INT) + 9) DIV 10")
+    )
     return sp.weighted_sample_topk(
-        load_table(spark, sf_dir, "lineitem"),
-        weight_col="l_quantity",
+        li,
+        weight_col="qty_decile",
         key_cols=("l_orderkey", "l_linenumber"),
         k=100,
     )
