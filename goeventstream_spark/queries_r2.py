@@ -250,3 +250,99 @@ def q_weighted_sample_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=("l_orderkey", "l_linenumber"),
         k=100,
     )
+
+
+@query(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, source, lang, n_chars FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 30
+    """,
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum quotas (30 docs per
+    source): rank within each stratum by the content-stable md5 key and
+    keep the first n. Unlike Bernoulli sampleBy, quotas are exact and
+    growth-stable (a kept doc is only displaced when a lower-keyed doc
+    arrives — no RNG). One shuffle, partitioned by stratum — scales to
+    any stratum count; per-stratum work is a bounded top-n."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 30)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+@query(
+    "snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CDC_CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    new AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{CDC_CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'I'
+                WHEN n.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.value AS old_value, n.value AS new_value
+    FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.value <> n.value
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation — the inverse of cdc_apply: diff two
+    per-key LWW snapshots (before/after the cutoff) into an I/U/D
+    changelog, dropping unchanged keys. Both snapshots partition on the
+    key, so the reductions and the full-outer join share one shuffle
+    key; at 100 TB this is the standard reconciliation / anti-entropy
+    scan."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit(CDC_CUTOFF))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def snap(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "value")
+        )
+
+    old = snap(events.where(F.col("ts") < cutoff)).withColumnRenamed("value", "old_value")
+    new = snap(events.where(F.col("ts") >= cutoff)).withColumnRenamed("value", "new_value")
+    j = old.join(new, "user_id", "full_outer")
+    return (
+        j.where(
+            F.col("old_value").isNull()
+            | F.col("new_value").isNull()
+            | (F.col("old_value") != F.col("new_value"))
+        )
+        .select(
+            "user_id",
+            F.when(F.col("old_value").isNull(), "I")
+            .when(F.col("new_value").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            "old_value",
+            "new_value",
+        )
+    )

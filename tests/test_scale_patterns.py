@@ -302,3 +302,50 @@ def test_pq_index_persistence_roundtrip(spark, sf_dir, tmp_path):
         for r in similarity.pq_adc_topk(emb, qs, k=5).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime row-level filtering: when a selective dim-side filter
+    feeds a shuffle join, the optimizer should inject a bloom filter
+    (might_contain) on the fact side so non-matching rows die at the
+    scan instead of crossing the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~1/5 that survives. Fixture scans sit below the 10 GB
+    application-side default, so the thresholds shrink to engage the
+    same code path the cluster would use."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        # broadcast joins skip bloom injection (broadcast already
+        # prunes); force the shuffle-join shape the filter targets
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan or "bloom" in plan.lower(), plan
+        # and the result is still correct
+        [row] = j.collect()
+        expected = (
+            li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey).count()
+        )
+        assert row["count"] == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
