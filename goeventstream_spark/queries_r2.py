@@ -346,3 +346,114 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_value",
         )
     )
+
+
+@query(
+    "trade_reach_hops",
+    f"""
+    WITH e0 AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    sparse AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM e0
+      ) WHERE rn <= 2
+    ),
+    reach AS (
+      WITH RECURSIVE r(node, hop) AS (
+        SELECT CAST(0 AS INT) AS node, 0 AS hop
+        UNION ALL
+        SELECT sparse.dst AS node, r.hop + 1 AS hop
+        FROM r JOIN sparse ON sparse.src = r.node
+        WHERE r.hop < 3
+      )
+      SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM r GROUP BY node
+    )
+    SELECT n.n_name, reach.hops
+    FROM reach JOIN nation n ON reach.node = n.n_nationkey
+    """,
+)
+def q_trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph reachability via a RECURSIVE CTE (Spark 4 SQL surface):
+    minimum trade-hops from nation 0 over each nation's top-2 heaviest
+    outbound trade lanes, depth-bounded at 3. The heavy stage is the
+    one edge aggregation; the recursion expands over the tiny sparse
+    graph (<= 2 successors/node, <= 3 hops), so the iterative part is
+    broadcast-sized — the same scale split as nation_pagerank."""
+    for t in ("lineitem", "supplier", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_rh")
+    return spark.sql(
+        """
+        WITH e0 AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+          FROM lineitem_rh l
+          JOIN supplier_rh s ON l.l_suppkey = s.s_suppkey
+          JOIN orders_rh o ON l.l_orderkey = o.o_orderkey
+          JOIN customer_rh c ON o.o_custkey = c.c_custkey
+          WHERE s.s_nationkey <> c.c_nationkey
+          GROUP BY 1, 2
+        ),
+        sparse AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+            FROM e0
+          ) WHERE rn <= 2
+        ),
+        reach AS (
+          WITH RECURSIVE r(node, hop) AS (
+            SELECT CAST(0 AS INT) AS node, 0 AS hop
+            UNION ALL
+            SELECT sparse.dst AS node, r.hop + 1 AS hop
+            FROM r JOIN sparse ON sparse.src = r.node
+            WHERE r.hop < 3
+          )
+          SELECT node, CAST(min(hop) AS BIGINT) AS hops FROM r GROUP BY node
+        )
+        SELECT n.n_name, reach.hops
+        FROM reach JOIN nation_rh n ON reach.node = n.n_nationkey
+        """
+    )
+
+
+@query(
+    "props_variant_stats",
+    """
+    SELECT event_type,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           count(k) AS n
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    parse the JSON props column ONCE into a variant, then typed-path
+    extraction — the columnar-shredded path a lakehouse uses instead of
+    per-field get_json_object string re-parsing. Exact integer
+    aggregates; oracle mirrors with DuckDB json_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n"),
+        )
+    )

@@ -317,3 +317,67 @@ def test_cdc_apply_delete_insert_upsert(spark):
     ).select("user_id", "op", "value", F.to_timestamp("ts").alias("ts"), "event_id")
     got = {r["user_id"]: r["value"] for r in cdc_apply(base, chg).collect()}
     assert got == {2: 20.0, 3: 30.0}
+
+
+def test_udtf_chunk_text_lateral(spark):
+    """Python UDTF surface (Spark 4): a table function exploding each
+    doc into fixed-size chunks, invoked via SQL LATERAL join. UDTFs are
+    the sanctioned 1->N Python row generator (the imperative cousin of
+    text.chunk_documents' pure-expression explode — which remains the
+    100 TB hot path; this pins the API works for logic that genuinely
+    needs Python)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: int, chunk: string")
+    class ChunkText:
+        def eval(self, text: str, size: int):
+            if text is None:
+                return
+            for i in range(0, len(text), size):
+                yield i // size, text[i : i + size]
+
+    spark.udtf.register("chunk_text", ChunkText)
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "xy"), (3, None)], "doc_id long, body string"
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT doc_id, c.chunk_id, c.chunk
+        FROM udtf_docs, LATERAL chunk_text(body, 3) AS c
+        ORDER BY doc_id, chunk_id
+        """
+    ).collect()
+    got = [(r.doc_id, r.chunk_id, r.chunk) for r in rows]
+    assert got == [
+        (1, 0, "abc"),
+        (1, 1, "def"),
+        (1, 2, "gh"),
+        (2, 0, "xy"),
+    ]
+
+
+def test_observe_inflight_quality_metrics(spark, sf_dir):
+    """Observation metrics (df.observe): data-quality counters computed
+    IN the same pass as the real query — zero extra scans, the way a
+    100 TB pipeline audits itself without doubling I/O."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("dq")
+    out = (
+        ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+            F.max("ts").alias("max_ts"),
+        )
+        .groupBy("event_type")
+        .count()
+    )
+    n_types = out.count()
+    m = obs.get
+    assert n_types > 0
+    assert m["rows_seen"] == ev.count()
+    assert m["null_values"] == 0
+    assert m["max_ts"] is not None
