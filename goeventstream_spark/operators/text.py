@@ -342,3 +342,44 @@ def token_diversity(docs: DataFrame) -> DataFrame:
         (F.col("n_types").cast("double") / n).alias("type_token_ratio"),
         (F.lit(1.0) - F.col("sum_sq").cast("double") / (n * n)).alias("simpson_diversity"),
     )
+
+
+def ngram_novelty(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's DISTINCT
+    bigrams that appear in NO other document — high novelty marks
+    original content, low novelty marks boilerplate/duplication (the
+    memorization-risk signal a training-data pipeline tracks alongside
+    dedup).
+
+    Plan: shuffle-free zip_with bigram generation, distinct on
+    (doc, bigram), one bigram-keyed aggregation for document frequency,
+    join back on bigram, one doc-keyed aggregation. All counts are
+    integers; the final ratio is a single IEEE division (exact and
+    engine-identical given identical operands).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.expr(
+        "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    db = (
+        docs.withColumn("_w", words)
+        .where(F.size("_w") >= 2)
+        .select(id_col, F.explode(bigrams).alias("bigram"))
+        .distinct()
+    )
+    bf = db.groupBy("bigram").agg(F.count("*").alias("_ndocs"))
+    return (
+        db.join(bf, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum((F.col("_ndocs") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_bigrams")).alias("novelty"),
+        )
+    )

@@ -457,3 +457,92 @@ def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").alias("n"),
         )
     )
+
+
+@query(
+    "ngram_novelty",
+    """
+    WITH w AS (
+      SELECT doc_id, word, pos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    db AS (
+      SELECT DISTINCT doc_id, bigram FROM (
+        SELECT doc_id,
+               word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM w
+      ) WHERE bigram IS NOT NULL
+    ),
+    bf AS (SELECT bigram, count(*) AS ndocs FROM db GROUP BY bigram)
+    SELECT db.doc_id, count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN bf.ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN bf.ndocs = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+    FROM db JOIN bf ON db.bigram = bf.bigram
+    GROUP BY db.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram novelty (share of bigrams unique to the doc) —
+    the boilerplate/memorization-risk quality signal. See
+    text.ngram_novelty for the plan anatomy."""
+    from goeventstream_spark.operators import text as tx
+
+    return tx.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "cms_token_counts",
+    """
+    WITH toks AS (
+      SELECT word AS token FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    cells AS (
+      SELECT i.row_i,
+             CAST(('0x' || substr(md5(CAST(i.row_i AS VARCHAR) || '|' || token), 1, 2))::BIGINT
+                  % 256 AS INT) AS bucket
+      FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(row_i)
+    ),
+    cms AS (SELECT row_i, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    exact AS (
+      SELECT token, count(*) AS exact_n FROM toks GROUP BY token
+      ORDER BY exact_n DESC, token LIMIT 20
+    ),
+    probes AS (
+      SELECT token, exact_n, i.row_i,
+             CAST(('0x' || substr(md5(CAST(i.row_i AS VARCHAR) || '|' || token), 1, 2))::BIGINT
+                  % 256 AS INT) AS bucket
+      FROM exact CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(row_i)
+    )
+    SELECT p.token, CAST(min(p.exact_n) AS BIGINT) AS exact_n,
+           CAST(min(cms.cnt) AS BIGINT) AS cms_est
+    FROM probes p JOIN cms ON p.row_i = cms.row_i AND p.bucket = cms.bucket
+    GROUP BY p.token
+    """,
+)
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation for the corpus's 20 most
+    frequent tokens, alongside exact counts (est >= exact; gap =
+    collision bias). The sketch build is one bounded-cardinality
+    aggregation (4 x 256 cells) and merges associatively across
+    partitions/days — see operators/sketches.py."""
+    from goeventstream_spark.operators import sketches as sk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    cms = sk.cms_build(toks, "token", depth=4, width=256)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(20)
+    )
+    est = sk.cms_estimate(cms, top.select("token"), "token", depth=4, width=256)
+    return top.join(est, "token").select("token", "exact_n", "cms_est")

@@ -349,3 +349,35 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cms_upper_bound_and_partial_merge(spark, sf_dir):
+    """CMS invariants: (1) every estimate >= the true count (min over
+    rows can only over-count via collisions, never under-count);
+    (2) sketches built on disjoint halves of the corpus and summed
+    cell-wise equal the whole-corpus sketch — the associative partial
+    merge that lets per-day sketches re-aggregate without rescans."""
+    from goeventstream_spark.operators import sketches as sk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).alias("token")
+        ).where(F.col("token") != "")
+    )
+    cms = sk.cms_build(toks, "token")
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_n")).limit(200)
+    est = sk.cms_estimate(cms, exact.select("token"), "token")
+    joined = exact.join(est, "token").collect()
+    assert joined and all(r["cms_est"] >= r["exact_n"] for r in joined)
+
+    half_a = sk.cms_build(toks.where(F.col("doc_id") % 2 == 0), "token")
+    half_b = sk.cms_build(toks.where(F.col("doc_id") % 2 == 1), "token")
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r["row_i"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    got = {(r["row_i"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == full
