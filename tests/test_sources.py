@@ -236,3 +236,85 @@ def test_jsonl_corrupt_record_capture(spark, tmp_path):
     bad = sorted(r._corrupt_record for r in rows if r._corrupt_record is not None)
     assert good == [1, 2]
     assert len(bad) == 2 and any("not json" in b for b in bad)
+
+
+def test_protocol_events_datasource_batch_deterministic(spark):
+    """Python Data Source (Spark 4) batch read: the R1 live-ingest
+    analogue is partition-parallel and fully deterministic — two reads
+    agree row-for-row, every (tick, client) yields exactly one event,
+    and the client space splits across the requested partitions."""
+    from goeventstream_spark.sources import protocol_source
+
+    protocol_source.register(spark)
+    df = (
+        spark.read.format("protocol_events")
+        .option("n_clients", 6)
+        .option("ticks", 40)
+        .option("numPartitions", 3)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted(df.collect(), key=lambda r: r.event_id)
+    assert len(rows) == 6 * 40
+    again = sorted(df.collect(), key=lambda r: r.event_id)
+    assert rows == again
+    types = {r.event_type for r in rows}
+    assert types <= {"view", "click", "purchase", "error", "signup"}
+    # tick clock: consecutive ticks are 50ms apart
+    by_client0 = [r for r in rows if r.user_id == 0]
+    deltas = {
+        int((b.ts - a.ts).total_seconds() * 1000)
+        for a, b in zip(by_client0, by_client0[1:])
+    }
+    assert deltas == {50}
+
+
+def test_protocol_events_datasource_stream_matches_batch(spark, tmp_path):
+    """Streaming read from the custom source: two micro-batches advance
+    the tick offset; the accumulated rows equal the batch read over the
+    same tick range (replayable offsets == exactly-once semantics)."""
+    from goeventstream_spark.sources import protocol_source
+
+    protocol_source.register(spark)
+    stream = (
+        spark.readStream.format("protocol_events")
+        .option("n_clients", 4)
+        .option("ticks_per_batch", 10)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("proto_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        # wait until at least 2 batches (>= 80 rows) have landed
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM proto_stream").collect()[0].c
+            if n >= 80:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT event_id, user_id, event_type, value FROM proto_stream"
+        ).collect()
+    }
+    n_ticks = max(eid // 1_000_000 for eid, *_ in got) + 1
+    want = {
+        (r.event_id, r.user_id, r.event_type, r.value)
+        for r in spark.read.format("protocol_events")
+        .option("n_clients", 4)
+        .option("ticks", n_ticks)
+        .load()
+        .collect()
+    }
+    assert got == want and len(got) >= 80
