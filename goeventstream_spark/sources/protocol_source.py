@@ -43,13 +43,17 @@ class _Slice(InputPartition):
         self.lo, self.hi, self.t0, self.t1 = lo, hi, t0, t1
 
 
-def _gen(lo: int, hi: int, t0: int, t1: int):
-    """Deterministic events for clients [lo, hi) over ticks [t0, t1)."""
+def _gen(lo: int, hi: int, t0: int, t1: int, silent_client: int = -1, silent_after: int = 0):
+    """Deterministic events for clients [lo, hi) over ticks [t0, t1).
+    ``silent_client`` stops polling at tick ``silent_after`` — the
+    went-away client the liveness sweep (R4) must detect."""
     import datetime as dt
     import hashlib
 
     for tick in range(t0, t1):
         for client in range(lo, hi):
+            if client == silent_client and tick >= silent_after:
+                continue
             h = hashlib.md5(f"{tick}|{client}".encode()).hexdigest()
             hv = int(h[:8], 16)
             ts = dt.datetime.fromtimestamp(
@@ -69,6 +73,8 @@ class _BatchReader(DataSourceReader):
         self.n_clients = int(options.get("n_clients", 8))
         self.ticks = int(options.get("ticks", 100))
         self.num_partitions = int(options.get("numPartitions", 4))
+        self.silent_client = int(options.get("silent_client", -1))
+        self.silent_after = int(options.get("silent_after", 0))
 
     def partitions(self):
         n, p = self.n_clients, self.num_partitions
@@ -78,7 +84,10 @@ class _BatchReader(DataSourceReader):
         ]
 
     def read(self, partition):
-        yield from _gen(partition.lo, partition.hi, partition.t0, partition.t1)
+        yield from _gen(
+            partition.lo, partition.hi, partition.t0, partition.t1,
+            self.silent_client, self.silent_after,
+        )
 
 
 class _StreamReader(DataSourceStreamReader):
@@ -86,6 +95,8 @@ class _StreamReader(DataSourceStreamReader):
         self.n_clients = int(options.get("n_clients", 8))
         self.ticks_per_batch = int(options.get("ticks_per_batch", 20))
         self.num_partitions = int(options.get("numPartitions", 2))
+        self.silent_client = int(options.get("silent_client", -1))
+        self.silent_after = int(options.get("silent_after", 0))
         self._tick = 0
 
     def initialOffset(self):
@@ -105,7 +116,10 @@ class _StreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition):
-        yield from _gen(partition.lo, partition.hi, partition.t0, partition.t1)
+        yield from _gen(
+            partition.lo, partition.hi, partition.t0, partition.t1,
+            self.silent_client, self.silent_after,
+        )
 
     def commit(self, end):
         pass

@@ -246,3 +246,58 @@ def test_foreach_batch_transactional_partitioned_sink(spark, sf_dir, tmp_path_fa
     one_day = g[0].event_date
     pruned = spark.read.parquet(lake).where(F.col("event_date") == F.lit(one_day))
     assert pruned.count() == next(r["count"] for r in g if r.event_date == one_day)
+
+
+def test_protocol_source_live_ingest_registry(spark):
+    """The full R1 wire path on the CUSTOM Python Data Source: the
+    protocol_events stream feeds client_registry directly — connects on
+    first contact, LWW state updates per poll, and a _d for the client
+    that goes silent once the watermark passes last_seen + timeout.
+    Complements the rate-source variant: here the source itself speaks
+    the protocol's tick clock (50 ms/tick, md5-deterministic payloads)."""
+    import time
+
+    from goeventstream_spark.sources import protocol_source
+    from goeventstream_spark.streaming.stateful import client_registry
+
+    protocol_source.register(spark)
+    # 3 clients; client 2 goes silent at tick 40 (t=2s). timeout 2s ->
+    # its _d stamps at tick-40-ts + 2s once the watermark (driven by
+    # still-polling clients) passes that point. 40 ticks/batch = 2s of
+    # event time per micro-batch.
+    raw = (
+        spark.readStream.format("protocol_events")
+        .option("n_clients", 3)
+        .option("ticks_per_batch", 40)
+        .option("numPartitions", 2)
+        .option("silent_client", 2)
+        .option("silent_after", 40)
+        .load()
+    )
+    events = raw.select(
+        "user_id", "ts", F.to_json(F.struct("event_type", "value")).alias("props")
+    )
+    out = client_registry(events, timeout_ms=2_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("proto_reg_out")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM proto_reg_out").collect()
+            if any(r.marker == "_d" and r.user_id == 2 for r in rows):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    connects = {r.user_id for r in rows if r.marker == "_c"}
+    assert connects == {0, 1, 2}, f"missing connects: {connects}"
+    d_rows = [r for r in rows if r.marker == "_d" and r.user_id == 2]
+    assert d_rows, "silent client never swept"
+    # last poll at tick 39 -> _d = base + 39*50ms + 2000ms
+    assert d_rows[0].event_ms == protocol_source.BASE_MS + 39 * 50 + 2_000
