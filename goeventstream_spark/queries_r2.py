@@ -546,3 +546,204 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = sk.cms_estimate(cms, top.select("token"), "token", depth=4, width=256)
     return top.join(est, "token").select("token", "exact_n", "cms_est")
+
+
+@query(
+    "robust_outliers",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type, abs(c.cents - med.med) AS dev
+      FROM c JOIN med ON c.event_type = med.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, min(med.med) AS med_cents, min(mad.mad) AS mad_cents,
+           CAST(sum(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev
+    JOIN mad ON dev.event_type = mad.event_type
+    JOIN med ON dev.event_type = med.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event type — the
+    heavy-tail-safe alternative to z-scores. All arithmetic happens in
+    exact integer-cents space (medians of integers interpolate to .5s,
+    deviations to .25s — every intermediate is exactly representable,
+    so both engines agree bit-for-bit). Two percentile passes + the
+    deviation join all share the event_type shuffle key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med_cents"),
+            F.min("mad").alias("mad_cents"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "histogram_quantiles",
+    """
+    WITH b AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bucket,
+             count(*) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM b
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b)
+    SELECT
+      (SELECT min(bucket) FROM cum, tot WHERE cum >= (n + 1) // 2) * 10000 AS p50_lo_cents,
+      (SELECT min(bucket) FROM cum, tot WHERE cum >= (95 * n + 99) // 100) * 10000 AS p95_lo_cents,
+      (SELECT n FROM tot) AS n
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a mergeable integer histogram: bucket order
+    totals into $100 bins (one bounded-cardinality aggregation — the
+    sketch), then read p50/p95 off the cumulative counts. The histogram
+    relation is tiny, so its running sum is a bounded window; at 100 TB
+    per-partition histograms merge by bucket-wise addition first (the
+    CMS/HLL contract) and only the merged ~thousands-row relation sees
+    the quantile walk. Bucket lower bound is the answer — exact
+    integer semantics, no interpolation ambiguity."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = (
+        orders.select(
+            (F.round(F.col("o_totalprice") * 100).cast("long") / F.lit(10000))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.withColumn("cum", F.sum("cnt").over(w))
+    tot = b.agg(F.sum("cnt").cast("long").alias("n"))
+    cj = cum.crossJoin(F.broadcast(tot))
+    p50 = (
+        cj.where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .agg((F.min("bucket") * 10000).alias("p50_lo_cents"))
+    )
+    p95 = (
+        cj.where(F.col("cum") >= F.expr("(95 * n + 99) DIV 100"))
+        .agg((F.min("bucket") * 10000).alias("p95_lo_cents"))
+    )
+    return p50.crossJoin(p95).crossJoin(tot)
+
+
+@query(
+    "null_safe_join_status",
+    """
+    WITH a AS (
+      SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS n_even
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS n_odd
+      FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+    )
+    SELECT a.k, a.n_even, b.n_odd
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_null_safe_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics MERGE/dedup
+    pipelines need when the join key is legitimately nullable. Open
+    orders map to a NULL key on both sides and still pair up."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.expr("nullif(o_orderstatus, 'O')")
+    a = (
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_even"))
+    )
+    b = (
+        orders.where(F.col("o_orderkey") % 2 == 1)
+        .select(k.alias("k2"))
+        .groupBy("k2")
+        .agg(F.count("*").alias("n_odd"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k2)).select("k", "n_even", "n_odd")
+
+
+@query(
+    "argmax_user_state",
+    """
+    SELECT user_id,
+           arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_type,
+           arg_min(value, epoch_ms(ts) * 1000000 + event_id) AS first_value,
+           arg_max(value, epoch_ms(ts) * 1000000 + event_id) AS last_value,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def q_argmax_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax) aggregation surface: per-user
+    latest/earliest attributes in ONE aggregation pass — no
+    row_number window, no self-join. The ordering key packs
+    (millis, event_id) into one BIGINT (exact while event_id < 1e6,
+    which the fixtures guarantee; at larger scales widen to a struct
+    ordering)."""
+    ev = load_table(spark, sf_dir, "events")
+    ok = F.expr("unix_millis(ts) * 1000000 + event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", ok).alias("last_type"),
+        F.min_by("value", ok).alias("first_value"),
+        F.max_by("value", ok).alias("last_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "throttled_events",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_throttled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate limiting / dedup-throttle: keep only the FIRST event per
+    (user, type, minute) bucket — the alert-suppression shape. Bucketed
+    keep-first is the scale-safe form of 'drop events within N seconds
+    of the last kept one' (which is inherently sequential); one
+    window shuffle on the full key."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = F.date_trunc("minute", F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type", minute).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", minute.cast("timestamp").alias("minute"))
+    )
