@@ -633,26 +633,37 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     b = (
         orders.select(
-            (F.round(F.col("o_totalprice") * 100).cast("long") / F.lit(10000))
-            .cast("long")
-            .alias("bucket")
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 10000").alias(
+                "bucket"
+            )
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
+    # ONE traversal: running count + grand total both as windows over
+    # the tiny bucket relation (total = full-frame max of the running
+    # sum), then a single conditional-min aggregation reads both
+    # quantiles. The fact table is scanned exactly once.
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = b.withColumn("cum", F.sum("cnt").over(w))
-    tot = b.agg(F.sum("cnt").cast("long").alias("n"))
-    cj = cum.crossJoin(F.broadcast(tot))
-    p50 = (
-        cj.where(F.col("cum") >= F.expr("(n + 1) DIV 2"))
-        .agg((F.min("bucket") * 10000).alias("p50_lo_cents"))
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    p95 = (
-        cj.where(F.col("cum") >= F.expr("(95 * n + 99) DIV 100"))
-        .agg((F.min("bucket") * 10000).alias("p95_lo_cents"))
+    cum = b.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.max(F.sum("cnt").over(w)).over(w_all)
     )
-    return p50.crossJoin(p95).crossJoin(tot)
+    return cum.agg(
+        (
+            F.min(F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("bucket")))
+            * 10000
+        ).alias("p50_lo_cents"),
+        (
+            F.min(
+                F.when(F.col("cum") >= F.expr("(95 * n + 99) DIV 100"), F.col("bucket"))
+            )
+            * 10000
+        ).alias("p95_lo_cents"),
+        F.max("n").cast("long").alias("n"),
+    )
 
 
 @query(
