@@ -758,3 +758,37 @@ def q_throttled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", minute.cast("timestamp").alias("minute"))
     )
+
+
+@query(
+    "embedding_array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           list_reduce(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE)),
+                       (a, b) -> a + b) AS l1,
+           CAST(len(list_filter(embedding, x -> x <> 0)) AS INT) AS nnz,
+           CAST(list_reduce(embedding, (a, b) -> greatest(a, b)) AS DOUBLE) AS vmax,
+           CAST(list_reduce(embedding, (a, b) -> least(a, b)) AS DOUBLE) AS vmin
+    FROM embeddings
+    """,
+)
+def q_embedding_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function battery over the embedding column:
+    size, L1 norm via an ORDERED left fold (aggregate/list_reduce —
+    float addition isn't associative, so only the fold form is
+    engine-exact; a groupBy-sum over exploded elements would not be),
+    filter-count, and fold-max/min. All map-side; at 100 TB this is a
+    pure scan projection with no shuffle at all."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = lambda x: x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda acc, x: acc + F.abs(to_d(x))
+        ).alias("l1"),
+        F.size(F.filter(F.col("embedding"), lambda x: x != 0)).alias("nnz"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.array_min("embedding").cast("double").alias("vmin"),
+    )
