@@ -792,3 +792,47 @@ def q_embedding_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("embedding").cast("double").alias("vmax"),
         F.array_min("embedding").cast("double").alias("vmin"),
     )
+
+
+@query(
+    "time_weighted_value",
+    """
+    SELECT user_id,
+           CAST(sum(cents * dur_ms) AS BIGINT) AS weighted_sum,
+           CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+           count(*) AS n_intervals,
+           CAST(sum(cents * dur_ms) AS DOUBLE) / sum(dur_ms) / 100 AS twap
+    FROM (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS dur_ms
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE dur_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's LWW state value (TWAP):
+    every event sets the value until the next one, so the mean weights
+    each value by how long it was current — the honest aggregate for
+    irregularly-sampled state (a plain avg over-weights chatty
+    periods). Products and sums stay in exact BIGINT
+    (cents x duration-ms); only the final ratio is a float. One window
+    + one aggregation, both on the user_id shuffle key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")).alias("dur_ms"),
+    ).where(F.col("dur_ms").isNotNull())
+    return iv.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur_ms")).alias("weighted_sum"),
+        F.sum("dur_ms").alias("total_ms"),
+        F.count("*").alias("n_intervals"),
+        (
+            F.sum(F.col("cents") * F.col("dur_ms")).cast("double")
+            / F.sum("dur_ms")
+            / F.lit(100)
+        ).alias("twap"),
+    )
