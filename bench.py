@@ -66,6 +66,8 @@ HEADLINE = [
     "nation_pagerank",
     "weighted_sample_lineitems",
     "cdc_apply_snapshot",
+    "cms_token_counts",
+    "ngram_novelty",
 ]
 
 

@@ -1,6 +1,10 @@
-"""Round-2 additions: temporal state history (interval concurrency,
-SCD2, CDC merge), iterative graph analytics (fixed-point PageRank),
-and exact weighted sampling — each declared with a DuckDB oracle.
+"""Round-2 additions, each declared with a DuckDB oracle: temporal
+state history (interval concurrency, SCD2, CDC merge + snapshot-diff,
+TWAP), iterative graph analytics (fixed-point PageRank, recursive-CTE
+reachability), exact weighted/stratified sampling, robust statistics
+(median/MAD, histogram quantiles), count-min sketch, n-gram novelty,
+and Spark-4 surface coverage (VARIANT, null-safe join, max_by,
+higher-order array folds).
 """
 
 from __future__ import annotations
@@ -835,4 +839,131 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dur_ms")
             / F.lit(100)
         ).alias("twap"),
+    )
+
+
+@query(
+    "basket_pair_lift",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    pc AS (
+      SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n FROM orders)
+    SELECT p.part_a, p.part_b, p.n_ab,
+           pa.n_orders AS n_a, pb.n_orders AS n_b,
+           CAST(p.n_ab * tot.n AS DOUBLE) / (pa.n_orders * pb.n_orders) AS lift
+    FROM pairs p
+    JOIN pc pa ON p.part_a = pa.l_partkey
+    JOIN pc pb ON p.part_b = pb.l_partkey
+    CROSS JOIN tot
+    ORDER BY p.n_ab DESC, lift DESC, p.part_a, p.part_b
+    LIMIT 50
+    """,
+)
+def q_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: part pairs bought in the
+    same order, scored by lift = P(a,b) / (P(a)P(b)). Pair generation
+    is a SELF-JOIN ON THE ORDER KEY — co-partitioned, and bounded by
+    the per-order line count (<= 7 lines -> <= 21 pairs/order), never
+    an all-pairs product over parts. Counts stay integer; lift is one
+    float ratio; the global top-50 plans as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    pc = li.groupBy("l_partkey").agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    tot = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.count_distinct("o_orderkey").cast("long").alias("n"))
+    )
+    out = (
+        pairs.join(
+            pc.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            pc.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            ((F.col("n_ab") * F.col("n")).cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+                "lift"
+            ),
+        )
+    )
+    return out.orderBy(
+        F.col("n_ab").desc(), F.col("lift").desc(), "part_a", "part_b"
+    ).limit(50)
+
+
+@query(
+    "cohort_ltv",
+    """
+    WITH first_order AS (
+      SELECT o_custkey, strftime(min(o_orderdate), '%Y-%m') AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+      SELECT f.cohort_month, strftime(o.o_orderdate, '%Y-%m') AS order_month,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort_month, order_month,
+           CAST(rev AS DOUBLE) AS month_revenue,
+           CAST(sum(rev) OVER (PARTITION BY cohort_month ORDER BY order_month
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+    FROM monthly
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order month,
+    revenue accumulated per cohort across calendar months. Decimal sums
+    (exact, order-free) cast to double only at the edge; the running
+    total windows over the tiny (cohort x month) aggregate, partitioned
+    by cohort. The first-order reduction and the revenue join share the
+    custkey shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    fo = orders.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort_month")
+    )
+    monthly = (
+        orders.join(fo, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("cohort_month").orderBy("order_month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.select(
+        "cohort_month",
+        "order_month",
+        F.col("rev").cast("double").alias("month_revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
     )
