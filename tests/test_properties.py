@@ -9,6 +9,7 @@ import datetime as dt
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -295,3 +296,110 @@ def test_duplicated_spans_matches_python_model(docs):
         dup = sum(1 for s_ in sp if len(owners[s_]) >= 2)
         want[i] = (len(sp), dup)
     assert got == want
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # user
+        st.integers(min_value=0, max_value=200_000),  # start offset s
+        st.integers(min_value=0, max_value=100_000),  # duration s
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(intervals_strategy)
+def test_max_concurrency_matches_bruteforce(triples):
+    """Two-phase sweep-line == brute-force overlap counting at every
+    boundary instant (closed intervals), grouped to per-day maxima —
+    including multi-day spans and day-boundary carries."""
+    from goeventstream_spark.operators.temporal import max_concurrency_by_day
+
+    spark = _spark()
+    rows = [
+        (u, sid, EPOCH + dt.timedelta(seconds=s), EPOCH + dt.timedelta(seconds=s + d))
+        for sid, (u, s, d) in enumerate(triples)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("session_id", LongType()),
+                StructField("session_start", TimestampType()),
+                StructField("session_end", TimestampType()),
+            ]
+        ),
+    )
+    got = {
+        r["day"].date(): r["max_concurrent"]
+        for r in max_concurrency_by_day(df).collect()
+    }
+    # brute force: concurrency at each boundary instant; max per the
+    # instant's day (only days containing boundaries are emitted)
+    bounds = sorted({r[2] for r in rows} | {r[3] for r in rows})
+    want: dict = {}
+    for t in bounds:
+        n = sum(1 for r in rows if r[2] <= t <= r[3])
+        d = t.date()
+        want[d] = max(want.get(d, 0), n)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # user
+            st.sampled_from(["U", "D"]),
+            st.integers(min_value=0, max_value=500),  # seconds
+            st.integers(min_value=0, max_value=99),  # value
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_cdc_apply_matches_dict_model(ops):
+    """cdc_apply == a sequential dict replay of the changelog over the
+    base snapshot (ties broken by event_id, matching the declared
+    (ts, event_id) order)."""
+    from goeventstream_spark.operators.temporal import cdc_apply
+
+    spark = _spark()
+    base_rows = [(u, float(u * 10), EPOCH) for u in range(3)]
+    chg_rows = [
+        (u, op, float(v), EPOCH + dt.timedelta(seconds=s), i)
+        for i, (u, op, s, v) in enumerate(ops)
+    ]
+    base = spark.createDataFrame(
+        base_rows,
+        StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("value", DoubleType()),
+                StructField("ts", TimestampType()),
+            ]
+        ),
+    )
+    chg = spark.createDataFrame(
+        chg_rows,
+        StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("op", StringType()),
+                StructField("value", DoubleType()),
+                StructField("ts", TimestampType()),
+                StructField("event_id", LongType()),
+            ]
+        ),
+    )
+    got = {r["user_id"]: r["value"] for r in cdc_apply(base, chg).collect()}
+    snap = {u: v for u, v, _ in base_rows}
+    for u, op, v, ts, i in sorted(chg_rows, key=lambda r: (r[3], r[4])):
+        if op == "D":
+            snap.pop(u, None)
+        else:
+            snap[u] = v
+    assert got == snap
