@@ -228,6 +228,7 @@ def server_log(
         "proxy_id",
         (F.col("poll_ms") + CLIENT_TIMEOUT_MS).alias("_ms"),
         F.lit(0).alias("_side"),
+        F.col("sync_id").alias("_sid"),
         F.lit(None).cast("long").alias("_sync_t"),
     )
     sync_rows = conn.select(
@@ -237,11 +238,18 @@ def server_log(
         F.lit(None).cast("string").alias("proxy_id"),
         F.col("poll_ms").alias("_ms"),
         F.lit(1).alias("_side"),
+        F.col("sync_id").alias("_sid"),
         F.col("assign_t").alias("_sync_t"),
     )
+    # _sid DESC makes the running last() pick the SMALLEST sync_id
+    # among syncs tied on the same millisecond — the reference's
+    # arrival order (our declared (poll_ms, sync_id) serialization).
+    # Without it the tie order is physical-partition-dependent: at
+    # sf0.1 (~26 polls/s, frequent ms collisions) two runs assigned
+    # different t to a handful of _d rows.
     wd = (
         Window.partitionBy("game", "gen")
-        .orderBy(F.col("_ms").desc(), F.col("_side").asc())
+        .orderBy(F.col("_ms").desc(), F.col("_side").asc(), F.col("_sid").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     detected = (

@@ -606,21 +606,21 @@ def _proto_ctes(game_expr: str) -> str:
       WHERE rn = 1
     ),
     conn_last AS (
-      SELECT game, gen, user_id, proxy_id, poll_ms + 10000 AS _ms
+      SELECT game, gen, user_id, proxy_id, sync_id AS _sid, poll_ms + 10000 AS _ms
       FROM (SELECT *, row_number() OVER (PARTITION BY game, gen, user_id, conn_id
                                          ORDER BY poll_ms DESC, sync_id DESC) AS rn FROM conn)
       WHERE rn = 1
     ),
     merged AS (
-      SELECT game, gen, proxy_id, _ms, 0 AS _side, CAST(NULL AS BIGINT) AS _sync_t
+      SELECT game, gen, proxy_id, _ms, 0 AS _side, _sid, CAST(NULL AS BIGINT) AS _sync_t
       FROM conn_last
       UNION ALL
-      SELECT game, gen, CAST(NULL AS VARCHAR), poll_ms, 1, assign_t FROM conn
+      SELECT game, gen, CAST(NULL AS VARCHAR), poll_ms, 1, sync_id, assign_t FROM conn
     ),
     detected AS (
       SELECT * FROM (
         SELECT *, last_value(_sync_t IGNORE NULLS)
-                    OVER (PARTITION BY game, gen ORDER BY _ms DESC, _side ASC
+                    OVER (PARTITION BY game, gen ORDER BY _ms DESC, _side ASC, _sid DESC
                           ROWS UNBOUNDED PRECEDING) AS t
         FROM merged
       ) WHERE _side = 0 AND t IS NOT NULL
@@ -2129,7 +2129,7 @@ def q_division_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hll_segment_customers",
     """
     SELECT c_mktsegment,
-           count(DISTINCT o_custkey) AS est_customers,
+           TRUE AS est_within_5pct,
            count(DISTINCT o_custkey) AS exact_customers
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -2141,16 +2141,26 @@ def q_hll_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Sketches are THE 100 TB distinct-count tool — partial
     per-partition sketches merge associatively (hll_union_agg), so
     re-aggregation across days/partitions never rescans raw data;
-    test_scale_patterns pins the union-merge accuracy. At the gate
-    cardinalities (<=512 per segment) DataSketches HLL is still in its
-    exact sparse mode, so the estimate column hash-matches the exact
-    oracle; the pytest tolerance pin covers the estimating regime."""
+    test_scale_patterns pins the union-merge accuracy. The oracled
+    column is the SCALE-ROBUST claim |est - exact| <= 5% (HLL lgK=12
+    keeps relative error ~1.6% at any cardinality) — comparing the raw
+    estimate would only hash-match while the sketch stays in its exact
+    sparse regime (<= 512 keys/segment), i.e. it would break the gate
+    above sf0.01."""
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey)
-    return j.groupBy("c_mktsegment").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est_customers"),
+    agg = j.groupBy("c_mktsegment").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("_est"),
         F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        (
+            F.abs(F.col("_est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("est_within_5pct"),
+        "exact_customers",
     )
 
 

@@ -967,3 +967,32 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("month_revenue"),
         F.sum("rev").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+@query(
+    "modal_event_type",
+    """
+    SELECT user_id, event_type AS modal_type, n FROM (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+      FROM (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+      )
+    ) WHERE rn = 1
+    """,
+)
+def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mode (most frequent event type) with a DETERMINISTIC
+    tie-break (lexicographically first on equal counts) — the built-in
+    mode() aggregate leaves ties engine-defined, so the portable form
+    is count + per-key argmax. Both steps share the user_id shuffle;
+    the window runs over the tiny per-user-type aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
