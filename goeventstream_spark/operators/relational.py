@@ -76,9 +76,15 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
 
+    # Tiebreak: among right rows sharing (keys, _ts), the greatest
+    # value tuple wins — without this the carried row depends on
+    # physical partition order (run-to-run nondeterminism; the same
+    # class of bug the protocol sweep had at sf0.1). The _r_* columns
+    # are NULL only on left rows, which the _side key already groups
+    # after all right rows, so NULL-ordering never enters a comparison.
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", *[F.col(f"_r_{c}") for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l_tagged.unionByName(r_tagged).select(

@@ -601,7 +601,8 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, last_value(r_ts IGNORE NULLS) OVER win AS asof_ts,
                 last_value(r_value IGNORE NULLS) OVER win AS asof_value
       FROM tagged
-      WINDOW win AS (PARTITION BY user_id ORDER BY _ts, _side ROWS UNBOUNDED PRECEDING)
+      WINDOW win AS (PARTITION BY user_id ORDER BY _ts, _side, r_value
+                     ROWS UNBOUNDED PRECEDING)
     )
     SELECT event_id, user_id, ts, value, asof_ts, asof_value
     FROM carried WHERE _side = 1

@@ -381,3 +381,26 @@ def test_observe_inflight_quality_metrics(spark, sf_dir):
     assert m["rows_seen"] == ev.count()
     assert m["null_values"] == 0
     assert m["max_ts"] is not None
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Two right rows on the same (key, ts) must resolve by the
+    declared tie rule (greatest value tuple wins), not physical
+    partition order."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:05")], "user_id long, ts string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (1, "2024-01-01 10:00:00", 9.0),
+            (1, "2024-01-01 10:00:00", 1.0),
+        ],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "value").repartition(3)
+    for _ in range(3):
+        [row] = asof_join(
+            left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+            value_cols=["value"],
+        ).collect()
+        assert row["asof_value"] == 9.0
