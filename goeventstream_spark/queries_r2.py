@@ -996,3 +996,56 @@ def q_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), "n")
     )
+
+
+@query(
+    "session_paths_topk",
+    """
+    WITH s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT path, count(*) AS n_sessions FROM paths
+    GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the 20 most common within-session
+    event-type sequences. The path string is built ORDER-DETERMINISTIC
+    via array_sort over (ts, event_id, type) structs — a bare
+    collect_list has engine/partition-dependent order and would never
+    hash-match. Two aggregations, both shuffling on compact keys; the
+    global top-20 is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = so.sessionize(ev, gap_s=3600)
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
