@@ -301,3 +301,91 @@ def test_protocol_source_live_ingest_registry(spark):
     assert d_rows, "silent client never swept"
     # last poll at tick 39 -> _d = base + 39*50ms + 2000ms
     assert d_rows[0].event_ms == protocol_source.BASE_MS + 39 * 50 + 2_000
+
+
+def test_game_server_on_live_source_equals_batch_replay(spark):
+    """Capstone wire-path parity: the FULL streaming server
+    (stateful.game_server) fed by the custom protocol_events live
+    source produces GameResponse envelopes identical to the batch
+    replay (protocol_replay.game_response) over the SAME deterministic
+    event stream read in batch — tick clock, proxy ids, deliveries,
+    and LWW state deltas, across micro-batch boundaries."""
+    import time
+
+    from goeventstream_spark.operators import protocol_replay as pr
+    from goeventstream_spark.sources import protocol_source
+    from goeventstream_spark.streaming import game_server
+
+    protocol_source.register(spark)
+    opts = {"n_clients": 4, "numPartitions": 2}
+
+    def to_polls(df):
+        return df.select(
+            (F.col("user_id") % 2).cast("string").alias("game"),
+            F.col("event_id").alias("sync_id"),
+            "user_id",
+            F.unix_millis("ts").alias("poll_ms"),
+            F.to_json(
+                F.array(F.array(F.col("event_type"), F.col("value").cast("string")))
+            ).alias("posted_json"),
+            F.col("value").cast("string").alias("state_json"),
+        )
+
+    raw = (
+        spark.readStream.format("protocol_events")
+        .options(ticks_per_batch=15, **opts)
+        .load()
+    )
+    q = (
+        game_server(to_polls(raw))
+        .writeStream.format("memory")
+        .queryName("live_server_out")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM live_server_out").collect()[0].c
+            if n >= 4 * 30:  # at least two micro-batches of ticks
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {
+        r.sync_id: (r.t, r.proxy_id, r.response)
+        for r in spark.sql("SELECT * FROM live_server_out").collect()
+    }
+    assert got, "streaming server produced nothing"
+    # the stream consumed whole tick batches; mirror that exact range
+    n_ticks = max(sid // 1_000_000 for sid in got) + 1
+    batch = (
+        spark.read.format("protocol_events")
+        .options(ticks=n_ticks, **opts)
+        .load()
+    )
+    syncs = batch.select(
+        F.col("event_id").alias("sync_id"),
+        "user_id",
+        F.unix_millis("ts").alias("poll_ms"),
+        (F.col("user_id") % 2).alias("game_key"),
+    )
+    posted = batch.select(
+        F.col("event_id").alias("sync_id"),
+        F.lit(0).cast("long").alias("event_seq"),
+        "event_type",
+        F.col("value").cast("string").alias("body"),
+    )
+    states = batch.select(
+        F.col("event_id").alias("sync_id"), F.col("value").cast("string").alias("data")
+    )
+    want = {
+        r.sync_id: (r.t, r.proxy_id, r.response)
+        for r in pr.game_response(syncs, posted, states, game_col="game_key").collect()
+    }
+    assert set(got) == set(want)
+    mismatches = [
+        (sid, got[sid], want[sid]) for sid in sorted(got) if got[sid] != want[sid]
+    ]
+    assert not mismatches, mismatches[:3]
