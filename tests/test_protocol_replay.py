@@ -37,8 +37,16 @@ POSTED_SCHEMA = StructType(
 
 @pytest.fixture(
     scope="module",
-    params=[(42, "mixed"), (7, "mixed"), (1234, "mixed"), (42, "boundary"), (99, "boundary")],
-    ids=["s42", "s7", "s1234", "s42-boundary", "s99-boundary"],
+    params=[
+        (42, "mixed"),
+        (7, "mixed"),
+        (1234, "mixed"),
+        (42, "boundary"),
+        (99, "boundary"),
+        (5, "collision"),
+        (61, "collision"),
+    ],
+    ids=["s42", "s7", "s1234", "s42-boundary", "s99-boundary", "s5-coll", "s61-coll"],
 )
 def schedule(request):
     """Deterministic scripted session: clients polling with deliberate
@@ -68,6 +76,32 @@ def schedule(request):
             gap = rng.choices([50, 100, 49, 51, 150, 25], weights=[60, 15, 8, 8, 5, 4])[0]
             now += gap
             sync_id += 1
+        return syncs, posted
+    if mode == "collision":
+        # Multiple users polling at the SAME millisecond — the tie
+        # class that made the sf0.1 sweep's _d tick assignment
+        # partition-order-dependent before the (_ms, _side, _sid)
+        # total order. Our declared serialization is (poll_ms,
+        # sync_id); the sim consumes polls in exactly that order, so
+        # equivalence is well-defined even under ties. Long silences
+        # force expiry sweeps to land ON collision instants.
+        users = [f"u{i}" for i in range(5)]
+        now = t
+        for _step in range(250):
+            for u in users:
+                if rng.random() < 0.6:
+                    syncs.append((sync_id, u, now))
+                    if rng.random() < 0.25:
+                        posted.append(
+                            (sync_id, 0, f"ev{rng.randint(0, 9)}", f"b{sync_id}")
+                        )
+                    sync_id += 1
+            gap = (
+                11_000 + 50 * rng.randint(0, 100)
+                if rng.random() < 0.05
+                else 50 * rng.randint(1, 6)
+            )
+            now += gap
         return syncs, posted
     users = [f"u{i}" for i in range(5)]
     # per-user next poll time; stagger starts
