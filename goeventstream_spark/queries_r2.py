@@ -1049,3 +1049,59 @@ def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+def _register_sync_backlog():
+    # the protocol CTE block lives in queries_ext (shared with the
+    # server-log/deliveries/envelope oracles); reuse it verbatim so the
+    # two sides can never drift.
+    from goeventstream_spark import queries_ext as qe
+
+    oracle = (
+        qe._proto_ctes("'_'")
+        + """,
+    lk AS (
+      SELECT user_id, clock_t,
+             COALESCE(lag(clock_t) OVER (PARTITION BY game, gen, user_id
+                                         ORDER BY poll_ms, sync_id), 0) AS last_known
+      FROM sc
+    )
+    SELECT user_id, count(*) AS n_syncs,
+           CAST(max(clock_t - last_known) AS BIGINT) AS max_backlog,
+           CAST(sum(CASE WHEN clock_t - last_known > 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_catchup_syncs
+    FROM lk GROUP BY user_id
+    """
+    )
+
+    @query("sync_backlog_stats", oracle)
+    def q_sync_backlog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Client catch-up analytics (README.md:22-26 — a client ticks
+        faster when > 4 ticks behind): per user, how many ticks each
+        poll had to deliver (clock_t - previous clock_t seen by that
+        user) and how often the catch-up rule would fire. One
+        sync_clock pass + a per-user lag sharing the same exchange."""
+        from goeventstream_spark.operators import protocol_replay as pr
+
+        ev = load_table(spark, sf_dir, "events")
+        syncs = ev.select(
+            F.col("event_id").alias("sync_id"),
+            "user_id",
+            F.unix_millis("ts").alias("poll_ms"),
+        )
+        sc = pr.sync_clock(syncs)
+        w = Window.partitionBy("game", "gen", "user_id").orderBy("poll_ms", "sync_id")
+        lk = sc.select(
+            "user_id",
+            "clock_t",
+            F.coalesce(F.lag("clock_t").over(w), F.lit(0)).alias("last_known"),
+        )
+        backlog = F.col("clock_t") - F.col("last_known")
+        return lk.groupBy("user_id").agg(
+            F.count("*").alias("n_syncs"),
+            F.max(backlog).cast("long").alias("max_backlog"),
+            F.sum((backlog > 4).cast("long")).alias("n_catchup_syncs"),
+        )
+
+
+_register_sync_backlog()
