@@ -1105,3 +1105,62 @@ def _register_sync_backlog():
 
 
 _register_sync_backlog()
+
+
+@query(
+    "vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT word AS token FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    ranked AS (
+      SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rnk,
+             CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(n) OVER () AS BIGINT) AS total
+      FROM freq
+    )
+    SELECT rnk, token, n, cum, total,
+           CAST(cum AS DOUBLE) / total AS coverage
+    FROM ranked WHERE rnk <= 100
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    occurrences the top-k vocabulary entries cover — the Zipf-tail
+    report that sizes a tokenizer's vocab. The token-frequency
+    aggregation is the only big shuffle; ranking, the running share,
+    and the grand total are windows over the aggregated (distinct
+    tokens) relation, which is vocabulary-bounded, with integer
+    cumulative sums and one final float ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), "token")
+    ranked = (
+        freq.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "cum", F.sum("n").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn(
+            "total",
+            F.sum("n").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    return ranked.where(F.col("rnk") <= 100).select(
+        "rnk",
+        "token",
+        "n",
+        F.col("cum").cast("long").alias("cum"),
+        F.col("total").cast("long").alias("total"),
+        (F.col("cum").cast("double") / F.col("total")).alias("coverage"),
+    )

@@ -389,3 +389,86 @@ def test_game_server_on_live_source_equals_batch_replay(spark):
         (sid, got[sid], want[sid]) for sid in sorted(got) if got[sid] != want[sid]
     ]
     assert not mismatches, mismatches[:3]
+
+
+def test_game_server_checkpoint_recovery_equals_batch(
+    spark, sf_dir, tmp_path_factory, tmp_path
+):
+    """Keyed-state recovery for the FULL server: stop the streaming
+    game_server mid-stream, restart it from the checkpoint over the
+    remaining input, and the union of both phases' envelopes must
+    still equal the one-shot batch replay — the per-game clock,
+    proxy counters, and event-log state all restore from the state
+    store, not from reprocessing."""
+    from goeventstream_spark.operators import protocol_replay as pr
+    from goeventstream_spark.streaming import game_server
+    from goeventstream_spark.streaming.windows import read_event_stream
+
+    src, paths = _chunks_dir(spark, sf_dir, tmp_path_factory, n_chunks=4)
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    hidden = []
+    for p in paths[2:]:
+        os.rename(p, os.path.join(stash, os.path.basename(p)))
+        hidden.append(p)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def to_polls(df):
+        return df.select(
+            (F.col("user_id") % 4).cast("string").alias("game"),
+            F.col("event_id").alias("sync_id"),
+            "user_id",
+            F.unix_millis("ts").alias("poll_ms"),
+            F.to_json(
+                F.array(F.array(F.col("event_type"), F.col("props")))
+            ).alias("posted_json"),
+            F.col("props").alias("state_json"),
+        )
+
+    def run_phase():
+        q = (
+            game_server(to_polls(read_event_stream(spark, src)))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_phase()
+    n_phase1 = spark.read.parquet(sink).count()
+    ev = load_table(spark, sf_dir, "events")
+    assert 0 < n_phase1 < ev.count()
+    for p in hidden:
+        os.rename(os.path.join(stash, os.path.basename(p)), p)
+    run_phase()
+
+    got = {
+        r.sync_id: (r.t, r.proxy_id, r.response)
+        for r in spark.read.parquet(sink).collect()
+    }
+    syncs = ev.select(
+        F.col("event_id").alias("sync_id"),
+        "user_id",
+        F.unix_millis("ts").alias("poll_ms"),
+        (F.col("user_id") % 4).alias("game_key"),
+    )
+    posted = ev.select(
+        F.col("event_id").alias("sync_id"),
+        F.lit(0).cast("long").alias("event_seq"),
+        "event_type",
+        F.col("props").alias("body"),
+    )
+    states = ev.select(F.col("event_id").alias("sync_id"), F.col("props").alias("data"))
+    want = {
+        r.sync_id: (r.t, r.proxy_id, r.response)
+        for r in pr.game_response(syncs, posted, states, game_col="game_key").collect()
+    }
+    assert set(got) == set(want)
+    mismatches = [
+        (sid, got[sid], want[sid]) for sid in sorted(got) if got[sid] != want[sid]
+    ]
+    assert not mismatches, mismatches[:3]
