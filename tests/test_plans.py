@@ -214,3 +214,22 @@ def test_pagerank_iterations_broadcast_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert plans.has_broadcast_join(df)
+
+
+def test_basket_pairs_self_join_is_hash_not_nested_loop(spark, sf_dir):
+    """Pair generation must plan as a hash join ON THE ORDER KEY with
+    the part inequality as a join filter — an all-pairs nested loop
+    over parts would be n^2 at 100 TB. The only NL join allowed is the
+    one-row grand-total scalar cross."""
+    import goeventstream_spark.queries_r2  # noqa: F401
+
+    df = q.QUERIES["basket_pair_lift"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    join_lines = [ln for ln in plan.split("\n") if "Join" in ln]
+    hash_on_orderkey = [
+        ln for ln in join_lines if "HashJoin" in ln and "l_orderkey" in ln
+    ]
+    assert hash_on_orderkey, join_lines
+    nl = [ln for ln in join_lines if "NestedLoop" in ln]
+    assert all("Cross" in ln for ln in nl), join_lines
+    assert len(nl) <= 1, join_lines
