@@ -1164,3 +1164,43 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("long").alias("total"),
         (F.col("cum").cast("double") / F.col("total")).alias("coverage"),
     )
+
+
+def _register_lang_confusion():
+    # reuse the lang_id oracle fragments from queries_llm verbatim so
+    # the prediction definition cannot drift between the two queries.
+    from goeventstream_spark import queries_llm as ql
+    from goeventstream_spark.operators import text as tx
+
+    oracle = f"""
+    WITH {ql._WORDS},
+    scores AS (SELECT doc_id, count(*) AS n_words, {ql._LANG_SCORES}
+               FROM words GROUP BY doc_id),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN {ql._BEST} > 0 THEN {ql._PRED} ELSE 'und' END AS pred_lang
+      FROM scores
+    )
+    SELECT d.lang, p.pred_lang, count(*) AS n_docs
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.pred_lang
+    """
+
+    @query("lang_confusion", oracle)
+    def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Language-ID quality audit: the confusion matrix between the
+        labeled language and the n-gram classifier's prediction — the
+        mislabeled-document detector a curation pipeline runs before
+        trusting either signal. Composes the lang_id operator with a
+        doc_id join; one extra shuffle on the tiny (lang, pred) key."""
+        docs = load_table(spark, sf_dir, "documents")
+        pred = tx.lang_id(docs).select("doc_id", "pred_lang")
+        return (
+            docs.select("doc_id", "lang")
+            .join(pred, "doc_id")
+            .groupBy("lang", "pred_lang")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+
+_register_lang_confusion()
