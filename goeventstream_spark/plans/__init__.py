@@ -5,6 +5,7 @@ from goeventstream_spark.plans.inspect import (
     pushed_filters,
     scan_read_schema,
 )
+from goeventstream_spark.plans.profile import execution_profile, shuffle_profile
 
 __all__ = [
     "physical_plan",
@@ -12,4 +13,6 @@ __all__ = [
     "scan_read_schema",
     "has_broadcast_join",
     "count_exchanges",
+    "execution_profile",
+    "shuffle_profile",
 ]
