@@ -24,7 +24,9 @@ def _children(node):
     if "QueryStage" in name:
         return [node.plan()]
     if name.startswith("ReusedExchange"):
-        return [node.child()]
+        # the referenced exchange's subtree already appears elsewhere in
+        # the walk — descending again would double-count its shuffles
+        return []
     ch = node.children()
     return [ch.apply(i) for i in range(ch.size())]
 
