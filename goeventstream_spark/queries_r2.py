@@ -1204,3 +1204,76 @@ def _register_lang_confusion():
 
 
 _register_lang_confusion()
+
+
+@query(
+    "shipping_delay_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(delay_days, 0.5) AS p50_days,
+           quantile_cont(delay_days, 0.9) AS p90_days,
+           CAST(max(delay_days) AS BIGINT) AS max_days,
+           count(*) AS n
+    FROM (
+      SELECT o.o_orderpriority,
+             (epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate)) // 86400000 AS delay_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_shipping_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA distribution per priority: exact interpolated
+    percentiles over INTEGER day delays (integer inputs keep the
+    interpolation bit-exact cross-engine — the percentile discipline
+    this repo uses everywhere). One broadcast-free fact join on the
+    order key, one aggregation shuffle on the 5-value priority."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    ).drop("o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            "(unix_millis(CAST(l_shipdate AS TIMESTAMP))"
+            " - unix_millis(CAST(o_orderdate AS TIMESTAMP))) DIV 86400000"
+        ).alias("delay_days"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.expr("percentile(delay_days, 0.5)").alias("p50_days"),
+        F.expr("percentile(delay_days, 0.9)").alias("p90_days"),
+        F.max("delay_days").cast("long").alias("max_days"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "activity_heatmap",
+    """
+    SELECT CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS INT) AS dow,
+           CAST((epoch_ms(ts) % 86400000) // 3600000 AS INT) AS hour,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour activity heatmap (dow 0=Monday). Day-of-week is
+    computed as pure epoch integer arithmetic — engine dayofweek()
+    conventions disagree on week start, integer math does not. One
+    aggregation on the 168-cell key."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_ms = F.unix_millis(F.col("ts"))
+    return (
+        ev.select(
+            ((epoch_ms / 86400000).cast("long") % 7 + 4).cast("int").alias("_d"),
+            ((epoch_ms % 86400000) / 3600000).cast("int").alias("hour"),
+            "user_id",
+        )
+        .select((F.col("_d") % 7).alias("dow"), "hour", "user_id")
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
