@@ -1277,3 +1277,64 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "source_drift_ks",
+    """
+    WITH d AS (
+      SELECT n_chars,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS ib
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    g AS (SELECT n_chars, CAST(sum(ia) AS BIGINT) AS da, CAST(sum(ib) AS BIGINT) AS db
+          FROM d GROUP BY n_chars),
+    c AS (
+      SELECT n_chars,
+             CAST(sum(da) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             CAST(sum(db) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+             CAST(sum(da) OVER () AS BIGINT) AS na,
+             CAST(sum(db) OVER () AS BIGINT) AS nb
+      FROM g
+    )
+    SELECT CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
+           min(na) AS n_a, min(nb) AS n_b,
+           CAST(max(abs(ca * nb - cb * na)) AS DOUBLE) / (min(na) * min(nb)) AS ks
+    FROM c
+    """,
+)
+def q_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between two
+    sources' length distributions — the distribution-shift gate a
+    pipeline runs when a new crawl lands. Computed EXACTLY: the max
+    CDF gap is max |ca*nb - cb*na| over the merged value axis, all
+    integer (cross-multiplied instead of dividing), with one float
+    ratio at the edge. The sweep windows run over the distinct-value
+    relation, bounded by the value domain, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.where(F.col("source").isin("src0", "src1")).select(
+        "n_chars",
+        (F.col("source") == "src0").cast("long").alias("ia"),
+        (F.col("source") == "src1").cast("long").alias("ib"),
+    )
+    g = d.groupBy("n_chars").agg(
+        F.sum("ia").alias("da"), F.sum("ib").alias("db")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        F.sum("da").over(w).alias("ca"),
+        F.sum("db").over(w).alias("cb"),
+        F.sum("da").over(w_all).alias("na"),
+        F.sum("db").over(w_all).alias("nb"),
+    )
+    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    return c.agg(
+        F.max(gap).cast("long").alias("ks_num"),
+        F.min("na").alias("n_a"),
+        F.min("nb").alias("n_b"),
+        (F.max(gap).cast("double") / (F.min("na") * F.min("nb"))).alias("ks"),
+    )
