@@ -420,16 +420,3 @@ def test_shuffle_profile_salted_agg_bounded_by_groups(spark, sf_dir):
             assert ex["input_rows"] < n_input / 10, prof
 
 
-def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
-    """The flip side of skew-splitting: a shuffle whose output is tiny
-    must COALESCE its reduce partitions at runtime (AQEShuffleRead
-    coalesced) instead of running spark.sql.shuffle.partitions empty
-    tasks — on a 1000-executor cluster the fixed-partition default
-    would schedule thousands of no-op tasks per small aggregate."""
-    df = load_table(spark, sf_dir, "orders").groupBy("o_orderstatus").count()
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
-    assert df.rdd.getNumPartitions() < int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
