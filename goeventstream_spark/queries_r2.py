@@ -1338,3 +1338,62 @@ def q_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nb").alias("n_b"),
         (F.max(gap).cast("double") / (F.min("na") * F.min("nb"))).alias("ks"),
     )
+
+
+@query(
+    "hourly_baseline_dev",
+    """
+    WITH b AS (
+      SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+             CAST((epoch_ms(ts) % 86400000) // 3600000 AS INT) AS hod,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT day, hod, n,
+             CAST(COALESCE(sum(n) OVER tw, 0) AS BIGINT) AS base_sum,
+             CAST(count(n) OVER tw AS BIGINT) AS base_n
+      FROM b
+      WINDOW tw AS (PARTITION BY hod ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, hod, n, base_sum, base_n,
+           CAST(n * base_n - base_sum AS BIGINT) AS dev_num
+    FROM w WHERE base_n > 0
+    """,
+)
+def q_hourly_baseline_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-monitoring anomaly shape: each hour's event count against
+    its trailing 7-day SAME-HOUR baseline (hour-of-day partitioned
+    RANGE window over integer day indices — RANGE over integers has
+    identical peer semantics in both engines). The deviation is kept
+    as the exact integer cross-product n*base_n - base_sum; consumers
+    divide at the edge. Window partitions by hour-of-day — 24-way
+    parallel, never global."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_ms = F.unix_millis(F.col("ts"))
+    b = (
+        ev.select(
+            F.expr("unix_millis(ts) DIV 86400000").alias("day"),
+            ((epoch_ms % 86400000) / 3600000).cast("int").alias("hod"),
+        )
+        .groupBy("day", "hod")
+        .agg(F.count("*").alias("n"))
+    )
+    tw = (
+        Window.partitionBy("hod").orderBy("day").rangeBetween(-7, -1)
+    )
+    w = b.select(
+        "day",
+        "hod",
+        "n",
+        F.coalesce(F.sum("n").over(tw), F.lit(0)).cast("long").alias("base_sum"),
+        F.count("n").over(tw).cast("long").alias("base_n"),
+    )
+    return w.where(F.col("base_n") > 0).select(
+        "day",
+        "hod",
+        "n",
+        "base_sum",
+        "base_n",
+        (F.col("n") * F.col("base_n") - F.col("base_sum")).cast("long").alias("dev_num"),
+    )
