@@ -1397,3 +1397,72 @@ def q_hourly_baseline_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base_n",
         (F.col("n") * F.col("base_n") - F.col("base_sum")).cast("long").alias("dev_num"),
     )
+
+
+@query(
+    "order_date_gaps",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    present AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+    SELECT CAST(s.day AS TIMESTAMP) AS day
+    FROM spine s LEFT JOIN present p ON s.day = p.day
+    WHERE p.day IS NULL
+    """,
+)
+def q_order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness audit: calendar days inside the data's own date
+    range with ZERO orders — the missing-partition detector a lake
+    health check runs nightly. The spine generates from the 1-row
+    min/max aggregate (sequence explode, calendar-bounded); the
+    present-days set is a distinct on the date key; an anti-join
+    yields the holes."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    present = orders.select(F.to_date("o_orderdate").alias("day")).distinct()
+    return (
+        spine.join(present, "day", "left_anti")
+        .select(F.col("day").cast("timestamp").alias("day"))
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    r"""
+    SELECT source, count(*) AS n_docs,
+           CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ) AS BIGINT)
+             AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+                AS BIGINT) AS n_dups,
+           1.0 - CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+                      AS DOUBLE) / count(*) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate rate — THE headline number of a dedup
+    report: docs whose normalized-content fingerprint collides within
+    the source. One aggregation with a distinct on the md5 fingerprint;
+    the ratio divides exact integers at the edge."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(fp).alias("n_unique"),
+        (F.count("*") - F.count_distinct(fp)).cast("long").alias("n_dups"),
+        (F.lit(1.0) - F.count_distinct(fp).cast("double") / F.count("*")).alias(
+            "dup_rate"
+        ),
+    )
