@@ -68,6 +68,8 @@ HEADLINE = [
     "cdc_apply_snapshot",
     "cms_token_counts",
     "ngram_novelty",
+    "robust_outliers",
+    "session_paths_topk",
 ]
 
 

@@ -1466,3 +1466,58 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+@query(
+    "winsorized_value_stats",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             CAST(quantile_disc(cents, 0.05) AS BIGINT) AS p05,
+             CAST(quantile_disc(cents, 0.95) AS BIGINT) AS p95
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(sum(least(greatest(c.cents, q.p05), q.p95)) AS BIGINT) AS wsum_cents,
+           count(*) AS n,
+           CAST(sum(CASE WHEN c.cents < q.p05 OR c.cents > q.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
+    FROM c JOIN q ON c.event_type = q.event_type
+    GROUP BY c.event_type
+    """,
+)
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation: clamp each value into its group's
+    [p05, p95] band before summing — the outlier-robust mean's
+    building block. DISCRETE percentiles (an actual data value, not an
+    interpolation) keep the thresholds exact BIGINTs, so the clamp,
+    the boundary comparisons, and the sum are pure integer arithmetic
+    — interpolated 0.05-quantiles land on non-representable fractions
+    where engine cast semantics (truncate vs round) diverge. Two
+    passes sharing the event_type key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    q05_95 = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p95"),
+    )
+    clamped = ev.join(F.broadcast(q05_95), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95")).alias("w"),
+        ((F.col("cents") < F.col("p05")) | (F.col("cents") > F.col("p95")))
+        .cast("long")
+        .alias("is_clamped"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.sum("w").cast("long").alias("wsum_cents"),
+        F.count("*").alias("n"),
+        F.sum("is_clamped").alias("n_clamped"),
+    )
