@@ -110,3 +110,85 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
             )
         )
     return ranks
+
+
+def cooccurrence_edges(fact: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Distinct co-occurrence edge list: items a < b appearing in the
+    same group (e.g. parts ordered together). One self-join on the
+    group key (hash join — the key is the fact table's natural
+    partitioning), one distinct shuffle on the pair. Pair fan-out is
+    bounded by the per-group item count (<= 7 lineitems per order in
+    TPC-H-shaped data), so the join output is O(rows * k), not n^2.
+    """
+    li = fact.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    a = li.withColumnRenamed("item", "a")
+    b = li.withColumnRenamed("item", "b")
+    return (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def triangle_participation(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts on an undirected edge list (a < b) via
+    degree-oriented wedge enumeration — the MapReduce-scalable triangle
+    count (Suri & Vassilvitskii, WWW'11 "Counting Triangles and the
+    Curse of the Last Reducer").
+
+    Every edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, so each triangle is enumerated exactly once from its
+    lowest-degree corner and per-source wedge fan-out is bounded by
+    O(sqrt(m)) instead of the max raw degree — the hub-node blowup that
+    kills the naive a<b<c triple-join on skewed graphs. Wedges
+    (u -> v, u -> w) are then confirmed by one hash join against the
+    oriented edge set. Three shuffles total (degree agg, wedge join,
+    closing join); no windows, no driver loops.
+
+    Returns (node, tri_cnt) for nodes in >= 1 triangle.
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    oriented = (
+        edges.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst"),
+                         F.col("da").alias("ds"), F.col("db").alias("dd")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"),
+                         F.col("db").alias("ds"), F.col("da").alias("dd"))
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst", "e.ds", "e.dd")
+    )
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dd").alias("dv"))
+    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dd").alias("dw"))
+    wedges = (
+        e1.join(e2, "src")
+        .where(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
+        .select("src", "v", "w")
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])
+    members = (
+        tris.select(F.col("src").alias("node"))
+        .unionAll(tris.select(F.col("v").alias("node")))
+        .unionAll(tris.select(F.col("w").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count("*").alias("tri_cnt"))

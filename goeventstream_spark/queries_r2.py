@@ -1521,3 +1521,107 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("is_clamped").alias("n_clamped"),
     )
+
+
+@query(
+    "part_triangles_topk",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS pk FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.pk AS a, b.pk AS b
+      FROM li a JOIN li b ON a.g = b.g AND a.pk < b.pk
+    ),
+    t AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    m AS (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    )
+    SELECT node AS l_partkey, CAST(count(*) AS BIGINT) AS tri_cnt
+    FROM m GROUP BY node
+    ORDER BY tri_cnt DESC, l_partkey LIMIT 10
+    """,
+)
+def q_part_triangles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph motif counting: top-10 parts by triangle participation in
+    the parts-co-ordered graph (edge = two parts in the same order).
+
+    The Spark side runs degree-oriented wedge enumeration
+    (graph.triangle_participation) — per-source fan-out bounded by
+    O(sqrt(m)) so hot hub parts can't produce the quadratic wedge
+    blowup the oracle's naive a<b<c triple-join would hit at scale;
+    both enumerate the identical triangle set. Final top-10 is a
+    TakeOrderedAndProject, not a global window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = gr.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    part_tris = gr.triangle_participation(edges)
+    return (
+        part_tris.select(F.col("node").alias("l_partkey"), "tri_cnt")
+        .orderBy(F.desc("tri_cnt"), "l_partkey")
+        .limit(10)
+    )
+
+
+@query(
+    "unigram_fluency_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM cnt),
+    doc AS (
+      SELECT doc_id, count(*) AS n_tok, sum(c) AS s
+      FROM tok JOIN cnt USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST((s * 1000000000) // (n_tok * (SELECT n FROM tot)) AS BIGINT)
+             AS mean_freq_ppb
+    FROM doc ORDER BY mean_freq_ppb ASC, doc_id LIMIT 15
+    """,
+)
+def q_unigram_fluency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency proxy: rank documents by mean corpus
+    frequency of their tokens (lowest = most out-of-distribution), the
+    cheap first-pass stand-in for perplexity filtering in an LLM data
+    pipeline (reference has no text surface; SURVEY.md §2b group 3).
+
+    Exactness: the score is the rational sum(freq)/(n_tok * N) floored
+    at parts-per-billion in pure BIGINT arithmetic, so Spark and the
+    oracle agree bit-for-bit (float log-probs would diverge in the
+    last ulp across engines). Overflow bound: s * 1e9 <= doc_len *
+    (N/vocab) * 1e9 — safe in int64 through ~sf100; beyond that drop
+    the scale to ppm or lift to DECIMAL(38,0).
+
+    Scale plan: one explode + one agg shuffle builds the unigram table
+    (vocab-bounded, so it broadcasts back), per-doc scoring is a
+    map-side broadcast join + one agg shuffle on doc_id, and the
+    global top-15 is a TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    doc = (
+        tok.join(F.broadcast(cnt), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("c").alias("s"))
+    )
+    return (
+        doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.expr("CAST((s * 1000000000) DIV (n_tok * n) AS BIGINT)").alias(
+                "mean_freq_ppb"
+            ),
+        )
+        .orderBy("mean_freq_ppb", "doc_id")
+        .limit(15)
+    )
