@@ -177,3 +177,93 @@ def cdc_apply(
     )
     # Drop keys whose final op is a delete; keep base-only and upserted.
     return joined.where(F.col("_op").isNull() | is_upsert).select(*cols)
+
+
+def incremental_sessionize(
+    hist_sessions: DataFrame,
+    delta_events: DataFrame,
+    gap_s: int,
+) -> DataFrame:
+    """Incremental session maintenance: fold a new batch of events into
+    an existing per-session aggregate table WITHOUT rescanning raw
+    history — the materialized-view analogue of ``stream_ops.
+    sessionize`` (generalizing the reference's lazy per-poll liveness
+    model, model/game.go:76-83, to batch pipelines).
+
+    ``hist_sessions`` is the compact maintained state (user_id,
+    session_start, session_end, n_events, cents), orders of magnitude
+    smaller than the raw log; ``delta_events`` must be wholly AFTER
+    every history event (the daily-append contract). Only a user's
+    LAST history session can merge with their FIRST delta session
+    (history is fully sessionized and the delta starts after it), so
+    the merge is one equi-join on user_id against a per-user argmax of
+    the compact state — cost O(|state| + |delta|), independent of raw
+    history size.
+
+    Returns the same schema as ``hist_sessions``; the result equals a
+    from-scratch sessionization of history+delta (session ids dropped —
+    renumbering is not identity-stable across incremental folds).
+    """
+    from goeventstream_spark.operators import stream_ops as so
+
+    dsess = (
+        so.sessionize(delta_events, gap_s=gap_s)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    first_delta = dsess.groupBy("user_id").agg(
+        F.min("session_id").alias("_first_sid")
+    )
+    dsess = dsess.join(first_delta, "user_id").withColumn(
+        "_is_first", F.col("session_id") == F.col("_first_sid")
+    )
+    last_hist = hist_sessions.groupBy("user_id").agg(
+        F.max("session_end").alias("_last_end")
+    )
+    firsts = (
+        dsess.where("_is_first")
+        .join(last_hist, "user_id", "left")
+        .withColumn(
+            "_merges",
+            F.col("_last_end").isNotNull()
+            & (
+                F.unix_millis("session_start") - F.unix_millis("_last_end")
+                <= gap_s * 1000
+            ),
+        )
+    )
+    # History sessions, with the merged ones' stats extended in place.
+    merged_delta = firsts.where("_merges").select(
+        "user_id",
+        F.col("_last_end").alias("session_end_key"),
+        F.col("session_end").alias("d_end"),
+        F.col("n_events").alias("d_n"),
+        F.col("cents").alias("d_cents"),
+    )
+    hist_out = (
+        hist_sessions.alias("h")
+        .join(
+            merged_delta.alias("m"),
+            (F.col("h.user_id") == F.col("m.user_id"))
+            & (F.col("h.session_end") == F.col("m.session_end_key")),
+            "left",
+        )
+        .select(
+            F.col("h.user_id").alias("user_id"),
+            F.col("h.session_start").alias("session_start"),
+            F.coalesce("m.d_end", "h.session_end").alias("session_end"),
+            (F.col("h.n_events") + F.coalesce("m.d_n", F.lit(0))).alias("n_events"),
+            (F.col("h.cents") + F.coalesce("m.d_cents", F.lit(0))).alias("cents"),
+        )
+    )
+    delta_out = dsess.join(
+        firsts.where("_merges").select("user_id", "session_id"),
+        ["user_id", "session_id"],
+        "left_anti",
+    ).select("user_id", "session_start", "session_end", "n_events", "cents")
+    return hist_out.unionByName(delta_out)

@@ -1625,3 +1625,146 @@ def q_unigram_fluency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mean_freq_ppb", "doc_id")
         .limit(15)
     )
+
+
+@query(
+    "attribution_by_channel",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    marked AS (
+      SELECT *,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+          OVER w AS lt_channel,
+        last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+          OVER w AS lt_ts,
+        first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+          OVER w AS ft_channel
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+      SELECT
+        CASE WHEN lt_ts IS NOT NULL AND lt_ts >= ts - INTERVAL 7 DAY
+             THEN lt_channel ELSE 'direct' END AS lt,
+        COALESCE(ft_channel, 'direct') AS ft,
+        cents
+      FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT model, channel, CAST(count(*) AS BIGINT) AS conversions,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM (
+      SELECT 'last_touch' AS model, lt AS channel, cents FROM conv
+      UNION ALL
+      SELECT 'first_touch', ft, cents FROM conv
+    ) GROUP BY model, channel
+    """,
+)
+def q_attribution_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: revenue per channel under last-touch
+    (7-day lookback, else 'direct') and first-touch models, in one
+    pass. The reference has no analytics surface; this is the standard
+    conversion-attribution query an event-stream deployment runs.
+
+    Plan: one per-user window shuffle computes both the carry-forward
+    last touch and the carry-first touch (ROWS ... AND 1 PRECEDING —
+    strictly-prior events only, (ts, event_id) total order so ties are
+    deterministic), then two tiny channel aggregates union. Revenue is
+    exact integer cents. No global windows; the user-keyed window is
+    the same partitioning every sessionization query here uses.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    marked = ev.select(
+        "*",
+        F.last(touch_ch, ignorenulls=True).over(w).alias("lt_channel"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("lt_ts"),
+        F.first(touch_ch, ignorenulls=True).over(w).alias("ft_channel"),
+    )
+    conv = marked.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lt_ts").isNotNull()
+            & (F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
+            F.col("lt_channel"),
+        ).otherwise(F.lit("direct")).alias("lt"),
+        F.coalesce(F.col("ft_channel"), F.lit("direct")).alias("ft"),
+        "cents",
+    )
+    both = conv.select(F.lit("last_touch").alias("model"), F.col("lt").alias("channel"), "cents").unionAll(
+        conv.select(F.lit("first_touch").alias("model"), F.col("ft").alias("channel"), "cents")
+    )
+    return both.groupBy("model", "channel").agg(
+        F.count("*").alias("conversions"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
+    "incremental_sessionize",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental session-view maintenance: history events (before the
+    2024-01-16 cutoff) are folded into a compact per-session aggregate
+    once; the delta batch is then merged via temporal.
+    incremental_sessionize WITHOUT rescanning raw history — only the
+    per-user last-session argmax of the compact state joins the delta.
+    The oracle is the from-scratch sessionization of the full log; the
+    incremental fold must reproduce it exactly (boundary sessions that
+    straddle the cutoff are extended in place).
+
+    At 100 TB the raw log scan is the whole cost of re-sessionizing;
+    this pattern's cost is O(|delta| + |session state|) per day instead.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp")
+    hist = ev.where(F.col("ts") < cutoff)
+    delta = ev.where(F.col("ts") >= cutoff)
+    hist_sessions = (
+        so.sessionize(hist, gap_s=3600)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+        .drop("session_id")
+    )
+    return tp.incremental_sessionize(hist_sessions, delta, gap_s=3600)
