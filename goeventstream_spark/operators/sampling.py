@@ -90,32 +90,39 @@ def weighted_sample_topk(
     independent uniform draws (w = integer weight). max-of-w-uniforms
     is distributed as u^(1/w) — the exponential-keys (Efraimidis-
     Spirakis A-Res) priority — but computed entirely in *exact*
-    arithmetic: draws are md5 hex strings (lexicographic order on
+    arithmetic: draws are 8-hex-char uniforms (lexicographic order on
     lowercase hex == numeric order), so no pow()/log() float whose
-    libm rounding could differ across engines or runs.
+    libm rounding could differ across engines or runs. Each 128-bit
+    md5 digest is sliced into FOUR 32-bit draw lanes, so hash work per
+    row is ceil(w/4) digests, not w — draw j comes from lane j%4 of
+    digest md5(key#(j div 4)), and the draw set for weight w is a
+    prefix of the set for any w' > w (the dedup-merge invariant).
+    32-bit draws collide more often than 128-bit ones, but ties order
+    deterministically by key in both engines, so parity is unaffected.
 
-    Plan: each row folds its w draws in place with
-    ``array_max(transform(sequence(1, w), md5(...)))`` — map-side, no
-    exploded rows ever hit a shuffle. A groupBy on the item key then
+    Plan: each row folds its draws in place — map-side, no exploded
+    rows ever hit a shuffle. A groupBy on the item key then
     merges duplicate keys (their draw ids coincide, so the union of
     draws is just max(w) draws — the aggregation takes max priority
     and max weight), and the global top-k plans as
     TakeOrderedAndProject (per-partition top-k + driver merge of
     k x partitions rows — no single-partition window).
 
-    Scale contract: md5 work equals the mean weight per row, so this
-    form is for BOUNDED integer weights (quantities, bucketed counts
-    — the declared query deciles its weight for exactly this reason).
-    For unbounded weights, decompose w into powers of two and draw one
+    Scale contract: md5 work is ceil(w/4) per row, so this form is for
+    BOUNDED integer weights (quantities, bucketed counts — the
+    declared query deciles its weight for exactly this reason). For
+    unbounded weights, decompose w into powers of two and draw one
     key per set bit (log2(w) fan-out) — same distribution, same
     exactness.
     """
     ks = [F.col(c) for c in key_cols]
-    row_pri = F.array_max(
-        F.transform(
-            F.sequence(F.lit(1), F.col("_w")),
-            lambda r: F.md5(F.concat_ws("#", *[F.col(c) for c in key_cols], r)),
-        )
+    key_expr = ", ".join(key_cols)
+    row_pri = F.expr(
+        "array_max(flatten(transform("
+        "  sequence(0, CAST((_w + 3) DIV 4 - 1 AS INT)),"
+        "  i -> transform("
+        "    sequence(0, CAST(least(3, _w - 1 - 4 * i) AS INT)),"
+        f"    l -> substring(md5(concat_ws('#', {key_expr}, i)), l * 8 + 1, 8)))))"
     )
     pri = (
         df.withColumn("_w", F.col(weight_col).cast("int"))

@@ -228,9 +228,11 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     draws AS (
       SELECT l_orderkey, l_linenumber, w,
-             md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)
-                 || '#' || CAST(r AS VARCHAR)) AS pri
-      FROM (SELECT *, UNNEST(generate_series(1, w)) AS r FROM it)
+             unnest(flatten(list_transform(range(0, (w + 3) // 4),
+               i -> list_transform(range(0, least(4, w - i * 4)),
+                 l -> substring(md5(concat_ws('#', l_orderkey, l_linenumber, i)),
+                                l * 8 + 1, 8))))) AS pri
+      FROM it
     )
     SELECT l_orderkey, l_linenumber, max(pri) AS sample_pri,
            CAST(max(w) AS BIGINT) AS weight
