@@ -233,3 +233,70 @@ def test_basket_pairs_self_join_is_hash_not_nested_loop(spark, sf_dir):
     nl = [ln for ln in join_lines if "NestedLoop" in ln]
     assert all("Cross" in ln for ln in nl), join_lines
     assert len(nl) <= 1, join_lines
+
+
+def test_triangle_count_no_cartesian_no_global_window(spark, sf_dir):
+    import goeventstream_spark.queries_r2  # noqa: F401
+
+    df = q.QUERIES["part_triangles_topk"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_unigram_fluency_broadcasts_vocab(spark, sf_dir):
+    # The unigram table is vocab-bounded: it must come back as a
+    # broadcast, and the top-15 must be TakeOrderedAndProject.
+    import goeventstream_spark.queries_r2  # noqa: F401
+
+    df = q.QUERIES["unigram_fluency_topk"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plans.has_broadcast_join(df), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_attribution_single_window_exchange(spark, sf_dir):
+    # Both attribution models share one user-keyed window pass: the
+    # events relation is shuffled exactly once before the final
+    # (tiny) channel aggregates.
+    import goeventstream_spark.queries_r2  # noqa: F401
+
+    df = q.QUERIES["attribution_by_channel"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("Window") <= 2, plan  # one logical window (maybe reused)
+
+
+def test_incremental_sessionize_matches_full_recompute_any_cutoff(spark, sf_dir):
+    # The incremental fold must equal from-scratch sessionization for
+    # ANY history/delta split, not just the declared query's cutoff —
+    # including cutoffs that slice through the middle of sessions.
+    import goeventstream_spark.queries_r2  # noqa: F401
+    from goeventstream_spark.operators import stream_ops as so
+    from goeventstream_spark.operators import temporal as tp
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def stats(df):
+        return (
+            so.sessionize(df, gap_s=3600)
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+            .drop("session_id")
+        )
+
+    full = {tuple(r) for r in stats(ev).collect()}
+    for cutoff in ["2024-01-03 07:00:00", "2024-01-15 12:34:56", "2024-01-29 23:00:00"]:
+        c = F.lit(cutoff).cast("timestamp")
+        inc = tp.incremental_sessionize(
+            stats(ev.where(F.col("ts") < c)), ev.where(F.col("ts") >= c), gap_s=3600
+        )
+        got = {tuple(r) for r in inc.collect()}
+        assert got == full, f"cutoff {cutoff}: {len(got ^ full)} differing sessions"
