@@ -70,6 +70,9 @@ HEADLINE = [
     "ngram_novelty",
     "robust_outliers",
     "session_paths_topk",
+    "unigram_fluency_topk",
+    "attribution_by_channel",
+    "incremental_sessionize",
 ]
 
 

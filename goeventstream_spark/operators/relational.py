@@ -41,18 +41,28 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     tolerance_ms: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Nearest-earlier (as-of backward) join: for every left row, the
-    latest right row with ``right_ts <= left_ts`` on the same keys.
+    """As-of join in the pandas-merge_asof / kdb-aj sense: for every
+    left row, one matching right row on the same keys —
+
+    - ``backward`` (default): the latest right with right_ts <= left_ts
+    - ``forward``: the earliest right with right_ts >= left_ts
+    - ``nearest``: whichever of those two is closer in time (exact-tie
+      -> backward; within a side, equal-ts ties order by the value
+      tuple: greatest wins backward, smallest wins forward — mirrored
+      rules so both sides stay deterministic)
 
     Spark has no built-in as-of join; this is the scalable union-merge
-    composition: tag both sides, union, and carry right values forward
-    with last(..., ignorenulls) over (keys ORDER BY ts, side) — right
-    rows sort before left rows at equal ts, giving <= semantics.
-    One shuffle on ``keys``; state per key is a single carried row.
+    composition: tag both sides, union, and carry right values with
+    last(..., ignorenulls) over (keys ORDER BY ts, side) — and, for
+    forward, first(...) over the mirrored following frame. One shuffle
+    on ``keys`` either way (the two window orders share the exchange);
+    state per key is a single carried row.
 
     value_cols are emitted as ``asof_<name>`` plus ``asof_ts``.
     """
+    assert direction in ("backward", "forward", "nearest"), direction
     lcols = left.columns
     # _ts/_r_ts must be computed inside each select, from the ORIGINAL
     # side's columns — the right-side projection nulls out left column
@@ -82,26 +92,51 @@ def asof_join(
     # class of bug the protocol sweep had at sf0.1). The _r_* columns
     # are NULL only on left rows, which the _side key already groups
     # after all right rows, so NULL-ordering never enters a comparison.
-    w = (
+    wb = (
         Window.partitionBy(*keys)
         .orderBy("_ts", "_side", *[F.col(f"_r_{c}") for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = l_tagged.unionByName(r_tagged).select(
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", F.col("_side").desc(), *[F.col(f"_r_{c}") for c in value_cols])
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    u = l_tagged.unionByName(r_tagged)
+    fields = ["_ts"] + [f"_r_{c}" for c in value_cols]
+    if direction == "backward":
+        picked = [F.last(f if f != "_ts" else "_r_ts", ignorenulls=True).over(wb) for f in fields]
+    elif direction == "forward":
+        picked = [F.first(f if f != "_ts" else "_r_ts", ignorenulls=True).over(wf) for f in fields]
+    else:
+        b = [F.last(f if f != "_ts" else "_r_ts", ignorenulls=True).over(wb) for f in fields]
+        fw = [F.first(f if f != "_ts" else "_r_ts", ignorenulls=True).over(wf) for f in fields]
+        l_ms = F.unix_millis(F.col("_ts").cast("timestamp"))
+        d_b = l_ms - F.unix_millis(b[0].cast("timestamp"))
+        d_f = F.unix_millis(fw[0].cast("timestamp")) - l_ms
+        # Tolerance gates each SIDE before the choice — a closer
+        # out-of-tolerance backward match must not mask an in-tolerance
+        # forward one (pandas merge_asof nearest+tolerance semantics).
+        b_ok = b[0].isNotNull() & (
+            F.lit(True) if tolerance_ms is None else d_b <= F.lit(tolerance_ms)
+        )
+        f_ok = fw[0].isNotNull() & (
+            F.lit(True) if tolerance_ms is None else d_f <= F.lit(tolerance_ms)
+        )
+        use_b = b_ok & (~f_ok | (d_b <= d_f))
+        picked = [
+            F.when(use_b, bc).when(f_ok, fc) for bc, fc in zip(b, fw)
+        ]
+    out_names = ["asof_ts"] + [f"asof_{c}" for c in value_cols]
+    carried = u.select(
         *lcols,
         "_side",
-        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        *[c.alias(n) for c, n in zip(picked, out_names)],
     )
     out = carried.where(F.col("_side") == 1).drop("_side")
-    if tolerance_ms is not None:
-        within = (
-            ms(left_ts) - ms("asof_ts")
-            <= F.lit(tolerance_ms)
-        )
+    if tolerance_ms is not None and direction != "nearest":
+        delta = ms(left_ts) - ms("asof_ts")
+        within = F.abs(delta) <= F.lit(tolerance_ms)
         out = out.select(
             *lcols,
             F.when(within, F.col("asof_ts")).alias("asof_ts"),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from goeventstream_spark.operators import graph as gr
+from goeventstream_spark.operators import relational as rel
 from goeventstream_spark.operators import sampling as sp
 from goeventstream_spark.operators import stream_ops as so
 from goeventstream_spark.operators import temporal as tp
@@ -1770,3 +1771,63 @@ def q_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("session_id")
     )
     return tp.incremental_sessionize(hist_sessions, delta, gap_s=3600)
+
+
+@query(
+    "asof_nearest_click_error",
+    """
+    WITH u AS (
+      SELECT event_id, user_id, ts AS _ts, 1 AS _side,
+             CAST(NULL AS TIMESTAMP) AS _r_ts, CAST(NULL AS DOUBLE) AS _r_value
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), user_id, ts, 0, ts, value
+      FROM events WHERE event_type = 'click'
+    ),
+    c AS (
+      SELECT *,
+        last_value(_r_ts IGNORE NULLS) OVER wb AS b_ts,
+        last_value(_r_value IGNORE NULLS) OVER wb AS b_value,
+        first_value(_r_ts IGNORE NULLS) OVER wf AS f_ts,
+        first_value(_r_value IGNORE NULLS) OVER wf AS f_value
+      FROM u
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY _ts, _side, _r_value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY _ts, _side DESC, _r_value
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    g AS (
+      SELECT *,
+        (b_ts IS NOT NULL AND epoch_ms(_ts) - epoch_ms(b_ts) <= 1800000) AS b_ok,
+        (f_ts IS NOT NULL AND epoch_ms(f_ts) - epoch_ms(_ts) <= 1800000) AS f_ok
+      FROM c
+    )
+    SELECT event_id, user_id, _ts AS ts,
+      CASE WHEN use_b THEN b_ts WHEN f_ok THEN f_ts END AS asof_ts,
+      CASE WHEN use_b THEN b_value WHEN f_ok THEN f_value END AS asof_value
+    FROM (
+      SELECT *, b_ok AND (NOT f_ok OR
+               epoch_ms(_ts) - epoch_ms(b_ts) <= epoch_ms(f_ts) - epoch_ms(_ts))
+             AS use_b
+      FROM g
+    ) WHERE _side = 1
+    """,
+)
+def q_asof_nearest_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof nearest /
+    kdb aj generalization): every error event paired with the CLOSEST
+    click by the same user within +/-30 min, backward winning exact
+    ties; per-side equal-ts ties resolve by mirrored value-tuple rules
+    so the result is run-deterministic. Same union-merge shape as the
+    backward as-of: ONE shuffle on user_id, both window orders share
+    the exchange. The oracle replays the identical algorithm in SQL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return rel.asof_join(
+        err, clk,
+        keys=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["value"], tolerance_ms=1_800_000, direction="nearest",
+    )
