@@ -1831,3 +1831,57 @@ def q_asof_nearest_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"], left_ts="ts", right_ts="ts",
         value_cols=["value"], tolerance_ms=1_800_000, direction="nearest",
     )
+
+
+@query(
+    "daily_user_accounting",
+    """
+    WITH fd AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT act.day,
+             CAST(count(*) AS BIGINT) AS active_users,
+             CAST(sum(CASE WHEN fd.first_day = act.day THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users
+      FROM act JOIN fd USING (user_id) GROUP BY act.day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, active_users, new_users,
+           CAST(active_users - new_users AS BIGINT) AS returning_users,
+           CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_unique_users
+    FROM daily
+    """,
+)
+def q_daily_user_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / returning / cumulative-unique users — the
+    growth-accounting identity every event deployment reports.
+    Cumulative distinct is EXACT without sketches: distinct-count of
+    users-first-seen-per-day, then a running sum over the per-day
+    relation (one row per day — its unpartitioned window is bounded by
+    calendar size, the same deliberate exception the concurrency
+    sweep documents). Two agg shuffles on user_id + (day,user_id),
+    both fact-partitioned; the day-level rollup is tiny.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    act = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    daily = (
+        act.join(fd, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum((F.col("first_day") == F.col("day")).cast("long")).alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).cast("long").alias("returning_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_unique_users"),
+    )
