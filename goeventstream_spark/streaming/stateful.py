@@ -827,3 +827,138 @@ def game_server(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# first_seen_activity: streaming growth accounting (new vs returning)
+# ---------------------------------------------------------------------------
+
+FIRST_SEEN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", StringType()),
+        StructField("is_new", LongType()),
+    ]
+)
+
+FIRST_SEEN_STATE_SCHEMA = StructType(
+    [StructField("first_day", StringType()), StructField("last_day", StringType())]
+)
+
+_FS_COLS = ["user_id", "day", "is_new"]
+
+
+def _fold_first_seen(first_day, last_day, pdfs):
+    """Shared semantics core: fold a batch of ts rows into new
+    (first_day, last_day) plus the (day, is_new) rows to emit. Days
+    arrive non-decreasing per user across batches (the watermark
+    drops regressions), so one last_day scalar dedupes (user, day)."""
+    out = []
+    days = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        days.extend(pdf["ts"].dt.strftime("%Y-%m-%d").tolist())
+    for day in sorted(days):
+        if first_day is None:
+            first_day = day
+        if last_day is None or day > last_day:
+            last_day = day
+            out.append((day, 1 if day == first_day else 0))
+    return first_day, last_day, out
+
+
+class _FirstSeenProcessor:
+    """Spark 4 StatefulProcessor: emits one (user_id, day, is_new) row
+    the first time each (user, day) activity appears; is_new marks the
+    user's first-ever day. State is two date strings per user."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("fs", FIRST_SEEN_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator["object"]:
+        import pandas as pd
+
+        cur = self._state.get() if self._state.exists() else None
+        first_day, last_day, out = _fold_first_seen(
+            cur[0] if cur else None, cur[1] if cur else None, rows
+        )
+        if not out:
+            return
+        self._state.update((first_day, last_day))
+        yield pd.DataFrame(
+            [(key[0], d, n) for d, n in out], columns=_FS_COLS
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def _first_seen_tws(src: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type("_FirstSeenTWS", (_FirstSeenProcessor, StatefulProcessor), {})
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(),
+        outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def _first_seen_fallback(src: DataFrame) -> DataFrame:
+    def _update(key, pdfs, state):  # self-contained: executor-safe
+        import pandas as pd
+
+        def fold(first_day, last_day, frames):
+            out, days = [], []
+            for pdf in frames:
+                if len(pdf) == 0:
+                    continue
+                days.extend(pdf["ts"].dt.strftime("%Y-%m-%d").tolist())
+            for day in sorted(days):
+                if first_day is None:
+                    first_day = day
+                if last_day is None or day > last_day:
+                    last_day = day
+                    out.append((day, 1 if day == first_day else 0))
+            return first_day, last_day, out
+
+        cur = state.get if state.exists else (None, None)
+        first_day, last_day, out = fold(cur[0], cur[1], pdfs)
+        if not out:
+            return
+        state.update((first_day, last_day))
+        yield pd.DataFrame([(key[0], d, n) for d, n in out], columns=["user_id", "day", "is_new"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=FIRST_SEEN_OUTPUT_SCHEMA,
+        stateStructType=FIRST_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def first_seen_activity(
+    events: DataFrame, watermark: str | None = "0 seconds"
+) -> DataFrame:
+    """Streaming growth accounting: one output row per (user, day)
+    activity, flagged is_new on the user's first-ever day — the keyed-
+    state analogue of the batch ``daily_user_accounting`` query
+    (aggregate the output by day to get active/new/returning/
+    cumulative-unique). Per-user state is two date strings; the
+    watermark (0 s default — see client_registry's ADVICE note) drops
+    event-time regressions so one last_day scalar dedupes days.
+    """
+    src = events.select("user_id", "ts")
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    if _tws_runtime_available():
+        return _first_seen_tws(src)
+    return _first_seen_fallback(src)

@@ -258,3 +258,31 @@ def test_game_server_envelope_equals_batch(spark, sf_dir, chunked_events_dir):
         (sid, got[sid], want[sid]) for sid in sorted(got) if got[sid] != want[sid]
     ]
     assert not mismatches, mismatches[:3]
+
+
+def test_first_seen_activity_matches_batch_growth_accounting(spark, sf_dir, chunked_events_dir):
+    """Streaming keyed-state growth accounting == the batch
+    daily_user_accounting query: aggregating the per-(user, day)
+    first-seen rows by day reproduces active/new/returning exactly."""
+    from goeventstream_spark.streaming.stateful import first_seen_activity
+    import goeventstream_spark.queries_r2  # noqa: F401
+    from goeventstream_spark import queries as q
+
+    stream = read_event_stream(spark, chunked_events_dir)
+    _run_stream(first_seen_activity(stream), "first_seen_out", "append")
+    out = spark.sql("SELECT * FROM first_seen_out")
+
+    got = {
+        (r.day, r.active, r.new): None
+        for r in out.groupBy("day")
+        .agg(
+            F.count("*").alias("active"),
+            F.sum("is_new").cast("long").alias("new"),
+        )
+        .collect()
+    }
+    want = {
+        (r.day.strftime("%Y-%m-%d"), r.active_users, r.new_users): None
+        for r in q.QUERIES["daily_user_accounting"](spark, sf_dir).collect()
+    }
+    assert got == want
