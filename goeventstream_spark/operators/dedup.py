@@ -345,11 +345,13 @@ def dedup_clusters(
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "lbl")
+        # Lazy checkpoint: the convergence agg below is the action that
+        # materializes it — one job per round instead of two.
         labels = (
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
