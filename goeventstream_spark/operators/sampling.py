@@ -84,6 +84,8 @@ def weighted_sample_topk(
     weight_col: str,
     key_cols: tuple[str, ...],
     k: int = 100,
+    max_weight: int | None = None,
+    keys_unique: bool = False,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement: keep the k
     rows with the highest priority, where priority = max of ``w``
@@ -114,21 +116,53 @@ def weighted_sample_topk(
     unbounded weights, decompose w into powers of two and draw one
     key per set bit (log2(w) fan-out) — same distribution, same
     exactness.
+    When ``max_weight`` is given (a static bound on the weight, like
+    the declared query's decile cap of 5), the priority is a FLAT
+    ``greatest()`` over max_weight conditional lanes — plain
+    whole-stage-codegen expressions with subexpression-eliminated
+    digests. The higher-order-function form (transform/flatten
+    lambdas) evaluates interpreted per element, which measured ~2x
+    slower end-to-end; it remains the fallback for unbounded weights.
+    Both forms produce identical draws (lane j of digest block j DIV 4).
     """
     ks = [F.col(c) for c in key_cols]
     key_expr = ", ".join(key_cols)
-    row_pri = F.expr(
-        "array_max(flatten(transform("
-        "  sequence(0, CAST((_w + 3) DIV 4 - 1 AS INT)),"
-        "  i -> transform("
-        "    sequence(0, CAST(least(3, _w - 1 - 4 * i) AS INT)),"
-        f"    l -> substring(md5(concat_ws('#', {key_expr}, i)), l * 8 + 1, 8)))))"
-    )
-    pri = (
-        df.withColumn("_w", F.col(weight_col).cast("int"))
-        .select(*ks, F.col("_w"), row_pri.alias("_pri"))
-        .groupBy(*ks)
-        .agg(F.max("_pri").alias("sample_pri"), F.max("_w").cast("long").alias("weight"))
-    )
+    if max_weight is not None:
+        lanes = []
+        for j in range(max_weight):
+            i, lane = divmod(j, 4)
+            draw = F.expr(
+                f"substring(md5(concat_ws('#', {key_expr}, {i})), {lane * 8 + 1}, 8)"
+            )
+            lanes.append(
+                draw if j == 0 else F.when(F.col("_w") > j, draw).otherwise(F.lit(""))
+            )
+        row_pri = F.greatest(*lanes) if len(lanes) > 1 else lanes[0]
+    else:
+        row_pri = F.expr(
+            "array_max(flatten(transform("
+            "  sequence(0, CAST((_w + 3) DIV 4 - 1 AS INT)),"
+            "  i -> transform("
+            "    sequence(0, CAST(least(3, _w - 1 - 4 * i) AS INT)),"
+            f"    l -> substring(md5(concat_ws('#', {key_expr}, i)), l * 8 + 1, 8)))))"
+        )
+    tagged = df.withColumn("_w", F.col(weight_col).cast("int"))
+    if keys_unique:
+        # Caller asserts key_cols is a unique key (e.g. the table PK):
+        # the dedup-merge groupBy is an identity there, so skip its
+        # shuffle entirely — the whole plan is scan + project +
+        # TakeOrderedAndProject (zero exchanges before the top-k merge).
+        pri = tagged.select(
+            *ks, row_pri.alias("sample_pri"), F.col("_w").cast("long").alias("weight")
+        )
+    else:
+        pri = (
+            tagged.select(*ks, F.col("_w"), row_pri.alias("_pri"))
+            .groupBy(*ks)
+            .agg(
+                F.max("_pri").alias("sample_pri"),
+                F.max("_w").cast("long").alias("weight"),
+            )
+        )
     order = [F.col("sample_pri").desc()] + [F.col(c).asc() for c in key_cols]
     return pri.orderBy(*order).limit(k)

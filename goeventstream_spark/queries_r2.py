@@ -256,6 +256,7 @@ def q_weighted_sample_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="qty_decile",
         key_cols=("l_orderkey", "l_linenumber"),
         k=100,
+        max_weight=5,
     )
 
 
