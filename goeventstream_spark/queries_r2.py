@@ -1886,3 +1886,137 @@ def q_daily_user_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("active_users") - F.col("new_users")).cast("long").alias("returning_users"),
         F.sum("new_users").over(w).cast("long").alias("cumulative_unique_users"),
     )
+
+
+@query(
+    "column_profile_orders",
+    """
+    SELECT 'o_orderkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_cents', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)),
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style data-profile report: per column — row count,
+    nulls, exact NDV, min/max — in engine-neutral string rendering
+    (timestamps formatted, doubles profiled in exact integer cents).
+    ONE aggregation over the table computes every column's stats
+    (Catalyst plans the multi-distinct agg with a single Expand —
+    #distinct-aggs partial passes fused in one shuffle); the wide
+    result row is then unpivoted map-side. At 100 TB swap the exact
+    NDVs for approx_count_distinct partials — same one-pass shape,
+    sketch merge instead of Expand; exact is kept here for the
+    hash-parity gate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_ts = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    ident = lambda c: c  # noqa: E731
+    # (name, typed column, renderer applied AFTER the typed min/max —
+    # aggregating the rendering instead would compare lexicographically)
+    specs = [
+        ("o_orderkey", F.col("o_orderkey"), as_str),
+        ("o_custkey", F.col("o_custkey"), as_str),
+        ("o_orderstatus", F.col("o_orderstatus"), ident),
+        ("o_orderpriority", F.col("o_orderpriority"), ident),
+        ("o_orderdate", F.col("o_orderdate"), as_ts),
+        ("o_totalprice_cents", cents, as_str),
+    ]
+    aggs = [F.count("*").alias("_n")]
+    for name, col, _rend in specs:
+        aggs += [
+            (F.count("*") - F.count(col)).alias(f"{name}__nulls"),
+            F.count_distinct(col).alias(f"{name}__ndv"),
+            F.min(col).alias(f"{name}__min"),
+            F.max(col).alias(f"{name}__max"),
+        ]
+    wide = o.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("column_name"),
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col(f"{name}__nulls").cast("long").alias("n_nulls"),
+            F.col(f"{name}__ndv").cast("long").alias("n_distinct"),
+            rend(F.col(f"{name}__min")).alias("min_value"),
+            rend(F.col(f"{name}__max")).alias("max_value"),
+        )
+        for name, _c, rend in specs
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@query(
+    "trending_event_types",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day, event_type, cnt,
+             CAST(rank() OVER (PARTITION BY day ORDER BY cnt DESC, event_type)
+                  AS BIGINT) AS rk
+      FROM d
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, event_type, cnt, rk,
+           CAST(lag(rk) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+             AS prev_rk,
+           CAST(lag(rk) OVER (PARTITION BY event_type ORDER BY day) - rk AS BIGINT)
+             AS rank_delta
+    FROM r
+    """,
+)
+def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending report: daily event-type leaderboard with day-over-day
+    rank movement (positive rank_delta = climbing). prev_rk is the
+    rank on the type's previous OBSERVED day (lag over the per-type
+    day series — calendar gaps carry the last appearance, the usual
+    leaderboard convention). Two windows over the tiny per-day
+    aggregate; the fact table is touched by one agg shuffle only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wd = Window.partitionBy("day").orderBy(F.desc("cnt"), "event_type")
+    r = d.select(
+        "day", "event_type", "cnt", F.rank().over(wd).cast("long").alias("rk")
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("rk").over(wt)
+    return r.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "event_type", "cnt", "rk",
+        prev.cast("long").alias("prev_rk"),
+        (prev - F.col("rk")).cast("long").alias("rank_delta"),
+    )
