@@ -2020,3 +2020,145 @@ def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.cast("long").alias("prev_rk"),
         (prev - F.col("rk")).cast("long").alias("rank_delta"),
     )
+
+
+@query(
+    "conversion_latency_percentiles",
+    """
+    WITH f AS (
+      SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id,
+        min(e.ts) AS t_click
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'click' AND f.t_view IS NOT NULL AND e.ts > f.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT 'view_to_click' AS step,
+             epoch_ms(c.t_click) - epoch_ms(f.t_view) AS ms
+      FROM c JOIN f ON c.user_id = f.user_id
+      UNION ALL
+      SELECT 'click_to_purchase', epoch_ms(p.t_purchase) - epoch_ms(c.t_click)
+      FROM p JOIN c ON p.user_id = c.user_id
+    )
+    SELECT step, CAST(count(*) AS BIGINT) AS n,
+      CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ms) AS BIGINT) AS p50_ms,
+      CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY ms) AS BIGINT) AS p90_ms,
+      CAST(max(ms) AS BIGINT) AS max_ms
+    FROM lat GROUP BY step
+    """,
+)
+def q_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion-latency distribution: per adjacent step pair
+    (greedy in-order funnel, same semantics as analytics.funnel), the
+    p50/p90/max time-to-convert in exact integer milliseconds with
+    DISCRETE percentiles (an actual observed latency, so the quantile
+    is engine-exact). Three user-keyed aggregates share one
+    partitioning; latencies re-aggregate per step (2 rows out).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    an = __import__("goeventstream_spark.operators.analytics", fromlist=["funnel"])
+    f = an.funnel(ev, steps=("view", "click", "purchase"))
+    lat = (
+        f.where(F.col("t_click").isNotNull())
+        .select(
+            F.lit("view_to_click").alias("step"),
+            (F.unix_millis("t_click") - F.unix_millis("t_view")).alias("ms"),
+        )
+        .unionAll(
+            f.where(F.col("t_purchase").isNotNull()).select(
+                F.lit("click_to_purchase").alias("step"),
+                (F.unix_millis("t_purchase") - F.unix_millis("t_click")).alias("ms"),
+            )
+        )
+    )
+    return lat.groupBy("step").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ms)").cast("long").alias("p50_ms"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY ms)").cast("long").alias("p90_ms"),
+        F.max("ms").cast("long").alias("max_ms"),
+    )
+
+
+@query(
+    "pareto_user_concentration",
+    """
+    WITH uc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rn,
+             (SELECT count(*) FROM uc) AS n_users,
+             (SELECT sum(cnt) FROM uc) AS total
+      FROM uc
+    )
+    SELECT CAST(pct AS BIGINT) AS top_pct,
+           CAST(count(*) AS BIGINT) AS n_top_users,
+           CAST(sum(cnt) AS BIGINT) AS events_from_top,
+           CAST(max(total) AS BIGINT) AS total_events,
+           CAST((sum(cnt) * 1000000) // max(total) AS BIGINT) AS share_ppm
+    FROM ranked
+    CROSS JOIN (SELECT unnest([1, 5, 10, 25]) AS pct)
+    WHERE rn <= (n_users * pct + 99) // 100
+    GROUP BY pct
+    """,
+)
+def q_pareto_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration report: what share of all events comes from
+    the top 1/5/10/25% most active users. The per-user count relation
+    shuffles once; the rank is a window over that compact relation
+    (one row per user — at 100 TB partition it by count bucket or use
+    the documented two-phase sweep; here user cardinality is the
+    aggregate's output, already reduced). Shares are exact ppm integer
+    floors; the top-k cut is ceil(n*pct/100) so both engines take
+    identical row sets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    # Scalable rank-free form: aggregate users into per-count buckets
+    # (distinct activity counts are bounded — thousands, not billions),
+    # then take whole buckets in descending count order plus an exact
+    # partial slice of the boundary bucket. Users inside a bucket are
+    # interchangeable (identical cnt), so the result equals ANY
+    # user-level tie order — which is why the per-user row_number
+    # oracle matches. The only window runs over the bucket relation.
+    bc = uc.groupBy("cnt").agg(F.count("*").alias("nu"))
+    w = Window.orderBy(F.desc("cnt")).rowsBetween(Window.unboundedPreceding, -1)
+    bc2 = bc.select(
+        "cnt", "nu", F.coalesce(F.sum("nu").over(w), F.lit(0)).alias("cum_before")
+    )
+    totals = uc.agg(F.count("*").alias("n_users"), F.sum("cnt").alias("total"))
+    pcts = F.explode(F.array(*[F.lit(p) for p in (1, 5, 10, 25)])).alias("top_pct")
+    taken = F.greatest(
+        F.lit(0),
+        F.least(F.col("nu"), F.expr("(n_users * top_pct + 99) DIV 100 - cum_before")),
+    ).alias("taken")
+    return (
+        bc2.crossJoin(F.broadcast(totals))
+        .select("cnt", "nu", "cum_before", "n_users", "total", pcts)
+        .select("cnt", "total", F.col("top_pct"), taken)
+        .groupBy("top_pct")
+        .agg(
+            F.sum("taken").cast("long").alias("n_top_users"),
+            F.sum(F.col("taken") * F.col("cnt")).cast("long").alias("events_from_top"),
+            F.max("total").cast("long").alias("total_events"),
+            F.expr(
+                "CAST((sum(taken * cnt) * 1000000) DIV max(total) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .where(F.col("n_top_users") > 0)
+        .select(
+            F.col("top_pct").cast("long").alias("top_pct"),
+            "n_top_users", "events_from_top", "total_events", "share_ppm",
+        )
+    )
