@@ -73,6 +73,12 @@ HEADLINE = [
     "unigram_fluency_topk",
     "attribution_by_channel",
     "incremental_sessionize",
+    "asof_nearest_click_error",
+    "daily_user_accounting",
+    "column_profile_orders",
+    "trending_event_types",
+    "conversion_latency_percentiles",
+    "pareto_user_concentration",
 ]
 
 

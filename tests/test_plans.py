@@ -300,3 +300,26 @@ def test_incremental_sessionize_matches_full_recompute_any_cutoff(spark, sf_dir)
         )
         got = {tuple(r) for r in inc.collect()}
         assert got == full, f"cutoff {cutoff}: {len(got ^ full)} differing sessions"
+
+
+def test_column_profile_single_pass(spark, sf_dir):
+    # All six columns' stats (incl. six exact NDVs) must come from ONE
+    # aggregation over the table: a single Expand node, no unioned
+    # re-scans of orders.
+    import goeventstream_spark.queries_r2  # noqa: F401
+
+    df = q.QUERIES["column_profile_orders"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("Expand") <= 1, plan
+    assert len(plans.scan_read_schema(df)) == 1, "orders scanned more than once"
+
+
+def test_pareto_has_no_per_user_window(spark, sf_dir):
+    # The concentration report must rank count-BUCKETS, not users: no
+    # row_number in the plan; the only window runs over the bucket
+    # relation after two aggregations.
+    import goeventstream_spark.queries_r2  # noqa: F401
+
+    df = q.QUERIES["pareto_user_concentration"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "row_number" not in plan, plan
