@@ -302,16 +302,20 @@ def test_incremental_sessionize_matches_full_recompute_any_cutoff(spark, sf_dir)
         assert got == full, f"cutoff {cutoff}: {len(got ^ full)} differing sessions"
 
 
-def test_column_profile_single_pass(spark, sf_dir):
-    # All six columns' stats (incl. six exact NDVs) must come from ONE
-    # aggregation over the table: a single Expand node, no unioned
-    # re-scans of orders.
+def test_column_profile_pruned_branches_no_expand(spark, sf_dir):
+    # Per-column branches: no multi-distinct Expand (x7 row blowup),
+    # and every branch's parquet scan is pruned to at most one source
+    # column (columnar re-scan costs ~the same bytes as one wide scan).
     import goeventstream_spark.queries_r2  # noqa: F401
 
     df = q.QUERIES["column_profile_orders"](spark, sf_dir)
     plan = plans.physical_plan(df)
-    assert plan.count("Expand") <= 1, plan
-    assert len(plans.scan_read_schema(df)) == 1, "orders scanned more than once"
+    assert "Expand" not in plan, plan
+    schemas = plans.scan_read_schema(df)
+    assert schemas, "no parquet scans found"
+    for sch in schemas:
+        n_cols = 0 if sch in ("struct<>", "") else sch.count(":")
+        assert n_cols <= 1, f"branch scan reads {sch}"
 
 
 def test_pareto_has_no_per_user_window(spark, sf_dir):
