@@ -2158,3 +2158,42 @@ def q_pareto_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_top_users", "events_from_top", "total_events", "share_ppm",
         )
     )
+
+
+@query(
+    "audience_overlap_priorities",
+    """
+    WITH m AS (
+      SELECT DISTINCT o_custkey, o_orderpriority AS pri FROM orders
+    )
+    SELECT a.pri AS pri_a, b.pri AS pri_b,
+           CAST(count(*) AS BIGINT) AS both_customers
+    FROM m a JOIN m b ON a.o_custkey = b.o_custkey AND a.pri < b.pri
+    GROUP BY a.pri, b.pri
+    """,
+)
+def q_audience_overlap_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of order priorities, how
+    many customers ordered under BOTH — the exact form of the
+    segment-overlap report ad/analytics systems estimate with theta
+    sketches. Plan: distinct (customer, priority) memberships (one
+    shuffle, output bounded by customers x 5 priorities), then a
+    self-join on the customer key — membership lists are per-customer
+    bounded (<= 5), so join fan-out is <= C(5,2) per customer. At
+    100 TB with unbounded segment vocabularies, swap the self-join
+    for per-segment HLL/theta sketch unions (sketches.py) — exact is
+    kept for the parity gate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(F.col("o_custkey"), F.col("o_orderpriority").alias("pri")).distinct()
+    a = m.alias("a")
+    b = m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.pri") < F.col("b.pri")),
+        )
+        .groupBy(F.col("a.pri").alias("pri_a"), F.col("b.pri").alias("pri_b"))
+        .agg(F.count("*").alias("both_customers"))
+    )
