@@ -420,3 +420,41 @@ def test_shuffle_profile_salted_agg_bounded_by_groups(spark, sf_dir):
             assert ex["input_rows"] < n_input / 10, prof
 
 
+
+
+def test_triangle_orientation_bounds_wedge_fanout(spark, sf_dir):
+    """The degree-orientation invariant that makes triangle counting
+    O(m^1.5) instead of hub-quadratic: every node's ORIENTED out-degree
+    is O(sqrt(2m)), even though raw degrees can be much larger. This is
+    the property that holds at any scale — wedge fan-out per node is
+    bounded by the global edge count, not by the hottest hub."""
+    import math
+
+    from goeventstream_spark.operators import graph as gr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = gr.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    m = edges.count()
+    deg = (
+        edges.selectExpr("a AS v")
+        .unionAll(edges.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    max_raw = deg.agg(F.max("deg")).collect()[0][0]
+    # reconstruct the oriented edges exactly as triangle_participation
+    # does and measure the max out-degree
+    o = (
+        edges.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        .selectExpr(
+            "CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src"
+        )
+        .groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+    )
+    max_out = o.agg(F.max("out_deg")).collect()[0][0]
+    bound = math.isqrt(2 * m) + 1
+    assert max_out <= bound, (max_out, bound, m)
+    # and the orientation must actually be doing work on this graph
+    assert max_out < max_raw, (max_out, max_raw)
