@@ -2197,3 +2197,128 @@ def q_audience_overlap_priorities(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("a.pri").alias("pri_a"), F.col("b.pri").alias("pri_b"))
         .agg(F.count("*").alias("both_customers"))
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    """
+    WITH sg AS (
+      SELECT user_id, CAST(floor(value / 100) AS BIGINT) AS band, ts, event_id
+      FROM events WHERE event_type = 'signup'
+    ),
+    runs AS (
+      SELECT user_id, band, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM (
+        SELECT *, lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM sg
+      ) WHERE prev IS NULL OR band <> prev
+    ),
+    p AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(r.band, -1) AS signup_band,
+           CAST(count(*) AS BIGINT) AS purchases,
+           CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+    FROM p LEFT JOIN runs r
+      ON p.user_id = r.user_id AND r.valid_from <= p.ts
+         AND (r.valid_to IS NULL OR p.ts < r.valid_to)
+    GROUP BY 1
+    """,
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (repeatable) dimension join — the feature-store
+    correctness pattern: each purchase joins the signup-value band
+    that was valid AT PURCHASE TIME (never a later value: no leakage).
+    The SCD2 runs partition each user's timeline, so the containment
+    join is equivalently the backward as-of join on valid_from — the
+    union-merge form, one shuffle, no interval theta-join. Equal-ts
+    runs tiebreak on event_id in both engines (the zero-length run an
+    equal-ts pair creates is never the container). Purchases before
+    any signup fall into band -1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sg = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.floor(F.col("value") / 100).cast("long").alias("band"),
+        "ts",
+        "event_id",
+    )
+    # run starts with the defining event_id carried (scd2_intervals
+    # drops it; the equal-ts tiebreak below needs it) — same
+    # change-detection window shape as temporal.scd2_intervals
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("band").over(w)
+    starts = sg.withColumn("_chg", prev.isNull() | (F.col("band") != prev)).where(
+        "_chg"
+    ).select("user_id", "band", F.col("ts").alias("valid_from"), "event_id")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    joined = rel.asof_join(
+        p,
+        starts,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["event_id", "band"],
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("asof_band"), F.lit(-1)).alias("signup_band")
+    ).agg(
+        F.count("*").alias("purchases"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
+    "pit_trailing_features",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type, epoch_ms(ts) AS ems FROM events
+    ),
+    feat AS (
+      SELECT *,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             OVER w AS BIGINT) AS views_7d,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             OVER w AS BIGINT) AS clicks_7d,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             OVER w AS BIGINT) AS errors_7d
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ems
+                   RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, views_7d, clicks_7d, errors_7d
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def q_pit_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct trailing features: for every purchase,
+    the user's 7-day trailing view/click/error counts STRICTLY before
+    the purchase millisecond (RANGE frame ... AND 1 PRECEDING — no
+    same-instant leakage, the training-serving-skew bug this pattern
+    exists to prevent). One user-keyed window pass over the raw
+    stream; the integer-ms RANGE frame is engine-exact. All three
+    features share the frame, so Catalyst computes them in one sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.unix_millis("ts").alias("ems"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ems")
+        .rangeBetween(-604_800_000, -1)
+    )
+    feat = e.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.sum((F.col("event_type") == "view").cast("long")).over(w).cast("long").alias("views_7d"),
+        F.sum((F.col("event_type") == "click").cast("long")).over(w).cast("long").alias("clicks_7d"),
+        F.sum((F.col("event_type") == "error").cast("long")).over(w).cast("long").alias("errors_7d"),
+    )
+    return feat.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "views_7d", "clicks_7d", "errors_7d"
+    )
