@@ -44,6 +44,7 @@ import importlib.util
 from typing import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -962,3 +963,160 @@ def first_seen_activity(
     if _tws_runtime_available():
         return _first_seen_tws(src)
     return _first_seen_fallback(src)
+
+
+# ---------------------------------------------------------------------------
+# streaming_attribution: last-touch conversion attribution on keyed state
+# ---------------------------------------------------------------------------
+
+ATTRIB_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("channel", StringType()),
+        StructField("cents", LongType()),
+        StructField("purchase_ms", LongType()),
+    ]
+)
+
+ATTRIB_STATE_SCHEMA = StructType(
+    [StructField("lt_channel", StringType()), StructField("lt_ms", LongType())]
+)
+
+_ATTRIB_COLS = ["user_id", "channel", "cents", "purchase_ms"]
+ATTRIB_LOOKBACK_MS = 7 * 24 * 3600 * 1000
+
+
+def _fold_attrib(lt_channel, lt_ms, pdfs):
+    """Shared semantics core: walk a batch of (ms, event_type, cents)
+    rows in (ms, event_id) order; touches update the carried last
+    touch, purchases emit (channel-or-direct, cents, ms) under the
+    7-day lookback. Matches the batch query's strictly-prior window:
+    a same-row purchase never attributes to itself, and a touch at an
+    earlier (ms, event_id) in the same batch DOES count."""
+    out = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        ms_vals = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        rows = sorted(
+            zip(ms_vals, pdf["event_id"].tolist(), pdf["event_type"].tolist(),
+                pdf["cents"].tolist())
+        )
+        for ms, _eid, etype, cents in rows:
+            if etype == "purchase":
+                ch = (
+                    lt_channel
+                    if lt_ms is not None and ms - lt_ms <= ATTRIB_LOOKBACK_MS
+                    else "direct"
+                )
+                out.append((ch, int(cents), ms))
+            else:
+                lt_channel, lt_ms = etype, ms
+    return lt_channel, lt_ms, out
+
+
+class _AttributionProcessor:
+    """Spark 4 StatefulProcessor: per-user carried last touch; emits
+    one attributed row per purchase."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("lt", ATTRIB_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator["object"]:
+        import pandas as pd
+
+        cur = self._state.get() if self._state.exists() else (None, None)
+        lt_channel, lt_ms, out = _fold_attrib(cur[0], cur[1], rows)
+        if lt_ms is not None:
+            self._state.update((lt_channel, lt_ms))
+        if out:
+            yield pd.DataFrame(
+                [(key[0], ch, c, ms) for ch, c, ms in out], columns=_ATTRIB_COLS
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def _attribution_tws(src: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type("_AttributionTWS", (_AttributionProcessor, StatefulProcessor), {})
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc_cls(),
+        outputStructType=ATTRIB_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def _attribution_fallback(src: DataFrame) -> DataFrame:
+    def _update(key, pdfs, state):  # self-contained: executor-safe
+        import pandas as pd
+
+        LOOKBACK = 7 * 24 * 3600 * 1000
+        cur = state.get if state.exists else (None, None)
+        lt_channel, lt_ms = cur
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ms_vals = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            rows = sorted(
+                zip(ms_vals, pdf["event_id"].tolist(), pdf["event_type"].tolist(),
+                    pdf["cents"].tolist())
+            )
+            for ms, _eid, etype, cents in rows:
+                if etype == "purchase":
+                    ch = (
+                        lt_channel
+                        if lt_ms is not None and ms - lt_ms <= LOOKBACK
+                        else "direct"
+                    )
+                    out.append((ch, int(cents), ms))
+                else:
+                    lt_channel, lt_ms = etype, ms
+        if lt_ms is not None:
+            state.update((lt_channel, lt_ms))
+        if out:
+            yield pd.DataFrame(
+                [(key[0], ch, c, ms) for ch, c, ms in out],
+                columns=["user_id", "channel", "cents", "purchase_ms"],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=ATTRIB_OUTPUT_SCHEMA,
+        stateStructType=ATTRIB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_attribution(
+    events: DataFrame, watermark: str | None = "0 seconds"
+) -> DataFrame:
+    """Streaming last-touch attribution: keyed state carries each
+    user's most recent view/click; every purchase is emitted with the
+    channel that gets credit (7-day lookback, else 'direct') — the
+    incremental analogue of the batch ``attribution_by_channel``
+    last-touch model (aggregate the output by channel to reproduce
+    it). Per-user state is one (channel, ms) pair; the watermark
+    enforces the event-time order the batch window semantics assume.
+    """
+    src = events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    if _tws_runtime_available():
+        return _attribution_tws(src)
+    return _attribution_fallback(src)

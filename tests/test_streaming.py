@@ -286,3 +286,31 @@ def test_first_seen_activity_matches_batch_growth_accounting(spark, sf_dir, chun
         for r in q.QUERIES["daily_user_accounting"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_attribution_matches_batch_last_touch(spark, sf_dir, chunked_events_dir):
+    """Streaming keyed-state last-touch attribution == the batch
+    attribution_by_channel last_touch model, channel by channel."""
+    from goeventstream_spark.streaming.stateful import streaming_attribution
+    import goeventstream_spark.queries_r2  # noqa: F401
+    from goeventstream_spark import queries as q
+
+    stream = read_event_stream(spark, chunked_events_dir)
+    _run_stream(streaming_attribution(stream), "attrib_out", "append")
+    got = {
+        (r.channel, r.conversions, r.revenue_cents): None
+        for r in spark.sql("SELECT * FROM attrib_out")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("conversions"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .collect()
+    }
+    want = {
+        (r.channel, r.conversions, r.revenue_cents): None
+        for r in q.QUERIES["attribution_by_channel"](spark, sf_dir)
+        .where(F.col("model") == "last_touch")
+        .collect()
+    }
+    assert got == want
