@@ -2322,3 +2322,68 @@ def q_pit_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "views_7d", "clicks_7d", "errors_7d"
     )
+
+
+from goeventstream_spark.queries_llm import _SHINGLES as _SHINGLES_SQL
+
+
+@query(
+    "dedup_threshold_sweep",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.doc_a, i.doc_b,
+             (i.n_common * 100) / (sa.n + sb.n - i.n_common) AS pct_floor
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+    )
+    SELECT CAST(t AS BIGINT) AS threshold_pct,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM jac CROSS JOIN (SELECT unnest([50, 60, 70, 80, 90]) AS t)
+    WHERE pct_floor >= t
+    GROUP BY t
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning curve: near-duplicate pair counts at five Jaccard
+    thresholds from ONE pass of the exact inverted-index pair
+    generator — the sweep an operator runs to pick the production LSH
+    threshold. Comparisons are integer floors ((n_common * 100) DIV
+    union) so the threshold test is engine-exact — no float Jaccard
+    crosses a boundary differently in the last ulp.
+    """
+    from goeventstream_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .select(F.expr("(n_common * 100) DIV (n_a + n_b - n_common)").alias("pct_floor"))
+    )
+    ts = F.explode(F.array(*[F.lit(t) for t in (50, 60, 70, 80, 90)])).alias("t")
+    return (
+        jac.select("pct_floor", ts)
+        .where(F.col("pct_floor") >= F.col("t"))
+        .groupBy(F.col("t").cast("long").alias("threshold_pct"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
