@@ -185,3 +185,43 @@ def write_zordered_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 512,
+    cluster_cols: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction (the lake-maintenance job every streaming
+    sink needs eventually): rewrite a directory of many small parquet
+    files into ceil(total_bytes / target_file_mb) files, optionally
+    re-clustered on ``cluster_cols`` so the rewrite also restores
+    row-group-stat pruning (write_clustered_parquet's property).
+
+    File count is sized from the SOURCE's actual on-disk bytes (the
+    input_file metadata column — no driver-side directory walk of data
+    contents), so compaction is idempotent: re-running on an
+    already-compacted directory is a near-no-op rewrite into the same
+    file count. Returns the target file count. dst must differ from
+    src (write-then-swap is the caller's atomic-publish step —
+    overwriting a directory while reading it is undefined).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    total_bytes = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(src_path)
+        .agg(F.sum("length"))
+        .collect()[0][0]
+        or 0
+    )
+    n = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    if cluster_cols:
+        write_clustered_parquet(df, dst_path, list(cluster_cols), target_files=int(n))
+    else:
+        df.repartition(int(n)).write.mode("overwrite").parquet(dst_path)
+    return int(n)

@@ -318,3 +318,32 @@ def test_protocol_events_datasource_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) >= 80
+
+
+def test_compact_parquet_sizes_from_bytes_and_roundtrips(spark, sf_dir, tmp_path):
+    """compact_parquet: many small files -> byte-budgeted file count,
+    identical data, and (with cluster_cols) restored row-group-stat
+    tightness; re-running on the compacted output is stable."""
+    import os
+
+    from goeventstream_spark.sources.io import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "small_files")
+    ev.repartition(40).write.parquet(src)
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 40
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_mb=512, cluster_cols=["ts"])
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == n and n < 40
+    before = {tuple(r) for r in ev.select("event_id", "user_id").collect()}
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(dst).select("event_id", "user_id").collect()
+    }
+    assert after == before
+    # idempotent file count on re-compaction
+    dst2 = str(tmp_path / "compacted2")
+    n2 = compact_parquet(spark, dst, dst2, target_file_mb=512, cluster_cols=["ts"])
+    assert n2 == n
