@@ -146,7 +146,12 @@ def weighted_sample_topk(
             "    sequence(0, CAST(least(3, _w - 1 - 4 * i) AS INT)),"
             f"    l -> substring(md5(concat_ws('#', {key_expr}, i)), l * 8 + 1, 8)))))"
         )
-    tagged = df.withColumn("_w", F.col(weight_col).cast("int"))
+    # A-Res semantics: weight <= 0 means probability 0 — excluded
+    # outright (also keeps the flat form's ungated first lane and the
+    # fallback's sequence() from fabricating draws for w=0).
+    tagged = df.withColumn("_w", F.col(weight_col).cast("int")).where(
+        F.col("_w") > 0
+    )
     if keys_unique:
         # Caller asserts key_cols is a unique key (e.g. the table PK):
         # the dedup-merge groupBy is an identity there, so skip its

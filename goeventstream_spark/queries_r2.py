@@ -1868,8 +1868,11 @@ def q_daily_user_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     both fact-partitioned; the day-level rollup is tiny.
     """
     ev = load_table(spark, sf_dir, "events")
-    fd = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
     act = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    # first_day from the already-distinct (day, user) relation — min of
+    # a monotone cast is the cast of the min, so this equals min(ts)
+    # per user without a second full-fact aggregation
+    fd = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
     daily = (
         act.join(fd, "user_id")
         .groupBy("day")
@@ -2062,8 +2065,9 @@ def q_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
     is engine-exact). Three user-keyed aggregates share one
     partitioning; latencies re-aggregate per step (2 rows out).
     """
+    from goeventstream_spark.operators import analytics as an
+
     ev = load_table(spark, sf_dir, "events")
-    an = __import__("goeventstream_spark.operators.analytics", fromlist=["funnel"])
     f = an.funnel(ev, steps=("view", "click", "purchase"))
     lat = (
         f.where(F.col("t_click").isNotNull())
@@ -2339,7 +2343,7 @@ from goeventstream_spark.queries_llm import _SHINGLES as _SHINGLES_SQL
     ),
     jac AS (
       SELECT i.doc_a, i.doc_b,
-             (i.n_common * 100) / (sa.n + sb.n - i.n_common) AS pct_floor
+             (i.n_common * 100) // (sa.n + sb.n - i.n_common) AS pct_floor
       FROM inter i
       JOIN sizes sa ON i.doc_a = sa.doc_id
       JOIN sizes sb ON i.doc_b = sb.doc_id

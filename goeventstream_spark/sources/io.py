@@ -208,8 +208,15 @@ def compact_parquet(
     src (write-then-swap is the caller's atomic-publish step —
     overwriting a directory while reading it is undefined).
     """
+    import os.path
+
     from pyspark.sql import functions as F
 
+    if os.path.realpath(src_path) == os.path.realpath(dst_path):
+        raise ValueError(
+            "compact_parquet: dst_path must differ from src_path — "
+            "overwriting a directory while lazily reading it loses data"
+        )
     df = spark.read.parquet(src_path)
     total_bytes = (
         spark.read.format("binaryFile")

@@ -994,24 +994,28 @@ def _fold_attrib(lt_channel, lt_ms, pdfs):
     a same-row purchase never attributes to itself, and a touch at an
     earlier (ms, event_id) in the same batch DOES count."""
     out = []
+    rows = []
+    # Arrow delivers ONE GROUP as multiple chunks (maxRecordsPerBatch);
+    # collect every chunk before sorting — a per-chunk sort would let a
+    # purchase in an early chunk miss an earlier-ts touch in a later one.
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         ms_vals = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-        rows = sorted(
+        rows.extend(
             zip(ms_vals, pdf["event_id"].tolist(), pdf["event_type"].tolist(),
                 pdf["cents"].tolist())
         )
-        for ms, _eid, etype, cents in rows:
-            if etype == "purchase":
-                ch = (
-                    lt_channel
-                    if lt_ms is not None and ms - lt_ms <= ATTRIB_LOOKBACK_MS
-                    else "direct"
-                )
-                out.append((ch, int(cents), ms))
-            else:
-                lt_channel, lt_ms = etype, ms
+    for ms, _eid, etype, cents in sorted(rows):
+        if etype == "purchase":
+            ch = (
+                lt_channel
+                if lt_ms is not None and ms - lt_ms <= ATTRIB_LOOKBACK_MS
+                else "direct"
+            )
+            out.append((ch, int(cents), ms))
+        else:
+            lt_channel, lt_ms = etype, ms
     return lt_channel, lt_ms, out
 
 
@@ -1061,24 +1065,27 @@ def _attribution_fallback(src: DataFrame) -> DataFrame:
         cur = state.get if state.exists else (None, None)
         lt_channel, lt_ms = cur
         out = []
+        rows = []
+        # collect ALL chunks of the group, then sort once (chunk order
+        # is arbitrary; a per-chunk sort misorders cross-chunk events)
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             ms_vals = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            rows = sorted(
+            rows.extend(
                 zip(ms_vals, pdf["event_id"].tolist(), pdf["event_type"].tolist(),
                     pdf["cents"].tolist())
             )
-            for ms, _eid, etype, cents in rows:
-                if etype == "purchase":
-                    ch = (
-                        lt_channel
-                        if lt_ms is not None and ms - lt_ms <= LOOKBACK
-                        else "direct"
-                    )
-                    out.append((ch, int(cents), ms))
-                else:
-                    lt_channel, lt_ms = etype, ms
+        for ms, _eid, etype, cents in sorted(rows):
+            if etype == "purchase":
+                ch = (
+                    lt_channel
+                    if lt_ms is not None and ms - lt_ms <= LOOKBACK
+                    else "direct"
+                )
+                out.append((ch, int(cents), ms))
+            else:
+                lt_channel, lt_ms = etype, ms
         if lt_ms is not None:
             state.update((lt_channel, lt_ms))
         if out:
