@@ -95,16 +95,25 @@ _REG_COLS = ["user_id", "marker", "event_ms", "data"]
 
 def _fold_registry_rows(last_seen, best_json, pdfs):
     """Shared semantics core: fold a batch of (ts, props) rows into
-    (first_ms, last_seen, best_json) — LWW by event time."""
+    (first_ms, last_seen, best_json) — LWW by event time, equal-ms
+    ties resolved by the greatest props string. The fold is a pure
+    max over (ms, props), so it is independent of chunk order AND of
+    how the stream was batched — a per-chunk last-write rule would let
+    Arrow chunking (or microbatch boundaries) pick the winner of an
+    equal-ms tie."""
     first_ms = None
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         ms_vals = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-        for m, props in sorted(zip(ms_vals, pdf["props"].tolist())):
+        for m, props in zip(ms_vals, pdf["props"].tolist()):
             if first_ms is None or m < first_ms:
                 first_ms = m
-            if last_seen is None or m > last_seen:
+            if (
+                last_seen is None
+                or m > last_seen
+                or (m == last_seen and (props or "") > (best_json or ""))
+            ):
                 last_seen = m
                 best_json = props
     return first_ms, last_seen, best_json
