@@ -152,9 +152,16 @@ def connections(syncs: DataFrame, game_col: str | None = None) -> DataFrame:
         "conn_id", F.sum("is_conn_start").over(wu.rowsBetween(Window.unboundedPreceding, 0))
     )
     starts = flagged.where(F.col("is_conn_start") == 1).select(
-        "game", "gen", "user_id", "conn_id", F.col("poll_ms").alias("conn_start_ms")
+        "game", "gen", "user_id", "conn_id",
+        F.col("poll_ms").alias("conn_start_ms"),
+        F.col("sync_id").alias("_start_sync"),
     )
-    wp = Window.partitionBy("game", "gen").orderBy("conn_start_ms", "user_id")
+    # Tie order at equal ms is ARRIVAL order = sync_id (the reference
+    # processes polls sequentially under one mutex; the sim and the
+    # streaming game_server both sort by (poll_ms, sync_id)) — NOT
+    # user_id, which diverges whenever two users' first polls share a
+    # millisecond with sync ids opposite to user order.
+    wp = Window.partitionBy("game", "gen").orderBy("conn_start_ms", "_start_sync")
     proxies = starts.withColumn("proxy_id", F.row_number().over(wp).cast("string"))
     # The annotated relation is consumed by four log branches (seed,
     # connects, disconnects, posted) — without materialization each
@@ -416,7 +423,16 @@ def state_deltas(
     """
     if conn is None:
         conn = connections(syncs, game_col)
-    stamps = conn.join(states, "sync_id").select(
+    # EVERY sender poll is a liveness touch (model/game.go:92-107 keys
+    # expiry on lastTouch, refreshed by any poll); only polls that
+    # REPORT state are stamps. Keying expiry on the last stamp would
+    # wrongly drop a state whose sender kept polling without
+    # re-reporting — the reference keeps it while the client lives.
+    # A stamp also dies with its connection (expiry deletes the state
+    # map entry, model/game.go:99), so the carried stamp remembers its
+    # conn_id and is only visible while the sender's CURRENT conn is
+    # the same one.
+    stamps = conn.join(states, "sync_id", "left").select(
         "game",
         "gen",
         F.col("user_id").alias("_sender"),
@@ -424,6 +440,7 @@ def state_deltas(
         "sync_id",
         "clock_t",
         "proxy_id",
+        "conn_id",
         "data",
     )
     recv = conn if users is None else conn.where(F.col("user_id").isin(users))
@@ -435,6 +452,26 @@ def state_deltas(
         "_last_known", F.coalesce(F.lag("clock_t").over(wlk), F.lit(0))
     )
     targets = recv.select("game", "gen", F.col("user_id").alias("_recv")).distinct()
+    # SetState stamps stateStream.T, which starts at 1 and ticks in
+    # lockstep with the event clock (model/stateStream.go:11-25) —
+    # so the stamp is clock_t + 1, and the LWW delta condition
+    # last_known < stamp is the reference's last_known <= clock.
+    # The stamp travels as ONE nullable struct so a touch-only poll
+    # (data null) can never split the carry into a mixed tuple of new
+    # clock + old data.
+    stamp_struct = F.when(
+        F.col("data").isNotNull(),
+        F.struct(
+            F.col("poll_ms").alias("ms"),
+            (F.col("clock_t") + 1).cast("long").alias("clock"),
+            F.col("proxy_id").alias("proxy"),
+            F.col("data").alias("data"),
+            F.col("conn_id").alias("conn"),
+        ),
+    )
+    touch_struct = F.struct(
+        F.col("poll_ms").alias("ms"), F.col("conn_id").alias("conn")
+    )
     stamp_rows = stamps.join(targets, ["game", "gen"]).select(
         "game",
         "gen",
@@ -443,18 +480,14 @@ def state_deltas(
         F.col("poll_ms").alias("_ms"),
         F.col("sync_id").alias("_sid"),
         F.lit(0).alias("_side"),
-        F.col("poll_ms").alias("s_ms"),
-        # SetState stamps stateStream.T, which starts at 1 and ticks in
-        # lockstep with the event clock (model/stateStream.go:11-25) —
-        # so the stamp is clock_t + 1, and the LWW delta condition
-        # last_known < stamp is the reference's last_known <= clock.
-        (F.col("clock_t") + 1).cast("long").alias("s_clock"),
-        F.col("proxy_id").alias("s_proxy"),
-        F.col("data").alias("s_data"),
+        stamp_struct.alias("s_stamp"),
+        touch_struct.alias("s_touch"),
         F.lit(None).cast("long").alias("r_sync_id"),
         F.lit(None).cast("long").alias("r_last_known"),
         F.lit(None).cast(conn.schema["user_id"].dataType).alias("r_user"),
     )
+    stamp_t = stamp_rows.schema["s_stamp"].dataType
+    touch_t = stamp_rows.schema["s_touch"].dataType
     recv_rows = recv.join(
         stamps.select("game", "gen", "_sender").distinct(), ["game", "gen"]
     ).select(
@@ -465,10 +498,8 @@ def state_deltas(
         F.col("poll_ms").alias("_ms"),
         F.col("sync_id").alias("_sid"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("s_ms"),
-        F.lit(None).cast("long").alias("s_clock"),
-        F.lit(None).cast("string").alias("s_proxy"),
-        F.lit(None).cast("string").alias("s_data"),
+        F.lit(None).cast(stamp_t).alias("s_stamp"),
+        F.lit(None).cast(touch_t).alias("s_touch"),
         F.col("sync_id").alias("r_sync_id"),
         F.col("_last_known").alias("r_last_known"),
         F.col("user_id").alias("r_user"),
@@ -482,22 +513,25 @@ def state_deltas(
     )
     carried = (
         stamp_rows.unionByName(recv_rows)
-        .withColumn("_last_stamp_ms", F.last("s_ms", ignorenulls=True).over(wc))
-        .withColumn("_last_clock", F.last("s_clock", ignorenulls=True).over(wc))
-        .withColumn("_last_proxy", F.last("s_proxy", ignorenulls=True).over(wc))
-        .withColumn("_last_data", F.last("s_data", ignorenulls=True).over(wc))
+        .withColumn("_stamp", F.last("s_stamp", ignorenulls=True).over(wc))
+        .withColumn("_touch", F.last("s_touch", ignorenulls=True).over(wc))
     )
+    # Visible iff the sender is ALIVE at this sync (last touch within
+    # the timeout) and the stamp belongs to the sender's current
+    # connection (an expiry in between deleted it; a reconnect without
+    # a fresh report has no state), and the LWW clock gate passes.
     return carried.where(
         (F.col("_side") == 1)
-        & F.col("_last_stamp_ms").isNotNull()
-        & (F.col("_ms") - F.col("_last_stamp_ms") <= CLIENT_TIMEOUT_MS)
-        & (F.col("_last_clock") > F.col("r_last_known"))
+        & F.col("_stamp").isNotNull()
+        & (F.col("_ms") - F.col("_touch.ms") <= CLIENT_TIMEOUT_MS)
+        & (F.col("_stamp.conn") == F.col("_touch.conn"))
+        & (F.col("_stamp.clock") > F.col("r_last_known"))
     ).select(
         F.col("r_sync_id").alias("sync_id"),
         F.col("r_user").alias("user_id"),
-        F.col("_last_clock").alias("state_t"),
-        F.col("_last_proxy").alias("origin"),
-        F.col("_last_data").alias("data"),
+        F.col("_stamp.clock").alias("state_t"),
+        F.col("_stamp.proxy").alias("origin"),
+        F.col("_stamp.data").alias("data"),
     )
 
 

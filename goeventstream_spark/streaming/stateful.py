@@ -295,7 +295,11 @@ def _process_game_polls(
     (model/game.go:60-73) over a sorted poll batch. Mutates ``active``
     in place; returns (gen, last_poll, next_proxy, out_rows)."""
     out = []
-    for now, user in sorted(polls):
+    # polls: (poll_ms, seq, user_id) — seq is the arrival sequence
+    # (sync_id when the source carries one), so equal-ms ties process
+    # in ARRIVAL order exactly like the reference's mutex-serialized
+    # HTTP loop and the batch connections() proxy window.
+    for now, _seq, user in sorted(polls):
         if last_poll is None or now - last_poll > game_timeout_ms:
             # GC -> recreate (model/game.go:76-78): new generation,
             # fresh seed and counters
@@ -324,8 +328,9 @@ class _GameRegistryProcessor:
     """Spark 4 StatefulProcessor: one key = one game = the reference's
     one mutex. No timers: every transition is poll-driven exactly like
     the reference, so a trailing silent client stays until GC — also
-    like the reference. Ties within a batch break by user_id, matching
-    the batch replay's proxy tie order."""
+    like the reference. Equal-ms ties break by arrival sequence
+    (sync_id when provided), matching the batch replay's proxy tie
+    order and the reference's serialized request loop."""
 
     def __init__(self, client_timeout_ms: int, game_timeout_ms: int) -> None:
         self._client_timeout_ms = client_timeout_ms
@@ -349,7 +354,14 @@ class _GameRegistryProcessor:
         for pdf in rows:
             if len(pdf) == 0:
                 continue
-            polls.extend(zip(pdf["poll_ms"].tolist(), pdf["user_id"].tolist()))
+            seqs = (
+                pdf["sync_id"].tolist()
+                if "sync_id" in pdf.columns
+                else pdf["user_id"].tolist()
+            )
+            polls.extend(
+                zip(pdf["poll_ms"].tolist(), seqs, pdf["user_id"].tolist())
+            )
         if not polls:
             return
         gen, last_poll, next_proxy, out = _process_game_polls(
@@ -411,7 +423,14 @@ def _game_registry_fallback(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            polls.extend(zip(pdf["poll_ms"].tolist(), pdf["user_id"].tolist()))
+            seqs = (
+                pdf["sync_id"].tolist()
+                if "sync_id" in pdf.columns
+                else pdf["user_id"].tolist()
+            )
+            polls.extend(
+                zip(pdf["poll_ms"].tolist(), seqs, pdf["user_id"].tolist())
+            )
         if not polls:
             return
         gen, last_poll, next_proxy, out = _process_game_polls(
@@ -442,8 +461,14 @@ def game_registry(
     single-writer assumption the reference's HTTP loop provides).
     Emits ``_a`` per game instance and ``_c``/``_d`` with the exact
     per-game monotone proxy ids of model/game.go:49-53; envelope-equal
-    to batch ``protocol_replay.connections`` (test_streaming.py)."""
-    src = polls.select("game", "user_id", "poll_ms")
+    to batch ``protocol_replay.connections`` (test_streaming.py). Pass
+    a ``sync_id`` column when the source has an arrival sequence —
+    equal-ms polls then tie in arrival order exactly like the batch
+    replay; without one, ties fall back to user_id."""
+    cols = ["game", "user_id", "poll_ms"] + (
+        ["sync_id"] if "sync_id" in polls.columns else []
+    )
+    src = polls.select(*cols)
     if _tws_runtime_available():
         return _game_registry_tws(src, client_timeout_ms, game_timeout_ms)
     return _game_registry_fallback(src, client_timeout_ms, game_timeout_ms)

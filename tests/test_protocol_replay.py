@@ -88,14 +88,19 @@ def schedule(request):
         users = [f"u{i}" for i in range(5)]
         now = t
         for _step in range(250):
-            for u in users:
-                if rng.random() < 0.6:
-                    syncs.append((sync_id, u, now))
-                    if rng.random() < 0.25:
-                        posted.append(
-                            (sync_id, 0, f"ev{rng.randint(0, 9)}", f"b{sync_id}")
-                        )
-                    sync_id += 1
+            # shuffle arrival order so equal-ms sync ids are routinely
+            # DISCORDANT with user order — the tie case where a proxy
+            # window ordered by user_id (instead of arrival sync_id)
+            # diverges from the reference's serialized loop
+            batch = [u for u in users if rng.random() < 0.6]
+            rng.shuffle(batch)
+            for u in batch:
+                syncs.append((sync_id, u, now))
+                if rng.random() < 0.25:
+                    posted.append(
+                        (sync_id, 0, f"ev{rng.randint(0, 9)}", f"b{sync_id}")
+                    )
+                sync_id += 1
             gap = (
                 11_000 + 50 * rng.randint(0, 100)
                 if rng.random() < 0.05
@@ -392,3 +397,35 @@ def test_state_deltas_lww_and_expiry(spark):
     # model/game.go:95-107); u0 reconnects with a fresh proxy id 3 and
     # re-stamps (T=401 > 100); u1's old state is GONE
     assert sorted(by_sync[3]) == [("3", "s3")]
+
+
+def test_state_survives_stateless_polls_while_sender_alive(spark):
+    """Liveness is keyed to the sender's last POLL (any touch), not the
+    last state STAMP (model/game.go:92-107: expiry reads lastTouch;
+    SetState only updates the map). A sender who stamps once and then
+    keeps polling WITHOUT re-reporting stays visible; after an expiry,
+    a reconnect without a fresh report has no state."""
+    syncs = [
+        (0, "u0", 1_000_000),   # u0 stamps state here
+        (1, "u0", 1_008_000),   # u0 touch only (8 s later, no state)
+        (2, "u1", 1_012_000),   # receiver: u0 alive (touch 4 s ago),
+                                # stamp is 12 s old -> must STILL see it
+        (3, "u0", 1_030_000),   # u0 reconnects (18 s gap > 10 s), NO state
+        (4, "u1", 1_031_000),   # receiver: u0 alive but state died with
+                                # the old connection -> must NOT see it
+    ]
+    syncs_df = spark.createDataFrame(syncs, SYNCS_SCHEMA)
+    states_df = spark.createDataFrame(
+        [(0, "s0")],
+        StructType(
+            [StructField("sync_id", LongType()), StructField("data", StringType())]
+        ),
+    )
+    rows = pr.state_deltas(syncs_df, states_df).collect()
+    by_sync: dict[int, list] = {}
+    for r in rows:
+        by_sync.setdefault(r.sync_id, []).append((r.origin, r.data))
+    assert ("1", "s0") in by_sync.get(2, []), "stamp dropped while sender alive"
+    assert by_sync.get(4) is None or ("1", "s0") not in by_sync[4], (
+        "stamp survived the sender's expiry/reconnect"
+    )

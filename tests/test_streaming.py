@@ -161,6 +161,7 @@ def test_game_registry_matches_batch_proxy_assignment(spark, sf_dir, chunked_eve
         (F.col("user_id") % 4).cast("string").alias("game"),
         "user_id",
         F.unix_millis("ts").alias("poll_ms"),
+        F.col("event_id").alias("sync_id"),
     )
     _run_stream(game_registry(polls), "game_reg_out", "append")
     out = spark.sql("SELECT * FROM game_reg_out").collect()
