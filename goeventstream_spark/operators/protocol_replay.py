@@ -196,7 +196,7 @@ def server_log(
         conn = connections(syncs, game_col)
 
     # seed _a: appended at instance creation, always T=1, origin "_"
-    seed = conn.groupBy("game", "gen").agg(F.min("poll_ms")).select(
+    seed = conn.select("game", "gen").distinct().select(
         "game",
         "gen",
         F.lit(1).cast("long").alias("t"),

@@ -58,12 +58,14 @@ def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
     return dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
 
 
-def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dims: int | None = 64) -> DataFrame:
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Brute-force top-k cosine neighbors for each query vector.
 
     ``queries`` is a small DataFrame (query_id, q_embedding); it is
     broadcast, so the corpus scan is embarrassingly parallel. Exact
-    baseline for ANN variants. Self-matches excluded by id.
+    baseline for ANN variants. Self-matches excluded by id. Scoring is
+    the Arrow pair scorer (full vector width — a dims parameter here
+    would be dead weight, the flat-expression path does not apply).
     """
     joined = emb.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
@@ -519,6 +521,12 @@ def pq_index(
 
     import numpy as np
 
+    if dims % n_subspaces != 0:
+        raise ValueError(
+            f"pq_index: dims={dims} not divisible by n_subspaces="
+            f"{n_subspaces} — trailing dimensions would be silently "
+            "dropped from codes and ADC distances"
+        )
     sub = dims // n_subspaces
     sample_rows = (
         emb.select("vec_id", "embedding")

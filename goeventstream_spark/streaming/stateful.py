@@ -87,36 +87,44 @@ REGISTRY_STATE_SCHEMA = StructType(
         StructField("last_seen_ms", LongType()),
         StructField("state_json", StringType()),
         StructField("timer_ms", LongType()),
+        StructField("last_seq", LongType()),
     ]
 )
 
 _REG_COLS = ["user_id", "marker", "event_ms", "data"]
 
 
-def _fold_registry_rows(last_seen, best_json, pdfs):
-    """Shared semantics core: fold a batch of (ts, props) rows into
-    (first_ms, last_seen, best_json) — LWW by event time, equal-ms
-    ties resolved by the greatest props string. The fold is a pure
-    max over (ms, props), so it is independent of chunk order AND of
-    how the stream was batched — a per-chunk last-write rule would let
-    Arrow chunking (or microbatch boundaries) pick the winner of an
-    equal-ms tie."""
+def _fold_registry_rows(last_seen, best_json, last_seq, pdfs):
+    """Shared semantics core: fold a batch of (ts, event_id, props)
+    rows into (first_ms, last_seen, best_json, last_seq) — LWW by
+    (event time, event_id), the SAME total order batch
+    stream_ops.latest_state uses (ts desc, event_id desc), so the two
+    surfaces agree even on equal-ms ties. A max-fold, so the result is
+    independent of chunk order and of how the stream was batched.
+    Sources without an event_id column tie on a zero sequence
+    (first-write-wins at equal ms across batches)."""
     first_ms = None
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         ms_vals = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-        for m, props in zip(ms_vals, pdf["props"].tolist()):
+        seqs = (
+            pdf["event_id"].tolist()
+            if "event_id" in pdf.columns
+            else [0] * len(pdf)
+        )
+        for m, seq, props in zip(ms_vals, seqs, pdf["props"].tolist()):
             if first_ms is None or m < first_ms:
                 first_ms = m
             if (
                 last_seen is None
                 or m > last_seen
-                or (m == last_seen and (props or "") > (best_json or ""))
+                or (m == last_seen and (last_seq is None or seq > last_seq))
             ):
                 last_seen = m
                 best_json = props
-    return first_ms, last_seen, best_json
+                last_seq = seq
+    return first_ms, last_seen, best_json, last_seq
 
 
 class _ClientRegistryProcessor:
@@ -140,7 +148,10 @@ class _ClientRegistryProcessor:
         last_seen = cur[0] if existed else None
         best_json = cur[1] if existed else None
         old_timer = cur[2] if existed else None
-        first_ms, last_seen, best_json = _fold_registry_rows(last_seen, best_json, rows)
+        last_seq = cur[3] if existed and len(cur) > 3 else None
+        first_ms, last_seen, best_json, last_seq = _fold_registry_rows(
+            last_seen, best_json, last_seq, rows
+        )
         if first_ms is None:
             return
         out = []
@@ -153,7 +164,7 @@ class _ClientRegistryProcessor:
             if old_timer is not None:
                 self._handle.deleteTimer(old_timer)
             self._handle.registerTimer(new_timer)
-        self._state.update((last_seen, best_json, new_timer))
+        self._state.update((last_seen, best_json, new_timer, last_seq))
         yield pd.DataFrame(out, columns=_REG_COLS)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator["object"]:
@@ -161,7 +172,7 @@ class _ClientRegistryProcessor:
 
         user_id = key[0]
         if self._state.exists():
-            last_seen, _sj, _tm = self._state.get()
+            last_seen = self._state.get()[0]
             self._state.clear()
             yield pd.DataFrame(
                 [(user_id, "_d", last_seen + self._timeout_ms, None)],
@@ -191,12 +202,12 @@ def _client_registry_tws(src: DataFrame, timeout_ms: int) -> DataFrame:
 def _client_registry_fallback(src: DataFrame, timeout_ms: int) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def _update(key, pdfs, state):  # self-contained: executor-safe
+    def _update(key, pdfs, state):  # uses module fold cores — executors need the package importable
         import pandas as _pd
 
         user_id = key[0]
         if state.hasTimedOut:
-            (last_seen, _sj, _tm) = state.get
+            last_seen = state.get[0]
             state.remove()
             yield _pd.DataFrame(
                 [(user_id, "_d", last_seen + timeout_ms, None)], columns=_REG_COLS
@@ -206,14 +217,17 @@ def _client_registry_fallback(src: DataFrame, timeout_ms: int) -> DataFrame:
         existed = state.exists
         last_seen = state.get[0] if existed else None
         best_json = state.get[1] if existed else None
-        first_ms, last_seen, best_json = _fold_registry_rows(last_seen, best_json, pdfs)
+        last_seq = state.get[3] if existed and len(state.get) > 3 else None
+        first_ms, last_seen, best_json, last_seq = _fold_registry_rows(
+            last_seen, best_json, last_seq, pdfs
+        )
         if first_ms is None:
             return
         rows = []
         if not existed:
             rows.append((user_id, "_c", first_ms, None))
         rows.append((user_id, "state", last_seen, best_json))
-        state.update((last_seen, best_json, last_seen + timeout_ms))
+        state.update((last_seen, best_json, last_seen + timeout_ms, last_seq))
         state.setTimeoutTimestamp(last_seen + timeout_ms)
         yield _pd.DataFrame(rows, columns=_REG_COLS)
 
@@ -235,14 +249,20 @@ def client_registry(
     ``state`` rows on last-writer-wins updates, ``_d`` when the
     event-time watermark passes last_seen + timeout.
 
-    Input must carry (user_id, ts, props). ``watermark`` is the
+    Input must carry (user_id, ts, props) — plus ``event_id`` when the
+    source has one, which makes equal-ms LWW ties match batch
+    latest_state's (ts desc, event_id desc) order exactly.
+    ``watermark`` is the
     watermark delay applied to ``ts``; pass ``None`` to respect a
     watermark the caller already set instead of overriding it (ADVICE
     r1). With the default 0-second delay any event arriving out of
     order across micro-batches is dropped as late and timeouts fire as
     eagerly as the watermark advances — a tighter sweep than the
     reference's lazy poll-driven one."""
-    src = events.select("user_id", "ts", "props")
+    cols = ["user_id", "ts", "props"] + (
+        ["event_id"] if "event_id" in events.columns else []
+    )
+    src = events.select(*cols)
     if watermark is not None:
         src = src.withWatermark("ts", watermark)
     if _tws_runtime_available():
@@ -404,7 +424,7 @@ def _game_registry_fallback(
 ) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def _update(key, pdfs, state):  # self-contained: executor-safe
+    def _update(key, pdfs, state):  # uses module fold cores — executors need the package importable
         import json as _json
 
         import pandas as _pd
@@ -565,7 +585,7 @@ def _funnel_tws(src: DataFrame, steps) -> DataFrame:
 def _funnel_fallback(src: DataFrame, steps) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def _update(key, pdfs, state):  # self-contained: executor-safe
+    def _update(key, pdfs, state):  # uses module fold cores — executors need the package importable
         import pandas as _pd
 
         cur = state.get if state.exists else (None, None, None)
@@ -945,25 +965,14 @@ def _first_seen_tws(src: DataFrame) -> DataFrame:
 
 
 def _first_seen_fallback(src: DataFrame) -> DataFrame:
-    def _update(key, pdfs, state):  # self-contained: executor-safe
+    def _update(key, pdfs, state):
+        # references the module-level fold core — executors must be
+        # able to import goeventstream_spark (true under pytest/local
+        # mode; ship the package via --py-files on a cluster)
         import pandas as pd
 
-        def fold(first_day, last_day, frames):
-            out, days = [], []
-            for pdf in frames:
-                if len(pdf) == 0:
-                    continue
-                days.extend(pdf["ts"].dt.strftime("%Y-%m-%d").tolist())
-            for day in sorted(days):
-                if first_day is None:
-                    first_day = day
-                if last_day is None or day > last_day:
-                    last_day = day
-                    out.append((day, 1 if day == first_day else 0))
-            return first_day, last_day, out
-
         cur = state.get if state.exists else (None, None)
-        first_day, last_day, out = fold(cur[0], cur[1], pdfs)
+        first_day, last_day, out = _fold_first_seen(cur[0], cur[1], pdfs)
         if not out:
             return
         state.update((first_day, last_day))
@@ -1040,6 +1049,8 @@ def _fold_attrib(lt_channel, lt_ms, pdfs):
             zip(ms_vals, pdf["event_id"].tolist(), pdf["event_type"].tolist(),
                 pdf["cents"].tolist())
         )
+    import pandas as _pd
+
     for ms, _eid, etype, cents in sorted(rows):
         if etype == "purchase":
             ch = (
@@ -1047,7 +1058,9 @@ def _fold_attrib(lt_channel, lt_ms, pdfs):
                 if lt_ms is not None and ms - lt_ms <= ATTRIB_LOOKBACK_MS
                 else "direct"
             )
-            out.append((ch, int(cents), ms))
+            # null value -> null cents (the batch query's sum skips
+            # nulls; int(None/NaN) would kill the micro-batch)
+            out.append((ch, None if _pd.isna(cents) else int(cents), ms))
         else:
             lt_channel, lt_ms = etype, ms
     return lt_channel, lt_ms, out
@@ -1092,34 +1105,14 @@ def _attribution_tws(src: DataFrame) -> DataFrame:
 
 
 def _attribution_fallback(src: DataFrame) -> DataFrame:
-    def _update(key, pdfs, state):  # self-contained: executor-safe
+    def _update(key, pdfs, state):
+        # references the module-level fold core — executors must be
+        # able to import goeventstream_spark (true under pytest/local
+        # mode; ship the package via --py-files on a cluster)
         import pandas as pd
 
-        LOOKBACK = 7 * 24 * 3600 * 1000
         cur = state.get if state.exists else (None, None)
-        lt_channel, lt_ms = cur
-        out = []
-        rows = []
-        # collect ALL chunks of the group, then sort once (chunk order
-        # is arbitrary; a per-chunk sort misorders cross-chunk events)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            ms_vals = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            rows.extend(
-                zip(ms_vals, pdf["event_id"].tolist(), pdf["event_type"].tolist(),
-                    pdf["cents"].tolist())
-            )
-        for ms, _eid, etype, cents in sorted(rows):
-            if etype == "purchase":
-                ch = (
-                    lt_channel
-                    if lt_ms is not None and ms - lt_ms <= LOOKBACK
-                    else "direct"
-                )
-                out.append((ch, int(cents), ms))
-            else:
-                lt_channel, lt_ms = etype, ms
+        lt_channel, lt_ms, out = _fold_attrib(cur[0], cur[1], pdfs)
         if lt_ms is not None:
             state.update((lt_channel, lt_ms))
         if out:
