@@ -115,8 +115,12 @@ def rate_zscore(
     var = (F.col("_ss").cast("double") - F.col("_s").cast("double") * mean) / (
         F.col("_n") - 1
     )
+    # var <= 0 (all counts equal, or a single group) must flag NOTHING:
+    # without the guard 0/0 = NaN, and NaN compares greater than any
+    # threshold in both Spark and DuckDB — every row would be "anomalous".
     return (
         counts.crossJoin(F.broadcast(stats))
+        .where((F.col("_n") > 1) & (var > 0))
         .withColumn("zscore", (F.col("n_events") - mean) / F.sqrt(var))
         .where(F.abs(F.col("zscore")) >= threshold)
         .select(user_col, "day", "n_events", "zscore")

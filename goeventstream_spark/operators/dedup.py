@@ -101,6 +101,12 @@ def lsh_candidate_pairs(
     The band self-join shuffles on the band signature — collisions (not
     n²) bound the work, which is the whole point of LSH at scale.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"lsh_candidate_pairs: num_hashes={num_hashes} not divisible "
+            f"by bands={bands} — trailing signature components would be "
+            "silently left out of every band"
+        )
     rows_per_band = num_hashes // bands
     banded = sig.select(
         F.col(id_col),
@@ -262,6 +268,13 @@ def simhash_near_dup_pairs(docs: DataFrame, bits: int = SIMHASH_BITS, chunks: in
     ``chunks`` segments and self-join on segment equality (pigeonhole:
     hamming <= chunks-1 guarantees a shared segment), then filter by
     exact hamming distance via bit_count(xor)."""
+    if bits % chunks != 0:
+        raise ValueError(
+            f"simhash_near_dup_pairs: bits={bits} not divisible by "
+            f"chunks={chunks} — the top bits would be in no segment and "
+            "the pigeonhole guarantee (hamming <= chunks-1 shares a "
+            "segment) would silently fail"
+        )
     seg_bits = bits // chunks
     sh = simhash(docs, bits)
     mask = (1 << seg_bits) - 1
@@ -340,23 +353,30 @@ def dedup_clusters(
         .select("id", F.col("id").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iters):
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "lbl")
-        # Lazy checkpoint: the convergence agg below is the action that
-        # materializes it — one job per round instead of two.
+        # Lazy checkpoint: the convergence count below is the action
+        # that materializes it — one job per round instead of two.
+        prev = labels
         labels = (
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
+        # Convergence = zero labels changed this round. Counting
+        # changed rows (join on the id-partitioned label relations) is
+        # id-type agnostic — a sum(label) probe silently returns NULL
+        # for string ids and would break after one round.
+        changed = (
+            labels.join(prev.withColumnRenamed("lbl", "_prev"), "id")
+            .where(~F.col("lbl").eqNullSafe(F.col("_prev")))
+            .count()
+        )
+        if changed == 0:
             break
-        prev_sum = cur_sum
     clusters = labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
     if all_docs is None:
         return clusters
@@ -366,7 +386,6 @@ def dedup_clusters(
 
 
 def dedup_representatives(
-    docs: DataFrame,
     clusters: DataFrame,
     quality: DataFrame,
     id_col: str = "doc_id",
@@ -378,6 +397,8 @@ def dedup_representatives(
 
     One window over the cluster assignment joined to per-doc quality:
     shuffle on cluster_id only; quality is per-doc map-side input.
+    Cluster members absent from ``quality`` drop out of the inner join
+    (and of n_members) — score everything you want counted.
     """
     scored = clusters.join(quality.select(id_col, "quality_score"), id_col)
     w = Window.partitionBy("cluster_id").orderBy(

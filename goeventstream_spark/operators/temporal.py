@@ -123,8 +123,13 @@ def scd2_intervals(
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev = F.lag(attr_col).over(w)
+    # First-row detection must use a NON-NULL column's lag — a NULL
+    # attribute value would otherwise be indistinguishable from the
+    # partition start (NULL runs dropped, the next row phantom-split);
+    # the value comparison is null-safe for the same reason.
+    is_first = F.lag(ts_col).over(w).isNull()
     changes = df.withColumn(
-        "_chg", prev.isNull() | (F.col(attr_col) != prev)
+        "_chg", is_first | ~F.col(attr_col).eqNullSafe(prev)
     ).where(F.col("_chg"))
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     return changes.select(

@@ -54,7 +54,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Composite heuristic quality score in [0, ~3]: length band +
     vocabulary diversity + stopword presence. The shape of a model-free
     pre-filter pass over a 100 TB corpus."""
-    s = text_stats(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    s = text_stats(docs)
     length_ok = F.when((F.col("n_words") >= 20) & (F.col("n_words") <= 100000), 1.0).otherwise(0.0)
     return s.select(
         "doc_id",
@@ -98,7 +98,7 @@ def token_count(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).cast("long").alias("ws_tokens"),
-        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
         .cast("long")
         .alias("re_tokens"),
         F.length("text").cast("long").alias("n_bytes"),
@@ -108,8 +108,11 @@ def token_count(docs: DataFrame) -> DataFrame:
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprints: full md5 of the normalized
     text plus a 64-bit-prefix hex for compact join keys."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    full = F.md5(norm)
+    from goeventstream_spark.operators.dedup import normalized_text
+
+    # the SAME normalization exact_dedup hashes — documented hash
+    # equivalence, one definition
+    full = F.md5(normalized_text("text"))
     return docs.select(
         "doc_id",
         full.alias("fp_md5"),
@@ -150,13 +153,21 @@ def chunk_documents(docs: DataFrame, chunk_size: int = 200, stride: int = 160) -
     split step of a training pipeline). Chunk c starts at 1 + c*stride
     (1-based, ``substr`` semantics identical in Spark and DuckDB) and
     carries ``chunk_size - stride`` chars of overlap; the final chunk is
-    naturally shorter.
+    naturally shorter, and a start whose chunk would be wholly
+    contained in the previous one is not emitted.
 
     Scale shape: one ``explode`` over a generated start-position array —
     pure map-side row amplification, no shuffle, no UDF; at 100 TB this
     pipelines inside the scan stage.
     """
-    starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride))
+    # Upper bound L - (chunk_size - stride): a start past it yields a
+    # chunk wholly contained in its predecessor (pure-duplicate output
+    # whenever L mod stride lands in (0, chunk_size - stride]).
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - F.lit(chunk_size - stride), F.lit(1)),
+        F.lit(stride),
+    )
     return (
         docs.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
         .select(
@@ -241,6 +252,23 @@ def pii_redact(
     )
 
 
+def _bigram_rows(docs: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    """Shuffle-free bigram generation shared by bigram_topk and
+    ngram_novelty: zip_with over two slices of the whitespace-split
+    word array pairs adjacent words map-side; one exploded row per
+    bigram occurrence, keyed by ``key_col``."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigrams = F.expr(
+        "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        docs.withColumn("_w", words)
+        .where(F.size("_w") >= 2)
+        .select(key_col, F.explode(bigrams).alias("bigram"))
+    )
+
+
 def bigram_topk(
     docs: DataFrame,
     top_k: int = 5,
@@ -258,15 +286,8 @@ def bigram_topk(
     """
     from pyspark.sql import Window
 
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    bigrams = F.expr(
-        "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
-        " (a, b) -> concat(a, ' ', b))"
-    )
     counts = (
-        docs.withColumn("_w", words)
-        .where(F.size("_w") >= 2)
-        .select(group_col, F.explode(bigrams).alias("bigram"))
+        _bigram_rows(docs, group_col, text_col)
         .groupBy(group_col, "bigram")
         .agg(F.count("*").alias("n"))
     )
@@ -307,10 +328,12 @@ def sequence_packing(
     )
     return (
         docs.withColumn("n_tokens", tokens.cast("long"))
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        # integer DIV, not double division: past 2^53 cumulative tokens
+        # a float quotient can round across a bin boundary
         .withColumn(
             "pack_id",
-            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget_tokens))
-            .cast("long"),
+            F.expr(f"coalesce(_cum, CAST(0 AS BIGINT)) DIV {budget_tokens}").cast("long"),
         )
         .select(id_col, group_col, "n_tokens", "pack_id")
     )
@@ -357,17 +380,7 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     integers; the final ratio is a single IEEE division (exact and
     engine-identical given identical operands).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    bigrams = F.expr(
-        "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
-        " (a, b) -> concat(a, ' ', b))"
-    )
-    db = (
-        docs.withColumn("_w", words)
-        .where(F.size("_w") >= 2)
-        .select(id_col, F.explode(bigrams).alias("bigram"))
-        .distinct()
-    )
+    db = _bigram_rows(docs, id_col, text_col).distinct()
     bf = db.groupBy("bigram").agg(F.count("*").alias("_ndocs"))
     return (
         db.join(bf, "bigram")

@@ -1419,6 +1419,8 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)) / (n - 1))
                AS zscore
       FROM counts, st
+      WHERE n > 1
+        AND (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)) / (n - 1) > 0
     ) WHERE abs(zscore) >= 2.0
     """,
 )

@@ -317,10 +317,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio
       FROM words GROUP BY doc_id
     )
-    SELECT s.doc_id, n_words,
+    SELECT doc_id, n_words,
            (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END
             + distinct_ratio + stopword_ratio) AS quality_score
-    FROM s JOIN documents d ON s.doc_id = d.doc_id
+    FROM s
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,7 +359,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_text
     FROM documents
     """,
@@ -598,7 +598,7 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(substr(text, chunk_start, 200)) AS BIGINT) AS chunk_len
     FROM (
       SELECT doc_id, text,
-             unnest(generate_series(1, greatest(length(text), 1), 160)) AS chunk_start
+             unnest(generate_series(1, greatest(length(text) - 40, 1), 160)) AS chunk_start
       FROM documents
     )
     """,
@@ -752,7 +752,7 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     table the curation funnel joins to drop redundant docs."""
     docs = _docs(spark, sf_dir)
     clusters = dedup.dedup_clusters(dedup.ngram_jaccard_pairs(docs), all_docs=docs)
-    return dedup.dedup_representatives(docs, clusters, text.quality_score(docs))
+    return dedup.dedup_representatives(clusters, text.quality_score(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -868,7 +868,7 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing",
     """
     SELECT doc_id, source, n_tokens,
-           CAST(floor(coalesce(cum_before, 0) / 512.0) AS BIGINT) AS pack_id
+           CAST(coalesce(cum_before, 0) // 512 AS BIGINT) AS pack_id
     FROM (
       SELECT doc_id, source, n_tokens,
              sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -984,7 +984,7 @@ def q_curate_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = corpus.join(qual.select("doc_id"), "doc_id")
     pairs = dedup.ngram_jaccard_pairs(survivors)
     clusters = dedup.dedup_clusters(pairs, all_docs=survivors)
-    reps = dedup.dedup_representatives(survivors, clusters, qual).select(
+    reps = dedup.dedup_representatives(clusters, qual).select(
         F.col("rep_doc_id").alias("doc_id")
     )
     kept = survivors.join(reps, "doc_id")

@@ -192,7 +192,7 @@ def test_dedup_representatives_picks_best_quality(spark):
     clusters = dedup.dedup_clusters(pairs, all_docs=docs)
     reps = {
         r.cluster_id: (r.rep_doc_id, r.n_members)
-        for r in dedup.dedup_representatives(docs, clusters, quality).collect()
+        for r in dedup.dedup_representatives(clusters, quality).collect()
     }
     # cluster 1: quality tie between 2 and 3 -> lowest doc_id wins
     assert reps == {1: (2, 3), 7: (7, 1)}
