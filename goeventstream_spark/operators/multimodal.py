@@ -17,10 +17,6 @@ Design notes for 100 TB media lakes:
 
 from __future__ import annotations
 
-import hashlib
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -69,12 +65,6 @@ def decode_image(content: bytes) -> None:
     )
 
 
-def _fake_dims(digest_hex: str) -> tuple[int, int]:
-    """Deterministic stand-in decode: dimensions derived from the first
-    two bytes of the content hash (reproducible on any engine)."""
-    return 64 + int(digest_hex[0:2], 16), 64 + int(digest_hex[2:4], 16)
-
-
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Per-asset feature extraction via mapInPandas: Arrow batches in,
     Arrow batches out, grouped-free (pure map side — preserves input
@@ -92,6 +82,10 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    # NULL payload: null features, never a task crash
+                    rows.append((doc_id, None, None, None, None))
+                    continue
                 data = bytes(content)
                 digest = _hashlib.md5(data).hexdigest()
                 if fake:
@@ -127,6 +121,8 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue  # NULL payload: no frames, never a crash
                 data = bytes(content)
                 for i, off in enumerate(range(0, len(data), every_n_bytes)):
                     chunk = data[off : off + every_n_bytes]
@@ -160,6 +156,9 @@ def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
             for doc_id, mt, content in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["content"]
             ):
+                if content is None:
+                    rows.append((doc_id, mt, None, None, None))
+                    continue
                 data = bytes(content)
                 out = data[:target_bytes]
                 rows.append((doc_id, mt, out, len(data), len(out)))

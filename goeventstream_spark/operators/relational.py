@@ -102,31 +102,44 @@ def asof_join(
         .orderBy("_ts", F.col("_side").desc(), *[F.col(f"_r_{c}") for c in value_cols])
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    u = l_tagged.unionByName(r_tagged)
-    fields = ["_ts"] + [f"_r_{c}" for c in value_cols]
+    # The matched right row travels as ONE nullable struct (null on
+    # left rows), so last/first(ignorenulls) can never mix fields from
+    # DIFFERENT right rows — carrying each _r_* column independently
+    # would let a NULL right VALUE pull that one column from an older
+    # row while asof_ts comes from the newer one.
+    r_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_r_ts").alias("ts"),
+            *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+        ),
+    )
+    u = l_tagged.unionByName(r_tagged).withColumn("_r", r_struct)
+    fields = ["ts"] + list(value_cols)
     if direction == "backward":
-        picked = [F.last(f if f != "_ts" else "_r_ts", ignorenulls=True).over(wb) for f in fields]
+        chosen = F.last("_r", ignorenulls=True).over(wb)
+        picked = [chosen[f] for f in fields]
     elif direction == "forward":
-        picked = [F.first(f if f != "_ts" else "_r_ts", ignorenulls=True).over(wf) for f in fields]
+        chosen = F.first("_r", ignorenulls=True).over(wf)
+        picked = [chosen[f] for f in fields]
     else:
-        b = [F.last(f if f != "_ts" else "_r_ts", ignorenulls=True).over(wb) for f in fields]
-        fw = [F.first(f if f != "_ts" else "_r_ts", ignorenulls=True).over(wf) for f in fields]
+        b = F.last("_r", ignorenulls=True).over(wb)
+        fw = F.first("_r", ignorenulls=True).over(wf)
         l_ms = F.unix_millis(F.col("_ts").cast("timestamp"))
-        d_b = l_ms - F.unix_millis(b[0].cast("timestamp"))
-        d_f = F.unix_millis(fw[0].cast("timestamp")) - l_ms
+        d_b = l_ms - F.unix_millis(b["ts"].cast("timestamp"))
+        d_f = F.unix_millis(fw["ts"].cast("timestamp")) - l_ms
         # Tolerance gates each SIDE before the choice — a closer
         # out-of-tolerance backward match must not mask an in-tolerance
         # forward one (pandas merge_asof nearest+tolerance semantics).
-        b_ok = b[0].isNotNull() & (
+        b_ok = b.isNotNull() & (
             F.lit(True) if tolerance_ms is None else d_b <= F.lit(tolerance_ms)
         )
-        f_ok = fw[0].isNotNull() & (
+        f_ok = fw.isNotNull() & (
             F.lit(True) if tolerance_ms is None else d_f <= F.lit(tolerance_ms)
         )
         use_b = b_ok & (~f_ok | (d_b <= d_f))
-        picked = [
-            F.when(use_b, bc).when(f_ok, fc) for bc, fc in zip(b, fw)
-        ]
+        chosen = F.when(use_b, b).when(f_ok, fw)
+        picked = [chosen[f] for f in fields]
     out_names = ["asof_ts"] + [f"asof_{c}" for c in value_cols]
     carried = u.select(
         *lcols,

@@ -128,6 +128,8 @@ def weighted_sample_topk(
     ks = [F.col(c) for c in key_cols]
     key_expr = ", ".join(key_cols)
     if max_weight is not None:
+        if max_weight < 1:
+            raise ValueError(f"max_weight must be >= 1, got {max_weight}")
         lanes = []
         for j in range(max_weight):
             i, lane = divmod(j, 4)
@@ -138,6 +140,20 @@ def weighted_sample_topk(
                 draw if j == 0 else F.when(F.col("_w") > j, draw).otherwise(F.lit(""))
             )
         row_pri = F.greatest(*lanes) if len(lanes) > 1 else lanes[0]
+        # Enforce the declared bound instead of silently truncating a
+        # heavier row to max_weight draws (which would skew the
+        # sampling distribution with no signal).
+        row_pri = F.when(
+            F.col("_w") > max_weight,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"weighted_sample_topk: weight exceeds declared max_weight={max_weight}: "
+                    ),
+                    F.col("_w").cast("string"),
+                )
+            ),
+        ).otherwise(row_pri)
     else:
         row_pri = F.expr(
             "array_max(flatten(transform("

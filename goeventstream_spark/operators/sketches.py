@@ -42,6 +42,12 @@ def cms_build(
     its counter. The depth-way fan-out is an explode (single scan of the
     item subtree, no self-union), then one bounded-cardinality
     aggregation."""
+    if width > 256:
+        raise ValueError(
+            f"cms width={width} > 256: the bucket hash consumes 2 hex "
+            "chars (0..255), so wider sketches would silently leave "
+            "buckets 256+ unreachable and quadruple the collision rate"
+        )
     cells = F.array(
         *[
             F.struct(
@@ -79,8 +85,12 @@ def cms_estimate(
             )
         ).alias("_p"),
     ).select(key_col, "_p.row_i", "_p.bucket")
+    # LEFT join + coalesce 0: the sketch stores only NON-EMPTY cells,
+    # and an unseen key's empty bucket must contribute 0 to the MIN —
+    # an inner join would take the min over the colliding cells only
+    # (inflated estimate) and drop all-empty keys from the output.
     return (
-        probes.join(F.broadcast(cms), ["row_i", "bucket"])
+        probes.join(F.broadcast(cms), ["row_i", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )

@@ -164,7 +164,12 @@ def session_stats(events: DataFrame, gap_s: int = CLIENT_TIMEOUT_S) -> DataFrame
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact decimal sum (order-independent; fixture values are
+            # cents-precise) — a raw double sum is fold-order-dependent
+            # and can flip a .005 rounding boundary between engines
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 
@@ -229,4 +234,13 @@ def stream_replay(
         out = out.where(F.col("t") > F.lit(t_lo))
     if t_hi is not None:
         out = out.where(F.col("t") <= F.lit(t_hi))
-    return out.orderBy("t", "user_id", "event_type")
+    # Presentation order must keep the server's within-tick append
+    # semantics: connect BEFORE the session's events, disconnect AFTER
+    # them. A plain event_type sort would place '_d' (0x5F) before
+    # every lowercase event type at the same tick.
+    marker_rank = (
+        F.when(F.col("event_type") == "_c", 0)
+        .when(F.col("event_type") == "_d", 2)
+        .otherwise(1)
+    )
+    return out.orderBy("t", "user_id", marker_rank, "event_type")

@@ -174,7 +174,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     )
     SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
-           count(*) AS n_events, round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_id
     """,
 )

@@ -527,8 +527,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM exact CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(row_i)
     )
     SELECT p.token, CAST(min(p.exact_n) AS BIGINT) AS exact_n,
-           CAST(min(cms.cnt) AS BIGINT) AS cms_est
-    FROM probes p JOIN cms ON p.row_i = cms.row_i AND p.bucket = cms.bucket
+           CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probes p LEFT JOIN cms ON p.row_i = cms.row_i AND p.bucket = cms.bucket
     GROUP BY p.token
     """,
 )

@@ -161,17 +161,19 @@ def write_zordered_parquet(
         mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
         span = (mx - mn) or 1.0
         bc = f"__zbin_{i}"
-        # NULL cluster values bin to bucket 0 explicitly (least() would
-        # otherwise skip the NULL and silently place them in the TOP
-        # bucket, polluting that row group's stats for this dimension)
+        # NULL cluster values bin to bucket 0 explicitly — the coalesce
+        # must sit INSIDE least(): Spark's least() SKIPS nulls, so
+        # least(max, NULL) = max and an outer coalesce would never fire,
+        # silently placing NULL rows in the TOP bucket and polluting
+        # that row group's stats for this dimension.
         binned = binned.withColumn(
             bc,
-            F.coalesce(
-                F.least(
-                    F.lit((1 << bits) - 1),
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.coalesce(
                     ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(1 << bits)).cast("long"),
+                    F.lit(0),
                 ),
-                F.lit(0),
             ),
         )
         bin_cols.append(bc)

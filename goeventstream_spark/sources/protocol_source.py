@@ -107,7 +107,19 @@ class _StreamReader(DataSourceStreamReader):
         self._tick += self.ticks_per_batch
         return {"tick": self._tick}
 
+    def _fast_forward(self, *offsets):
+        # The clock lives in this instance, but Spark restores progress
+        # from the CHECKPOINT: after a restart a fresh reader would
+        # otherwise report latestOffset() behind the committed start,
+        # rewinding the offset log and re-emitting committed ticks.
+        # Every offset Spark hands back fast-forwards the clock, so
+        # latestOffset is always >= the restored position.
+        for off in offsets:
+            if off and off.get("tick", 0) > self._tick:
+                self._tick = off["tick"]
+
     def partitions(self, start, end):
+        self._fast_forward(start, end)
         n, p = self.n_clients, self.num_partitions
         step = max(1, (n + p - 1) // p)
         return [
@@ -122,7 +134,7 @@ class _StreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end):
-        pass
+        self._fast_forward(end)
 
 
 class ProtocolEventsDataSource(DataSource):
