@@ -93,9 +93,10 @@ def main() -> None:
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once on the smallest SF so per-query
-    # numbers measure the plan, not first-call JIT.
-    q.QUERIES["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+    # Warm the JVM/codegen paths once on the bench dataset itself so
+    # per-query numbers measure the plan, not first-call JIT (and the
+    # harness has no hidden dependency on any other sf dir existing).
+    q.QUERIES["tpch_q1_pricing_summary"](spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
 
@@ -109,9 +110,9 @@ def main() -> None:
         fn = q.QUERIES[name]
         best = float("inf")
         for _rep in range(3):
-            t0 = time.time()
+            t0 = time.perf_counter()  # monotonic: immune to NTP steps
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

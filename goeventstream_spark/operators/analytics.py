@@ -39,6 +39,12 @@ def funnel(
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            f"funnel steps must be unique (got {steps}): a repeated name "
+            "would alias two t_<step> columns and break every downstream "
+            "reference ambiguously"
+        )
     cur = (
         events.where(F.col(type_col) == steps[0])
         .groupBy(user_col)
@@ -199,9 +205,15 @@ def dq_audit(
         return df_cnt.select(F.lit(name).alias("check"),
                              F.col("n").cast("long").alias("n_violations"))
 
-    pk_dup = orders.agg(
-        (F.count("*") - F.count_distinct("o_orderkey")).alias("n")
+    # One aggregation per TABLE: pk-dup + null-date share the orders
+    # scan, neg-price rides lineitem's; count(when(...)) (never
+    # sum(when(...))) so an EMPTY table reports 0, not NULL.
+    orders_checks = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("pk_dup"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("null_date"),
     )
+    pk_dup = orders_checks.select(F.col("pk_dup").alias("n"))
+    null_date = orders_checks.select(F.col("null_date").alias("n"))
     # Orphan = NON-NULL foreign key with no parent. The explicit
     # isNotNull guard keeps the semantics NULL-safe and identical to
     # the oracle's guarded NOT IN (a bare NOT IN over a parent set
@@ -225,11 +237,8 @@ def dq_audit(
         )
         .agg(F.count("*").alias("n"))
     )
-    null_date = orders.agg(
-        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("n")
-    )
     neg_price = lineitem.agg(
-        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias("n")
+        F.count(F.when(F.col("l_extendedprice") < 0, 1)).alias("n")
     )
     return (
         one("orders_pk_duplicates", pk_dup)

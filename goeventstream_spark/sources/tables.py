@@ -15,7 +15,6 @@ fixtures are single files, but no operator in this package assumes that.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,8 +31,6 @@ TABLES = (
     "documents",
     "embeddings",
 )
-
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -141,4 +138,12 @@ def load_events_delta(
         return _ntz_to_instant(
             raw.where((F.col("ts") >= lo_lit) & (F.col("ts") < hi_lit))
         )
-    return load_table(spark, sf_dir, "events")  # pragma: no cover
+    # Plain TIMESTAMP (LTZ) storage: same micros range rewrite — the
+    # bounds are instants, the comparison is literal-vs-stored-column.
+    # Never fall back to an UNFILTERED read: the contract is the range.
+    lo_us = (stream_start_ms + (t_lo + 1) * tick_ms) * 1_000
+    hi_us = (stream_start_ms + (t_hi + 1) * tick_ms) * 1_000
+    return raw.where(
+        (F.col("ts") >= F.timestamp_micros(F.lit(lo_us)))
+        & (F.col("ts") < F.timestamp_micros(F.lit(hi_us)))
+    )

@@ -99,9 +99,17 @@ def session_window_stats(
 def delta_delivery(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
     """Streaming R9: every micro-batch IS the delta scan — rows flow
     exactly once, tick-stamped, never behind the watermark. The
-    incremental form of stream_ops.delta_scan."""
+    incremental form of stream_ops.delta_scan.
+
+    The watermark is ENFORCED, not just annotated: a watermark on a
+    stateless projection filters nothing in Spark (only stateful
+    operators consult it), so the dedup-within-watermark below is what
+    actually drops a row arriving behind the watermark (and any
+    source-side replay of an already-delivered event_id) — the R8
+    no-late-data guarantee (model/eventStream.go:52,73-75)."""
     return (
         events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
         .withColumn("t", tick_col(F.col("ts")))
         .select("t", "event_id", "user_id", "event_type", "props")
     )
