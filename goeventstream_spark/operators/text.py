@@ -256,8 +256,11 @@ def _bigram_rows(docs: DataFrame, key_col: str, text_col: str) -> DataFrame:
     """Shuffle-free bigram generation shared by bigram_topk and
     ngram_novelty: zip_with over two slices of the whitespace-split
     word array pairs adjacent words map-side; one exploded row per
-    bigram occurrence, keyed by ``key_col``."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    bigram occurrence, keyed by ``key_col``. Tokenization is the
+    repo-wide space-split + empty-filter (NOT a \\s+ regex): identical
+    to every text oracle, so tabs/newlines neither split nor vanish
+    differently across engines."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     bigrams = F.expr(
         "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
         " (a, b) -> concat(a, ' ', b))"

@@ -587,13 +587,16 @@ def _proto_ctes(game_expr: str) -> str:
       FROM conn0
     ),
     starts AS (
-      SELECT game, gen, user_id, conn_id, min(poll_ms) AS conn_start_ms
+      -- tie order at equal start ms is ARRIVAL order (the starting
+      -- poll's sync_id), mirroring connections()'s (_start_sync) window
+      SELECT game, gen, user_id, conn_id, min(poll_ms) AS conn_start_ms,
+             min(sync_id) AS conn_start_sync
       FROM conn1 GROUP BY 1, 2, 3, 4
     ),
     proxies AS (
       SELECT game, gen, user_id, conn_id,
              CAST(row_number() OVER (PARTITION BY game, gen
-                                     ORDER BY conn_start_ms, user_id) AS VARCHAR) AS proxy_id
+                                     ORDER BY conn_start_ms, conn_start_sync) AS VARCHAR) AS proxy_id
       FROM starts
     ),
     conn AS (SELECT c.*, p.proxy_id
@@ -1871,7 +1874,7 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, ts, CAST(n_recent AS BIGINT) AS n_recent FROM (
       SELECT user_id, event_id, ts,
              count(*) OVER (
-               PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+               PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
                RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
              ) AS n_recent
       FROM events WHERE event_type = 'error'
@@ -2098,6 +2101,10 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = s.o_orderstatus
       )
     )
+    -- empty-orders guard: the declared semantics require at least one
+    -- ORDER (no vacuous universal truth), matching the Spark
+    -- count-equality form which emits nothing when orders is empty
+    AND EXISTS (SELECT 1 FROM orders)
     """,
 )
 def q_division_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2106,9 +2113,11 @@ def q_division_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle keeps the textbook double-NOT-EXISTS; the Spark plan
     uses the scalable group-count form — count distinct statuses per
     customer equals the (broadcast, 1-row) global distinct count. Same
-    result by definition since per-customer distinct statuses are a
-    subset of the global set; one shuffle on custkey instead of nested
-    correlated subqueries."""
+    result since per-customer distinct statuses are a subset of the
+    global set; one shuffle on custkey instead of nested correlated
+    subqueries. Edge contract: an EMPTY orders table yields no rows
+    (no vacuous for-all — the oracle pins this with an EXISTS guard
+    where bare double-NOT-EXISTS would return every customer)."""
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     n_statuses = orders.agg(

@@ -15,7 +15,8 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goeventstream_spark.operators import dedup, multimodal, similarity, text
+from goeventstream_spark.operators import dedup
+from goeventstream_spark.operators import sampling, multimodal, similarity, text
 from goeventstream_spark.queries import query
 from goeventstream_spark.sources import load_table
 
@@ -50,6 +51,25 @@ _SHINGLES = (
 _NUM_HASHES = dedup.DEFAULT_NUM_HASHES
 _BANDS = dedup.DEFAULT_BANDS
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+# Shared quality-score oracle fragment (mirrors text.quality_score).
+# ONE definition: the length band / ratio formula previously lived in
+# five separate SQL strings that could silently drift. Requires a
+# `words` CTE in scope (_WORDS / _SHINGLES provide it).
+_QUAL_CTE = f"""
+  qstats AS (
+    SELECT doc_id, count(*) AS n_words,
+           CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS distinct_ratio,
+           CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio
+    FROM words GROUP BY doc_id
+  ),
+  qual AS (
+    SELECT doc_id, n_words,
+           (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END
+            + distinct_ratio + stopword_ratio) AS quality_score
+    FROM qstats
+  )
+"""
 
 _SIG_COLS = ", ".join(
     f"min(md5('{i}|' || shingle)) AS m{i}" for i in range(_NUM_HASHES)
@@ -176,17 +196,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH {_SHINGLES},
     bench AS (SELECT doc_id FROM documents WHERE {_BENCH_PRED_SQL}),
-    qual AS (
-      SELECT doc_id FROM (
-        SELECT doc_id, count(*) AS n_words,
-               CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS dr,
-               CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS sr
-        FROM words GROUP BY doc_id
-      ) WHERE (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END) + dr + sr >= 1.5
-    ),
+    {_QUAL_CTE},
+    qkeep AS (SELECT doc_id FROM qual WHERE quality_score >= 1.5),
     corpusq AS (
       SELECT d.doc_id, d.text FROM documents d
-      JOIN qual ON d.doc_id = qual.doc_id
+      JOIN qkeep ON d.doc_id = qkeep.doc_id
       WHERE d.doc_id NOT IN (SELECT doc_id FROM bench)
     ),
     keep AS (
@@ -292,6 +306,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
 @query(
     "text_stats",
     f"""
@@ -311,16 +326,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_score",
     f"""
     WITH {_WORDS},
-    s AS (
-      SELECT doc_id, count(*) AS n_words,
-             CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS distinct_ratio,
-             CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio
-      FROM words GROUP BY doc_id
-    )
-    SELECT doc_id, n_words,
-           (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END
-            + distinct_ratio + stopword_ratio) AS quality_score
-    FROM s
+    {_QUAL_CTE}
+    SELECT doc_id, n_words, quality_score FROM qual
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,7 +518,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sampling / dataset mixing / chunking (training-pipeline surface)
 # ---------------------------------------------------------------------------
 
-from goeventstream_spark.operators import sampling  # noqa: E402
+
 
 
 @query(
@@ -717,18 +724,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_representatives",
     f"""
     WITH RECURSIVE {_JPAIRS_CTE},
-    s AS (
-      SELECT doc_id, count(*) AS n_words,
-             CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS distinct_ratio,
-             CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio
-      FROM words GROUP BY doc_id
-    ),
-    qual AS (
-      SELECT doc_id,
-             (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END
-              + distinct_ratio + stopword_ratio) AS quality_score
-      FROM s
-    ),
+    {_QUAL_CTE},
     assign AS (
       SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
       FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
@@ -819,17 +815,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_deciles",
     f"""
     WITH {_WORDS},
-    s AS (
-      SELECT doc_id, count(*) AS n_words,
-             CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS distinct_ratio,
-             CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio
-      FROM words GROUP BY doc_id
-    ),
+    {_QUAL_CTE},
     q AS (
-      SELECT s.doc_id, d.source,
-             (CASE WHEN n_words >= 20 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END
-              + distinct_ratio + stopword_ratio) AS quality_score
-      FROM s JOIN documents d ON s.doc_id = d.doc_id
+      SELECT qual.doc_id, d.source, quality_score
+      FROM qual JOIN documents d ON qual.doc_id = d.doc_id
     )
     SELECT source, decile, count(*) AS n_docs,
            min(quality_score) AS min_q, max(quality_score) AS max_q
@@ -895,20 +884,10 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH RECURSIVE {_SHINGLES},
     bench AS (SELECT doc_id FROM documents WHERE {_BENCH_PRED_SQL}),
-    qual AS (
-      SELECT doc_id, quality_score FROM (
-        SELECT doc_id, count(*) AS n_words,
-               CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS dr,
-               CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS sr,
-               (CASE WHEN count(*) >= 20 AND count(*) <= 100000 THEN 1.0 ELSE 0.0 END)
-                 + CAST(count(DISTINCT word) AS DOUBLE) / count(*)
-                 + CAST(sum(CASE WHEN word IN {text.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
-                 AS quality_score
-        FROM words GROUP BY doc_id
-      ) WHERE quality_score >= 1.5
-    ),
+    {_QUAL_CTE},
+    qf AS (SELECT doc_id, quality_score FROM qual WHERE quality_score >= 1.5),
     surv AS (
-      SELECT q.doc_id, q.quality_score FROM qual q
+      SELECT q.doc_id, q.quality_score FROM qf q
       WHERE q.doc_id NOT IN (SELECT doc_id FROM bench)
     ),
     shq AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN surv ON sh.doc_id = surv.doc_id),
