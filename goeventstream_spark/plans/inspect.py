@@ -38,7 +38,9 @@ def formatted_plan(df: DataFrame) -> str:
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across the plan's parquet scans."""
     plan = formatted_plan(df)
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # Non-greedy to end-of-line-or-ReadSchema: a nested bracket (e.g.
+    # In(k, [1,2,3])) must not truncate the capture at its inner ']'.
+    return re.findall(r"PushedFilters: \[(.*?)\](?:,\s*(?:ReadSchema|PartitionFilters)|\s*$)", plan, re.M)
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:
@@ -52,6 +54,12 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    """Number of DISTINCT shuffle exchanges (excludes broadcast
+    exchanges; a ReusedExchange line embeds the referenced exchange's
+    description, so those lines are excluded first — counting them
+    would double-count every exchange Catalyst deduplicates)."""
     plan = physical_plan(df)
-    return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+    real = [
+        ln for ln in plan.splitlines() if "ReusedExchange" not in ln
+    ]
+    return len(re.findall(r"Exchange (?:hash|range|Single)", "\n".join(real)))

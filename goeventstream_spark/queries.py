@@ -599,13 +599,18 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
     ),
     carried AS (
-      SELECT *, last_value(r_ts IGNORE NULLS) OVER win AS asof_ts,
-                last_value(r_value IGNORE NULLS) OVER win AS asof_value
+      -- ONE struct carry, mirroring relational.asof_join: independent
+      -- per-column IGNORE NULLS carries would mix fields from
+      -- different purchases whenever a purchase value is NULL
+      SELECT *, last_value(CASE WHEN r_ts IS NOT NULL
+                                THEN struct_pack(ts := r_ts, val := r_value) END
+                           IGNORE NULLS) OVER win AS _m
       FROM tagged
       WINDOW win AS (PARTITION BY user_id ORDER BY _ts, _side, r_value
                      ROWS UNBOUNDED PRECEDING)
     )
-    SELECT event_id, user_id, ts, value, asof_ts, asof_value
+    SELECT event_id, user_id, ts, value,
+           _m.ts AS asof_ts, _m.val AS asof_value
     FROM carried WHERE _side = 1
     """,
 )

@@ -312,7 +312,8 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'U' END AS op,
            o.value AS old_value, n.value AS new_value
     FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
-    WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.value <> n.value
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.value IS DISTINCT FROM n.value
     """,
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,21 +336,33 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "value")
         )
 
-    old = snap(events.where(F.col("ts") < cutoff)).withColumnRenamed("value", "old_value")
-    new = snap(events.where(F.col("ts") >= cutoff)).withColumnRenamed("value", "new_value")
+    # Presence travels as explicit marker flags, NOT value nullability:
+    # a key PRESENT in a snapshot with a NULL value must classify as
+    # U/D (row exists), exactly like the oracle's o.user_id/n.user_id
+    # tests — and the change filter is null-safe so NULL<->value
+    # transitions surface as updates instead of being NULL-dropped.
+    old = (
+        snap(events.where(F.col("ts") < cutoff))
+        .withColumnRenamed("value", "old_value")
+        .withColumn("_in_old", F.lit(True))
+    )
+    new = (
+        snap(events.where(F.col("ts") >= cutoff))
+        .withColumnRenamed("value", "new_value")
+        .withColumn("_in_new", F.lit(True))
+    )
     j = old.join(new, "user_id", "full_outer")
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
     return (
         j.where(
-            F.col("old_value").isNull()
-            | F.col("new_value").isNull()
-            | (F.col("old_value") != F.col("new_value"))
+            ~in_old
+            | ~in_new
+            | ~F.col("old_value").eqNullSafe(F.col("new_value"))
         )
         .select(
             "user_id",
-            F.when(F.col("old_value").isNull(), "I")
-            .when(F.col("new_value").isNull(), "D")
-            .otherwise("U")
-            .alias("op"),
+            F.when(~in_old, "I").when(~in_new, "D").otherwise("U").alias("op"),
             "old_value",
             "new_value",
         )
@@ -838,9 +851,14 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cents") * F.col("dur_ms")).alias("weighted_sum"),
         F.sum("dur_ms").alias("total_ms"),
         F.count("*").alias("n_intervals"),
+        # try_divide: a user whose covered intervals all have zero
+        # duration (every event at one ms) must yield NULL like the
+        # oracle, not an ANSI DIVIDE_BY_ZERO crash
         (
-            F.sum(F.col("cents") * F.col("dur_ms")).cast("double")
-            / F.sum("dur_ms")
+            F.try_divide(
+                F.sum(F.col("cents") * F.col("dur_ms")).cast("double"),
+                F.sum("dur_ms"),
+            )
             / F.lit(100)
         ).alias("twap"),
     )
@@ -1234,8 +1252,8 @@ def q_shipping_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key, one aggregation shuffle on the 5-value priority."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
-    ).drop("o_custkey")
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     j = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "o_orderpriority",
         F.expr(
@@ -1267,14 +1285,18 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     conventions disagree on week start, integer math does not. One
     aggregation on the 168-cell key."""
     ev = load_table(spark, sf_dir, "events")
-    epoch_ms = F.unix_millis(F.col("ts"))
     return (
         ev.select(
-            ((epoch_ms / 86400000).cast("long") % 7 + 4).cast("int").alias("_d"),
-            ((epoch_ms % 86400000) / 3600000).cast("int").alias("hour"),
+            # integer DIV end-to-end (the docstring's promise): float
+            # division of epoch_ms is only exact below 2^53
+            F.expr(
+                "CAST((unix_millis(ts) DIV 86400000 + 4) % 7 AS INT)"
+            ).alias("dow"),
+            F.expr(
+                "CAST((unix_millis(ts) % 86400000) DIV 3600000 AS INT)"
+            ).alias("hour"),
             "user_id",
         )
-        .select((F.col("_d") % 7).alias("dow"), "hour", "user_id")
         .groupBy("dow", "hour")
         .agg(
             F.count("*").alias("n_events"),
@@ -1786,11 +1808,15 @@ def q_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'click'
     ),
     c AS (
+      -- struct carries (not per-column): mirrors relational.asof_join's
+      -- atomic matched-row semantics under NULL right values
       SELECT *,
-        last_value(_r_ts IGNORE NULLS) OVER wb AS b_ts,
-        last_value(_r_value IGNORE NULLS) OVER wb AS b_value,
-        first_value(_r_ts IGNORE NULLS) OVER wf AS f_ts,
-        first_value(_r_value IGNORE NULLS) OVER wf AS f_value
+        last_value(CASE WHEN _r_ts IS NOT NULL
+                        THEN struct_pack(ts := _r_ts, val := _r_value) END
+                   IGNORE NULLS) OVER wb AS _b,
+        first_value(CASE WHEN _r_ts IS NOT NULL
+                         THEN struct_pack(ts := _r_ts, val := _r_value) END
+                    IGNORE NULLS) OVER wf AS _f
       FROM u
       WINDOW
         wb AS (PARTITION BY user_id ORDER BY _ts, _side, _r_value
@@ -1800,16 +1826,16 @@ def q_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT *,
-        (b_ts IS NOT NULL AND epoch_ms(_ts) - epoch_ms(b_ts) <= 1800000) AS b_ok,
-        (f_ts IS NOT NULL AND epoch_ms(f_ts) - epoch_ms(_ts) <= 1800000) AS f_ok
+        (_b IS NOT NULL AND epoch_ms(_ts) - epoch_ms(_b.ts) <= 1800000) AS b_ok,
+        (_f IS NOT NULL AND epoch_ms(_f.ts) - epoch_ms(_ts) <= 1800000) AS f_ok
       FROM c
     )
     SELECT event_id, user_id, _ts AS ts,
-      CASE WHEN use_b THEN b_ts WHEN f_ok THEN f_ts END AS asof_ts,
-      CASE WHEN use_b THEN b_value WHEN f_ok THEN f_value END AS asof_value
+      CASE WHEN use_b THEN _b.ts WHEN f_ok THEN _f.ts END AS asof_ts,
+      CASE WHEN use_b THEN _b.val WHEN f_ok THEN _f.val END AS asof_value
     FROM (
       SELECT *, b_ok AND (NOT f_ok OR
-               epoch_ms(_ts) - epoch_ms(b_ts) <= epoch_ms(f_ts) - epoch_ms(_ts))
+               epoch_ms(_ts) - epoch_ms(_b.ts) <= epoch_ms(_f.ts) - epoch_ms(_ts))
              AS use_b
       FROM g
     ) WHERE _side = 1

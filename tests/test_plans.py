@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 import goeventstream_spark.queries_llm  # noqa: F401
 import goeventstream_spark.queries_ext  # noqa: F401
+import goeventstream_spark.queries_r2  # noqa: F401
 from goeventstream_spark import plans
 from goeventstream_spark import queries as q
 from goeventstream_spark.sources import load_table
