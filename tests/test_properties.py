@@ -403,3 +403,103 @@ def test_cdc_apply_matches_dict_model(ops):
         else:
             snap[u] = v
     assert got == snap
+
+
+# ---------------------------------------------------------------------------
+# asof_join directions vs a brute-force pure-Python model
+# ---------------------------------------------------------------------------
+
+ASOF_L_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("lid", LongType()),
+    ]
+)
+ASOF_R_SCHEMA = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("v", LongType()),
+    ]
+)
+
+asof_strategy = st.tuples(
+    st.lists(  # left rows: (key, ms)
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    st.lists(  # right rows: (key, ms, value) — values may be None
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 50),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+
+
+def _asof_model(left, right, direction, tol_ms):
+    """Brute force over the declared contract: backward = latest right
+    ts <= l_ts (equal-ts tie -> greatest value tuple), forward =
+    earliest right ts >= l_ts (tie -> smallest), nearest = closer side
+    wins (tie -> backward), tolerance gating each side. None values
+    order before any integer (mirrors Spark's nulls-first asc)."""
+    out = {}
+    vkey = lambda r: (r[1], (r[2] is not None, r[2]))  # noqa: E731
+    for lid, (k, lms) in left.items():
+        back = [r for r in right if r[0] == k and r[1] <= lms]
+        fwd = [r for r in right if r[0] == k and r[1] >= lms]
+        b = max(back, key=vkey) if back else None
+        f = min(fwd, key=vkey) if fwd else None
+        if tol_ms is not None:
+            if b is not None and lms - b[1] > tol_ms:
+                b = None
+            if f is not None and f[1] - lms > tol_ms:
+                f = None
+        if direction == "backward":
+            m = b
+        elif direction == "forward":
+            m = f
+        else:
+            if b is None:
+                m = f
+            elif f is None:
+                m = b
+            else:
+                m = b if (lms - b[1]) <= (f[1] - lms) else f
+        out[lid] = (m[1], m[2]) if m is not None else (None, None)
+    return out
+
+
+@given(asof_strategy, st.sampled_from(["backward", "forward", "nearest"]))
+@settings(max_examples=12, deadline=None)
+def test_asof_directions_match_brute_force(data, direction):
+    from goeventstream_spark.operators import relational as rel
+
+    spark = _spark()
+    left_rows, right_rows = data
+    left = {i: (k, ms) for i, (k, ms) in enumerate(left_rows)}
+    ldf = spark.createDataFrame(
+        [(k, EPOCH + dt.timedelta(milliseconds=ms), i) for i, (k, ms) in left.items()],
+        ASOF_L_SCHEMA,
+    )
+    rdf = spark.createDataFrame(
+        [(k, EPOCH + dt.timedelta(milliseconds=ms), v) for k, ms, v in right_rows],
+        ASOF_R_SCHEMA,
+    )
+    got = {
+        r.lid: (
+            None if r.asof_ts is None else int((r.asof_ts - EPOCH).total_seconds() * 1000),
+            r.asof_v,
+        )
+        for r in rel.asof_join(
+            ldf, rdf, keys=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["v"], tolerance_ms=20, direction=direction,
+        ).collect()
+    }
+    want = _asof_model(
+        left, [(k, ms, v) for k, ms, v in right_rows], direction, tol_ms=20
+    )
+    assert got == want, f"{direction}: {got} != {want}"
