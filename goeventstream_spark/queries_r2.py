@@ -2417,3 +2417,128 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("t").cast("long").alias("threshold_pct"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@query(
+    "weekly_lifecycle",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS week
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+             row_number() OVER (PARTITION BY user_id ORDER BY week) AS rn
+      FROM wk
+    ),
+    cls AS (
+      SELECT week,
+             CASE WHEN rn = 1 THEN 'new'
+                  WHEN week - prev_week = 1 THEN 'retained'
+                  ELSE 'resurrected' END AS stage
+      FROM lagged
+    ),
+    churn AS (
+      SELECT week + 1 AS week, 'churned' AS stage
+      FROM lagged l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM wk w2 WHERE w2.user_id = l.user_id AND w2.week = l.week + 1
+      ) AND week + 1 <= (SELECT max(week) FROM wk)
+    )
+    SELECT week, stage, CAST(count(*) AS BIGINT) AS n_users
+    FROM (SELECT * FROM cls UNION ALL SELECT * FROM churn)
+    GROUP BY week, stage
+    """,
+)
+def q_weekly_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting lifecycle matrix: per epoch-week, how many
+    users are new (first week ever), retained (active prior week),
+    resurrected (active before, but not prior week), and churned
+    (active prior week, absent this week — attributed to the week of
+    absence, bounded by the last observed week). The full identity
+    behind daily_user_accounting's new/returning split.
+
+    Plan: one distinct on (user, week), one user-keyed window for the
+    lag/first flags, and the churn side is the SAME lagged relation
+    anti-checked against next week (expressed as lead != week+1 — no
+    correlated subquery at scale). Weeks are integer epoch-week
+    ordinals — engine-identical arithmetic, no week-start conventions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.expr("CAST(unix_millis(ts) DIV 604800000 AS BIGINT)").alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    lagged = wk.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.lead("week").over(w).alias("next_week"),
+        F.row_number().over(w).alias("rn"),
+    )
+    cls = lagged.select(
+        "week",
+        F.when(F.col("rn") == 1, "new")
+        .when(F.col("week") - F.col("prev_week") == 1, "retained")
+        .otherwise("resurrected")
+        .alias("stage"),
+    )
+    max_week = wk.agg(F.max("week").alias("_max_week"))
+    churn = (
+        lagged.where(
+            F.col("next_week").isNull() | (F.col("next_week") > F.col("week") + 1)
+        )
+        .crossJoin(F.broadcast(max_week))
+        .where(F.col("week") + 1 <= F.col("_max_week"))
+        .select((F.col("week") + 1).alias("week"), F.lit("churned").alias("stage"))
+    )
+    return cls.unionByName(churn).groupBy("week", "stage").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@query(
+    "revenue_mom_growth",
+    """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue_cents,
+           lag(revenue_cents) OVER (ORDER BY month) AS prev_cents,
+           CAST(revenue_cents - lag(revenue_cents) OVER (ORDER BY month) AS BIGINT)
+             AS delta_cents,
+           CAST(((revenue_cents - lag(revenue_cents) OVER (ORDER BY month)) * 1000000)
+                // lag(revenue_cents) OVER (ORDER BY month) AS BIGINT) AS growth_ppm
+    FROM m
+    """,
+)
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in exact integer cents and ppm
+    (floor division — no float ratios to disagree on). The window runs
+    over the per-month aggregate (one row per month: the same bounded
+    unpartitioned-window exception the calendar rollups document).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return m.select(
+        "month",
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        (F.col("revenue_cents") - prev).cast("long").alias("delta_cents"),
+        F.expr(
+            "CAST(((revenue_cents - lag(revenue_cents) OVER (ORDER BY month)) * 1000000)"
+            " DIV lag(revenue_cents) OVER (ORDER BY month) AS BIGINT)"
+        ).alias("growth_ppm"),
+    )
