@@ -79,6 +79,8 @@ HEADLINE = [
     "trending_event_types",
     "conversion_latency_percentiles",
     "pareto_user_concentration",
+    "weekly_lifecycle",
+    "revenue_mom_growth",
 ]
 
 
