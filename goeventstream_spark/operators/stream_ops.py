@@ -96,26 +96,39 @@ def state_delta(events: DataFrame, t_lo: int) -> DataFrame:
     return latest_state(events).where(F.col("t") > F.lit(t_lo))
 
 
-def connects(events: DataFrame) -> DataFrame:
+def connects(events: DataFrame, game_col: str = "game") -> DataFrame:
     """First-seen per client + proxy-id assignment (R5,
     model/game.go:44-58): the reference allocates a monotone counter on
-    first contact. Batch replay: first event per user_id, then
-    row_number by (first_ts, user_id) = the arrival-order counter.
+    first contact, and the counter lives on the Game object — it is
+    PER GAME (model/game.go:49-53), never global. Batch replay: first
+    event per (game, user), then row_number partitioned by game and
+    ordered by (first_ts, user_id) = the arrival-order counter.
 
-    SCALE NOTE: the final row_number is a single-partition window — fine
-    per *game* (the reference's counter is per-game too); never run it
-    globally over 100 TB. The per-user min() below is the heavy part and
-    is a normal partial-agg shuffle.
+    SCALE NOTE: the sequential counter window is partitioned by the
+    game key, so at 100 TB each stream's counter is one bounded task
+    (clients-per-game rows), exactly the reference's per-game mutex
+    scope. The per-user min() is the heavy part and is a normal
+    partial-agg shuffle on (game, user). For a log that is a single
+    stream, use :func:`connects_single_stream`.
     """
     firsts = (
         assign_ticks(events)
-        .groupBy("user_id")
+        .groupBy(game_col, "user_id")
         .agg(F.min("ts").alias("first_ts"), F.min("t").alias("t"))
     )
-    w = Window.orderBy("first_ts", "user_id")  # per-game sequential counter
+    w = Window.partitionBy(game_col).orderBy("first_ts", "user_id")
     return firsts.withColumn("proxy_id", F.row_number().over(w)).select(
-        "user_id", "first_ts", "t", "proxy_id"
+        game_col, "user_id", "first_ts", "t", "proxy_id"
     )
+
+
+def connects_single_stream(events: DataFrame) -> DataFrame:
+    """Single-stream scoped form of :func:`connects`: the whole log IS
+    one game, so the counter window is one (bounded, per-game) task by
+    construction. Only for logs known to be one stream — the declared
+    multi-stream form above is the scale default."""
+    out = connects(events.withColumn("_g", F.lit(0)), game_col="_g")
+    return out.drop("_g")
 
 
 def disconnects(events: DataFrame, gap_s: int = CLIENT_TIMEOUT_S) -> DataFrame:

@@ -116,16 +116,23 @@ def q_state_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "connects",
     f"""
     WITH firsts AS (
-      SELECT user_id, min(ts) AS first_ts, min({_TICK}) AS t
-      FROM events GROUP BY user_id
+      SELECT CAST(user_id % 4 AS BIGINT) AS game, user_id,
+             min(ts) AS first_ts, min({_TICK}) AS t
+      FROM events GROUP BY 1, 2
     )
-    SELECT user_id, first_ts, t,
-           CAST(row_number() OVER (ORDER BY first_ts, user_id) AS BIGINT) AS proxy_id
+    SELECT game, user_id, first_ts, t,
+           CAST(row_number() OVER (PARTITION BY game ORDER BY first_ts, user_id)
+                AS BIGINT) AS proxy_id
     FROM firsts
     """,
 )
 def q_connects(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = so.connects(_events(spark, sf_dir))
+    """R5 proxy allocation in its reference scope: the counter is per
+    game (model/game.go:49-53), so the declared query derives the game
+    key (fixtures carry none) and the counter window partitions by it —
+    no globally unpartitioned Window anywhere in the plan."""
+    ev = _events(spark, sf_dir).withColumn("game", (F.col("user_id") % 4).cast("long"))
+    df = so.connects(ev)
     return df.withColumn("proxy_id", F.col("proxy_id").cast("long"))
 
 

@@ -328,3 +328,17 @@ def test_pareto_has_no_per_user_window(spark, sf_dir):
     df = q.QUERIES["pareto_user_concentration"](spark, sf_dir)
     plan = plans.physical_plan(df)
     assert "row_number" not in plan, plan
+
+
+def test_connects_window_is_game_partitioned(spark, sf_dir):
+    """The R5 proxy counter is per game (model/game.go:49-53): the
+    declared connects query must contain NO unpartitioned Window — the
+    row_number runs inside a per-game partition."""
+    df = q.QUERIES["connects"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    wins = [seg.split("\n")[0] for seg in plan.split("Window [")[1:]]
+    assert wins, plan  # the counter window must exist
+    for w in wins:
+        spec = w.split("], [")[1]
+        assert "ASC" not in spec and "DESC" not in spec, f"unpartitioned window: {w}"
+        assert "game" in spec, f"window not keyed by game: {w}"
