@@ -443,6 +443,18 @@ def state_deltas(
         "conn_id",
         "data",
     )
+    # Fan-out bound: a sender that never reports state has nothing to
+    # deliver (its carried stamp stays NULL and the final filter drops
+    # every row), so tracking its liveness per receiver is pure waste —
+    # with sparse reporting the blowup is all-polls x receivers instead
+    # of reporting-senders' polls x receivers. Semi-join the per-sender
+    # stream to senders with >= 1 actual stamp before replication.
+    real_senders = (
+        stamps.where(F.col("data").isNotNull())
+        .select("game", "gen", "_sender")
+        .distinct()
+    )
+    stamps = stamps.join(real_senders, ["game", "gen", "_sender"], "left_semi")
     recv = conn if users is None else conn.where(F.col("user_id").isin(users))
     # lastKnownT is what the CLIENT saw on ITS previous poll of this
     # generation (the URL's lastTime param, main.go:60-62) — a per-user

@@ -263,7 +263,17 @@ def incremental_sessionize(
             F.col("h.session_start").alias("session_start"),
             F.coalesce("m.d_end", "h.session_end").alias("session_end"),
             (F.col("h.n_events") + F.coalesce("m.d_n", F.lit(0))).alias("n_events"),
-            (F.col("h.cents") + F.coalesce("m.d_cents", F.lit(0))).alias("cents"),
+            # SUM semantics across the merge: NULL only when BOTH parts
+            # are all-NULL (sum() skips NULLs), never NULL-poisoned by a
+            # one-sided all-NULL part — matches from-scratch sessionize.
+            F.when(
+                F.col("h.cents").isNull() & F.col("m.d_cents").isNull(),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                F.coalesce("h.cents", F.lit(0)) + F.coalesce("m.d_cents", F.lit(0))
+            )
+            .alias("cents"),
         )
     )
     delta_out = dsess.join(

@@ -999,13 +999,57 @@ def first_seen_activity(
     cumulative-unique). Per-user state is two date strings; the
     watermark (0 s default — see client_registry's ADVICE note) drops
     event-time regressions so one last_day scalar dedupes days.
+
+    CONTRACT: exact batch equivalence requires the 0-second watermark.
+    The fold keeps one last_day scalar, so any allowed lateness breaks
+    it two ways no state tweak can fix in append mode: a late-but-
+    within-watermark event on a not-yet-seen EARLIER day would be
+    silently swallowed by the last_day dedupe, and a late true first
+    day cannot retract an is_new=1 already emitted for a later day.
+    Non-zero delays (and ``watermark=None``) are therefore REJECTED
+    rather than silently wrong; an at-scale lateness-tolerant variant
+    needs event-time timers that hold each day's emission until the
+    watermark closes it.
     """
-    src = events.select("user_id", "ts")
-    if watermark is not None:
-        src = src.withWatermark("ts", watermark)
+    if watermark is None or _watermark_delay_ms(watermark) != 0:
+        raise ValueError(
+            "first_seen_activity is exact only under a 0-second watermark "
+            f"(got {watermark!r}): the single last_day state scalar drops "
+            "late earlier days and append mode cannot retract is_new rows. "
+            "Use the batch daily_user_accounting query for late data."
+        )
+    src = events.select("user_id", "ts").withWatermark("ts", watermark)
     if _tws_runtime_available():
         return _first_seen_tws(src)
     return _first_seen_fallback(src)
+
+
+_WM_UNIT_MS = {
+    "microsecond": 0.001,
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 7 * 86_400_000,
+}
+
+
+def _watermark_delay_ms(delay: str) -> float:
+    """Parse a Spark watermark delay-threshold string ('10 seconds',
+    '1 hour') into milliseconds; raises on anything unrecognized."""
+    import re
+
+    total = 0.0
+    parts = re.findall(r"(-?\d+(?:\.\d+)?)\s*([a-zA-Z]+)", delay)
+    if not parts:
+        raise ValueError(f"unparseable watermark delay: {delay!r}")
+    for num, unit in parts:
+        unit = unit.lower().rstrip("s")
+        if unit not in _WM_UNIT_MS:
+            raise ValueError(f"unknown watermark unit {unit!r} in {delay!r}")
+        total += float(num) * _WM_UNIT_MS[unit]
+    return total
 
 
 # ---------------------------------------------------------------------------
@@ -1142,7 +1186,20 @@ def streaming_attribution(
     last-touch model (aggregate the output by channel to reproduce
     it). Per-user state is one (channel, ms) pair; the watermark
     enforces the event-time order the batch window semantics assume.
+
+    CONTRACT: like first_seen_activity, exact batch equivalence
+    requires the 0-second watermark — the fold credits purchases in
+    arrival order, and a late-but-allowed touch that should have won
+    an already-emitted purchase cannot retract it in append mode.
+    Non-zero delays (and ``watermark=None``) are rejected.
     """
+    if watermark is None or _watermark_delay_ms(watermark) != 0:
+        raise ValueError(
+            "streaming_attribution is exact only under a 0-second watermark "
+            f"(got {watermark!r}): purchases are credited in arrival order "
+            "and emitted rows cannot be retracted when a late touch wins. "
+            "Use the batch attribution_by_channel query for late data."
+        )
     src = events.where(
         F.col("event_type").isin("view", "click", "purchase")
     ).select(

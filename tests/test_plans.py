@@ -275,9 +275,13 @@ def test_incremental_sessionize_matches_full_recompute_any_cutoff(spark, sf_dir)
     from goeventstream_spark.operators import stream_ops as so
     from goeventstream_spark.operators import temporal as tp
 
+    # NULL cents injected (fixtures have none): sum() must skip NULLs
+    # and only an all-NULL session yields NULL — including sessions the
+    # incremental fold merges across the cutoff boundary.
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_id") % 7 != 0, F.round(F.col("value") * 100))
+        .cast("long").alias("cents"),
     )
 
     def stats(df):

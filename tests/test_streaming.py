@@ -315,3 +315,26 @@ def test_streaming_attribution_matches_batch_last_touch(spark, sf_dir, chunked_e
         .collect()
     }
     assert got == want
+
+
+def test_lateness_intolerant_ops_reject_nonzero_watermark(spark, sf_dir, chunked_events_dir):
+    """first_seen_activity / streaming_attribution are exact only under
+    the 0 s watermark (single-scalar state + append mode cannot handle
+    late earlier days / late winning touches); non-zero delays and
+    watermark=None must raise instead of being silently wrong."""
+    import pytest
+
+    from goeventstream_spark.streaming.stateful import (
+        first_seen_activity,
+        streaming_attribution,
+    )
+
+    stream = read_event_stream(spark, chunked_events_dir)
+    for bad in ("10 seconds", "1 hour", None):
+        with pytest.raises(ValueError, match="0-second watermark"):
+            first_seen_activity(stream, watermark=bad)
+        with pytest.raises(ValueError, match="0-second watermark"):
+            streaming_attribution(stream, watermark=bad)
+    # the exact form still constructs
+    first_seen_activity(stream)
+    streaming_attribution(stream, watermark="0 seconds")
