@@ -90,7 +90,8 @@ def main() -> None:
     from goeventstream_spark import queries as q
     import goeventstream_spark.queries_llm  # noqa: F401  (registers)
     import goeventstream_spark.queries_ext  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r2  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r2  # noqa: F401
+import goeventstream_spark.queries_r3  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

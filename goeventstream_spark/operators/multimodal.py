@@ -1,10 +1,11 @@
 """Multimodal-column operators (SURVEY.md §2b group 3): images/audio/
 video travel as opaque ``binary`` columns with typed metadata. The
 Spark-side plumbing — schema, Arrow batching, mapInPandas signatures,
-partition-preserving flow — is real and tested; the actual media decode
-is STUBBED (no imaging/audio libraries in this environment) behind a
-deterministic fake keyed on content hash, or NotImplementedError for
-the true-decode entry point.
+partition-preserving flow — is real and tested. Image decode is REAL
+for PNG payloads (functions/png.py: pure-stdlib zlib+struct codec with
+CRC verification and full filter reconstruction); other media formats
+(JPEG, audio, video) would need external libraries and keep the
+deterministic fake path as the tested stand-in.
 
 Design notes for 100 TB media lakes:
 - binary payloads stay columnar end-to-end (parquet BYTE_ARRAY ->
@@ -56,25 +57,96 @@ def as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def decode_image(content: bytes) -> None:
-    """True media decode — requires an imaging library not present in
-    this environment. Kept as the documented extension point."""
-    raise NotImplementedError(
-        "media decode requires an imaging library; wire one in here and "
-        "extract_features(fake=False) will use it"
+def as_media_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter producing REAL image payloads: one deterministic
+    PNG per doc (functions/png.fixture_png — dimensions and pixel
+    values are SQL-expressible functions of doc_id, so a decode of the
+    output is DuckDB-oracle-checkable). Encode runs map-side in Arrow
+    batches; the codec module ships by value (see _ship_codec)."""
+    _ship_codec()
+    from goeventstream_spark.functions import png as _png
+
+    def _gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "image/png",
+                    "content": [_png.fixture_png(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _gen, MEDIA_SCHEMA
     )
+
+
+def _ship_codec() -> None:
+    """Register functions/png.py for pickle-by-value with pyspark's
+    cloudpickle: closures referencing the codec then carry its code to
+    executor Python workers even when the workers cannot import the
+    package (driver launched from a foreign cwd in local mode). On a
+    real cluster the package wheel goes via --py-files and this is a
+    harmless no-op."""
+    from pyspark import cloudpickle as _cp
+
+    from goeventstream_spark.functions import png as _png
+
+    _cp.register_pickle_by_value(_png)
+
+
+def decode_image(content: bytes) -> tuple[int, int, int, bytes]:
+    """True media decode for PNG payloads: returns (width, height,
+    color_type, raw pixels). Pure stdlib — see functions/png.py. Other
+    container formats would be dispatched here on magic bytes."""
+    from goeventstream_spark.functions.png import decode_png
+
+    return decode_png(content)
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Per-asset feature extraction via mapInPandas: Arrow batches in,
     Arrow batches out, grouped-free (pure map side — preserves input
-    partitioning, no shuffle)."""
+    partitioning, no shuffle). ``fake=True`` derives pseudo-dimensions
+    from the content hash (any payload); ``fake=False`` REALLY decodes
+    the payload as PNG (width/height from a full CRC-checked decode,
+    not a header peek) and nulls the dimensions of undecodable
+    payloads."""
 
-    # The closure must be SELF-CONTAINED (imports inside, no module
-    # globals): cloudpickle otherwise pickles it by reference to this
-    # module, and executor Python workers — which don't share the
-    # driver's sys.path — fail with ModuleNotFoundError.
-    def _extract(batches):
+    if fake:
+        # The closure must be SELF-CONTAINED (imports inside, no module
+        # globals): cloudpickle otherwise pickles it by reference to
+        # this module, and executor Python workers — which don't share
+        # the driver's sys.path — fail with ModuleNotFoundError.
+        def _extract(batches):
+            import hashlib as _hashlib
+
+            import pandas as _pd
+
+            for pdf in batches:
+                rows = []
+                for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                    if content is None:
+                        # NULL payload: null features, never a task crash
+                        rows.append((doc_id, None, None, None, None))
+                        continue
+                    data = bytes(content)
+                    digest = _hashlib.md5(data).hexdigest()
+                    w, h = 64 + int(digest[0:2], 16), 64 + int(digest[2:4], 16)
+                    rows.append((doc_id, len(data), digest, w, h))
+                yield _pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "n_bytes", "content_md5", "width", "height"],
+                )
+
+        return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+    _ship_codec()
+    from goeventstream_spark.functions import png as _png
+
+    def _extract_real(batches):
         import hashlib as _hashlib
 
         import pandas as _pd
@@ -83,21 +155,57 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
                 if content is None:
-                    # NULL payload: null features, never a task crash
                     rows.append((doc_id, None, None, None, None))
                     continue
                 data = bytes(content)
                 digest = _hashlib.md5(data).hexdigest()
-                if fake:
-                    w, h = 64 + int(digest[0:2], 16), 64 + int(digest[2:4], 16)
-                else:
-                    raise NotImplementedError("true media decode: no imaging lib in env")
+                try:
+                    w, h, _ct, _px = _png.decode_png(data)
+                except ValueError:
+                    w = h = None  # undecodable: null dims, never a crash
                 rows.append((doc_id, len(data), digest, w, h))
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "n_bytes", "content_md5", "width", "height"]
             )
 
-    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+    return media.mapInPandas(_extract_real, FEATURE_SCHEMA)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Full-decode statistics per asset: width/height and the SUM of
+    raw pixel samples — a value only obtainable by actually inflating
+    the IDAT stream and reconstructing every row filter, which makes
+    the decode path itself oracle-checkable against the fixture_png
+    closed-form pixel function."""
+    _ship_codec()
+    from goeventstream_spark.functions import png as _png
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("px_sum", LongType()),
+        ]
+    )
+
+    def _stats(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    rows.append((doc_id, None, None, None))
+                    continue
+                try:
+                    w, h, _ct, px = _png.decode_png(bytes(content))
+                    rows.append((doc_id, w, h, sum(px)))
+                except ValueError:
+                    rows.append((doc_id, None, None, None))
+            yield _pd.DataFrame(rows, columns=["doc_id", "width", "height", "px_sum"])
+
+    return media.mapInPandas(_stats, schema)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
