@@ -330,9 +330,9 @@ def dedup_clusters(
     round over |E|+|V| rows, so rounds = O(component diameter). Near-dup
     components are short chains (diameter ~ duplicate-burst length), so
     this converges in a handful of rounds at any corpus size; for
-    adversarially long chains the same join primitive composes into
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14) with O(log n) rounds.
+    adversarially long chains use :func:`dedup_clusters_contraction`
+    (large-star/small-star, O(log n) rounds, property-tested equal to
+    this propagation on random graphs).
 
     Scale discipline: ``localCheckpoint`` truncates lineage each round
     so the plan does not grow with iterations (on a cluster, swap for
@@ -378,6 +378,107 @@ def dedup_clusters(
         if changed == 0:
             break
     clusters = labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+    if all_docs is None:
+        return clusters
+    return all_docs.select(id_col).join(clusters, id_col, "left").select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
+
+
+def dedup_clusters_contraction(
+    pairs: DataFrame,
+    all_docs: DataFrame | None = None,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iters: int = 40,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star edge contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    scale path :func:`dedup_clusters`'s docstring cites for
+    adversarially long duplicate chains, where min-label propagation's
+    O(diameter) rounds blow up.
+
+    Per round over the canonical (a < b) edge set:
+    - large-star: every node u links its GREATER neighbors to
+      m(u) = min(Γ(u) ∪ {u}) — long tails collapse toward minima;
+    - small-star: every node u links its smaller-or-equal neighbors
+      and itself to m(u) — stars re-center on the true minimum.
+
+    Both steps are one groupBy(src) agg + one join on src over the
+    symmetrized edges: identical shuffle anatomy to one propagation
+    round, but the edge set itself contracts, giving the logarithmic
+    bound. Fixpoint = the canonical edge set stops changing, checked
+    with one exceptAll count per round (edges strictly shrink toward
+    stars, so the check is cheap late rounds). At convergence every
+    component is a star centered on its minimum id, so the label read
+    is edge (a, b) -> cluster(b) = a with no further iteration.
+
+    ``rounds_out``, when given, receives the number of alternation
+    rounds used (test hook for the O(log n) bound).
+    """
+    canon = (
+        pairs.select(
+            F.least(src_col, dst_col).alias("src"),
+            F.greatest(src_col, dst_col).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("m")
+        )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star: (v, m(u)) for v in Γ(u), v > u
+        sym = _sym(canon)
+        large = _canon(
+            sym.where(F.col("dst") > F.col("src"))
+            .join(_mins(sym), "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        # small-star: (v, m(u)) for v in Γ(u), v <= u, plus (u, m(u))
+        sym2 = _sym(large)
+        mins2 = _mins(sym2)
+        small = _canon(
+            sym2.where(F.col("dst") < F.col("src"))
+            .join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mins2.select("src", F.col("m").alias("dst")))
+        ).localCheckpoint(eager=True)
+        if small.exceptAll(canon).count() == 0 and canon.exceptAll(small).count() == 0:
+            canon = small
+            break
+        canon = small
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    clusters = (
+        _sym(canon)
+        .groupBy(F.col("src").alias(id_col))
+        .agg(F.least(F.col(id_col), F.min("dst")).alias("cluster_id"))
+    )
     if all_docs is None:
         return clusters
     return all_docs.select(id_col).join(clusters, id_col, "left").select(

@@ -503,3 +503,50 @@ def test_asof_directions_match_brute_force(data, direction):
         left, [(k, ms, v) for k, ms, v in right_rows], direction, tol_ms=20
     )
     assert got == want, f"{direction}: {got} != {want}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges_strategy)
+def test_contraction_matches_propagation(edge_list):
+    """Large-star/small-star contraction (Kiveris SoCC'14) must produce
+    the identical clustering as min-label propagation on arbitrary
+    random graphs — multi-edges, cycles, isolated extra doc included."""
+    from goeventstream_spark.operators import dedup
+
+    spark = _spark()
+    nodes = sorted({v for e in edge_list for v in e} | {99})
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    if edge_list:
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edge_list], "doc_a long, doc_b long"
+        )
+    else:
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(pairs, all_docs=docs).collect()
+    }
+    contr = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters_contraction(pairs, all_docs=docs).collect()
+    }
+    assert contr == prop
+
+
+def test_contraction_logarithmic_rounds_on_chain():
+    """Adversarial 301-node path: min-label propagation needs O(n)=300
+    rounds (it moves labels one hop per round); the contraction must
+    collapse it within the O(log n) bound — and get the answer right."""
+    from goeventstream_spark.operators import dedup
+
+    spark = _spark()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "doc_a long, doc_b long"
+    )
+    rounds: list[int] = []
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters_contraction(pairs, rounds_out=rounds).collect()
+    }
+    assert len(got) == 301 and set(got.values()) == {0}
+    assert rounds[0] <= 12, f"contraction took {rounds[0]} rounds on a 301-chain"
