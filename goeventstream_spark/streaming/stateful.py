@@ -763,10 +763,11 @@ def _process_server_polls(st, game, polls, client_timeout_ms, game_timeout_ms):
     return out
 
 
-def _fold_server_batch(blob, game, pdfs, client_timeout_ms, game_timeout_ms):
+def _parse_server_polls(pdfs):
+    """Collect one micro-batch's poll rows into the (poll_ms, sync_id)-
+    sorted tuple list _process_server_polls consumes; None if empty."""
     import json as _json
 
-    st = _json.loads(blob) if blob else _new_server_state()
     polls = []
     for pdf in pdfs:
         if len(pdf) == 0:
@@ -787,19 +788,44 @@ def _fold_server_batch(blob, game, pdfs, client_timeout_ms, game_timeout_ms):
             )
         )
     if not polls:
-        return blob, None
+        return None
     polls.sort(key=lambda p: (p[0], p[1]))
+    return polls
+
+
+def _fold_server_batch(blob, game, pdfs, client_timeout_ms, game_timeout_ms):
+    import json as _json
+
+    polls = _parse_server_polls(pdfs)
+    if polls is None:
+        return blob, None
+    st = _json.loads(blob) if blob else _new_server_state()
     out = _process_server_polls(st, game, polls, client_timeout_ms, game_timeout_ms)
     return _json.dumps(st), out
 
 
+GAME_SERVER_LOG_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("kind", LongType()),
+        StructField("etype", StringType()),
+        StructField("origin", StringType()),
+        StructField("body", StringType()),
+    ]
+)
+
+
 class _GameServerProcessor:
     """One key = one game = the reference's one mutex: the whole
-    server, stream-resident. State is the reference's in-memory Game
-    struct as JSON (registry + clocks + log + LWW states); memory is
-    O(log length) per game per generation, exactly like the reference
-    (model/eventStream.go grows unboundedly within a stream's life —
-    the GC/restart is what bounds it, there and here)."""
+    server, stream-resident. The mutable HEAD (registry + clocks + LWW
+    states — O(clients)) lives in one JSON ValueState; the append-only
+    event LOG lives in a ListState, so each micro-batch WRITES only the
+    entries it appended (plus one small head blob) instead of
+    re-serializing the whole O(log-length) game struct. The log is
+    still READ each batch — GetDeltaEvents is a scan of the whole
+    current-generation log by definition (model/eventStream.go:63-71);
+    memory stays O(log length) per game per generation exactly like the
+    reference, bounded by the GC/restart there and here."""
 
     def __init__(self, client_timeout_ms: int, game_timeout_ms: int) -> None:
         self._client_timeout_ms = client_timeout_ms
@@ -807,17 +833,36 @@ class _GameServerProcessor:
 
     def init(self, handle) -> None:
         self._st = handle.getValueState("server", GAME_SERVER_STATE_SCHEMA)
+        self._log = handle.getListState("log", GAME_SERVER_LOG_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator["object"]:
+        import json
+
         import pandas as pd
 
-        blob = self._st.get()[0] if self._st.exists() else None
-        blob, out = _fold_server_batch(
-            blob, key[0], rows, self._client_timeout_ms, self._game_timeout_ms
-        )
-        if out is None:
+        polls = _parse_server_polls(rows)
+        if polls is None:
             return
-        self._st.update((blob,))
+        if self._st.exists():
+            st = json.loads(self._st.get()[0])
+            st["log"] = [
+                [int(t), int(k), e, o, b] for (t, k, e, o, b) in self._log.get()
+            ]
+        else:
+            st = _new_server_state()
+        gen0, n0 = st["gen"], len(st["log"])
+        out = _process_server_polls(
+            st, key[0], polls, self._client_timeout_ms, self._game_timeout_ms
+        )
+        log = st.pop("log")  # head blob excludes the log
+        self._st.update((json.dumps(st),))
+        if st["gen"] != gen0:
+            # restart(s) this batch: the list is the fresh generation's log
+            self._log.clear()
+            if log:
+                self._log.appendList([tuple(e) for e in log])
+        elif len(log) > n0:
+            self._log.appendList([tuple(e) for e in log[n0:]])
         yield pd.DataFrame(out, columns=_SERVER_COLS)
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator["object"]:
