@@ -472,3 +472,101 @@ def test_game_server_checkpoint_recovery_equals_batch(
         (sid, got[sid], want[sid]) for sid in sorted(got) if got[sid] != want[sid]
     ]
     assert not mismatches, mismatches[:3]
+
+
+def test_game_server_over_live_http_socket_wire(spark):
+    """R1 network fidelity end-to-end: reference-shaped HTTP POSTs
+    (``POST /{stream}/{clientPrivateId}/{lastKnownTick}`` + GameRequest
+    JSON, main.go:48-92) hit a live bridge, flow through Spark's
+    built-in socket source, are URL/JSON-parsed DECLARATIVELY
+    (sources/http_bridge.wire_stream), drive the full streaming
+    game_server, and the resulting envelopes are byte-equal to the
+    batch replay of the same wire traffic."""
+    import json
+    import time
+
+    from goeventstream_spark.operators import protocol_replay as pr
+    from goeventstream_spark.sources.http_bridge import HttpWireBridge, wire_stream
+    from goeventstream_spark.streaming import game_server
+
+    bridge = HttpWireBridge().start()
+    base = 1_700_000_000_000
+    sched = []  # (game, sync_id, user, poll_ms, events, state)
+
+    def post(game, user, now, events=None, state=None):
+        sid = bridge.post(
+            game, str(user), 0, events=events, state=state, now_ms=base + now
+        )
+        sched.append((game, sid, user, base + now, events or [], state))
+
+    q = (
+        game_server(wire_stream(spark, bridge.host, bridge.tcp_port))
+        .writeStream.format("memory")
+        .queryName("wire_server_out")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        # joins + posted events + LWW state reports across two games
+        post("g0", 7, 0, state={"hp": "100"})
+        post("g1", 7, 10)
+        post("g0", 8, 60, events=[("move", "n")])
+        post("g0", 9, 120)
+        post("g1", 8, 130, events=[("fire", "x"), ("move", "s")], state={"hp": "90"})
+        for i in range(1, 15):  # steady polling; ticks advance (200 ms = 4 ticks)
+            post(
+                "g0", 7, i * 200,
+                events=[("m", str(i))] if i % 3 == 0 else None,
+                state={"hp": str(100 - i)} if i % 4 == 0 else None,
+            )
+            post("g0", 8, i * 200 + 30)
+        post("g0", 9, 15_000)       # >10 s silent: _d sweep + fresh proxy
+        post("g1", 7, 70_000, state={"hp": "1"})  # >60 s idle: generation restart
+        post("g1", 8, 70_100)
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM wire_server_out").collect()[0].c
+            if n >= len(sched):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        bridge.stop()
+
+    got = {
+        r.sync_id: (r.t, r.proxy_id, r.response)
+        for r in spark.sql("SELECT * FROM wire_server_out").collect()
+    }
+    assert len(got) == len(sched), f"sink has {len(got)}/{len(sched)} envelopes"
+
+    syncs = spark.createDataFrame(
+        [(sid, u, ms, g) for g, sid, u, ms, _e, _s in sched],
+        "sync_id long, user_id long, poll_ms long, game_key string",
+    )
+    posted = spark.createDataFrame(
+        [
+            (sid, seq, et, body)
+            for _g, sid, _u, _ms, evs, _s in sched
+            for seq, (et, body) in enumerate(evs)
+        ],
+        "sync_id long, event_seq long, event_type string, body string",
+    )
+    states = spark.createDataFrame(
+        [
+            (sid, json.dumps(s, separators=(",", ":")))
+            for _g, sid, _u, _ms, _e, s in sched
+            if s is not None
+        ],
+        "sync_id long, data string",
+    )
+    want = {
+        r.sync_id: (r.t, r.proxy_id, r.response)
+        for r in pr.game_response(syncs, posted, states, game_col="game_key").collect()
+    }
+    assert set(got) == set(want)
+    mismatches = [
+        (sid, got[sid], want[sid]) for sid in sorted(got) if got[sid] != want[sid]
+    ]
+    assert not mismatches, mismatches[:3]
