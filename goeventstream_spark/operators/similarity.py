@@ -216,6 +216,61 @@ def lsh_bucket(emb: DataFrame, n_planes: int = 8, seed_dims: int = 64) -> DataFr
     bucket = sum(proj_bits).cast("long")
     return emb.select("vec_id", "label", "embedding", bucket.alias("lsh_bucket"))
 
+def band_signatures(
+    emb: DataFrame,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """The deterministic signature TABLE underneath
+    :func:`lsh_banded_near_dup`, in exact-fold JVM-expression form:
+    one row per (vec_id, band_id) with the band's sign-of-projection
+    bit string. The hyperplanes are the same md5-parity ±1 family, and
+    each projection is the HOF ``aggregate`` left-fold — bit-identical
+    to a SQL ``list_dot_product`` chain, so the table is DuckDB-
+    hash-oracle-able even though the near-dup RESULT is recall-bounded
+    (BLAS-projected buckets are approximate by design; this exact form
+    is the component a verifier or re-shard reads).
+
+    Pure map-side: no shuffle, no UDF; one posexplode per vector.
+    """
+    import hashlib as _hashlib
+
+    n_planes = bands * planes_per_band
+    planes = [
+        [
+            1.0
+            if int(_hashlib.md5(f"{p}|{j}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for j in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+    v = _as_double(F.col("embedding"))
+
+    def _proj(p: int):
+        return F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in planes[p]]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    band_cols = [
+        F.concat(
+            *[
+                F.when(_proj(b * planes_per_band + r) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+                for r in range(planes_per_band)
+            ]
+        )
+        for b in range(bands)
+    ]
+    return emb.select(
+        "vec_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig")
+    )
+
+
 def lsh_banded_near_dup(
     emb: DataFrame,
     threshold: float = 0.35,
