@@ -81,6 +81,11 @@ HEADLINE = [
     "pareto_user_concentration",
     "weekly_lifecycle",
     "revenue_mom_growth",
+    # round 3
+    "multimodal_png_decode",
+    "lsh_band_signatures",
+    "ivf_probe_all_topk",
+    "connects",
 ]
 
 
@@ -91,7 +96,7 @@ def main() -> None:
     import goeventstream_spark.queries_llm  # noqa: F401  (registers)
     import goeventstream_spark.queries_ext  # noqa: F401  (registers)
     import goeventstream_spark.queries_r2  # noqa: F401
-import goeventstream_spark.queries_r3  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -148,6 +148,59 @@ def term_scores(docs: DataFrame, top_k: int = 5) -> DataFrame:
     )
 
 
+def bm25_term_scores(
+    docs: DataFrame, top_k: int = 5, k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """BM25-weighted salient terms per document (Robertson/Spärck
+    Jones): tf saturation ``tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl))``
+    times the idf ODDS ``(N − df + 0.5)/(df + 0.5)`` — the rational
+    form of BM25's ln-idf argument, kept log-free so every arithmetic
+    step is an IEEE-exact division/multiply reproducible bit-identically
+    in the DuckDB oracle (the module-wide no-transcendentals contract;
+    ln is monotone, so per-term rankings are unchanged — only
+    cross-term magnitude mixing differs from textbook BM25, which a
+    single-term-ranked top-k never does).
+
+    Anatomy: one words explode feeds tf, df, and doc-length aggregates;
+    N and avgdl are broadcast one-row relations; the only wide shuffle
+    is the tf groupBy on (doc, word). Top-k per doc via rank window on
+    the doc-partitioned scored relation.
+    """
+    from pyspark.sql import Window
+
+    w = _words(docs)
+    corpus = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # avgdl as an exact rational (int64 sum / count, ONE final divide):
+    # a float avg() would sum doubles in partition order and drift ULPs
+    # vs the oracle's order, flipping boundary ranks.
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl")
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = w.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    tfd = F.col("tf").cast("double")
+    idf_odds = (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    sat = (tfd * F.lit(k1 + 1.0)) / (
+        tfd
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(df_, "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(avgdl))
+        .select("doc_id", "word", (idf_odds * sat).alias("bm25"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), F.col("word"))
+    return scored.withColumn("rk", F.row_number().over(win).cast("long")).where(
+        F.col("rk") <= top_k
+    )
+
+
 def chunk_documents(docs: DataFrame, chunk_size: int = 200, stride: int = 160) -> DataFrame:
     """Overlapping fixed-width character chunks (the pre-tokenization
     split step of a training pipeline). Chunk c starts at 1 + c*stride

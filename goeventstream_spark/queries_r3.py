@@ -1,8 +1,9 @@
-"""Round-3 additions, each declared with a DuckDB oracle where the
-semantics are SQL-expressible: real PNG media decode (pure-stdlib
-codec, full filter reconstruction, oracle-checked pixel sums) and
-deterministic ANN index components (MinHash band signatures, PQ code
-assignments) promoted from rows-only to hash-oracled.
+"""Round-3 additions, each declared with a DuckDB oracle: real PNG
+media decode (pure-stdlib codec, full filter reconstruction,
+oracle-checked pixel sums), deterministic ANN components promoted
+from rows-only to hash-oracled (hyperplane band signatures, probe-all
+IVF == exact brute force), and BM25 term scoring (rational odds-idf,
+log-free for bit-exact cross-engine hashes).
 """
 
 from __future__ import annotations
@@ -46,7 +47,16 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches; no shuffle anywhere in the plan."""
     from goeventstream_spark.operators import multimodal as mm
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Re-shard BEFORE the CPU-heavy codec: the fixture table is one
+    # small parquet split, which would serialize all encode+decode work
+    # into one task; a media lake does the same doc_id re-shard ahead
+    # of per-asset CPU so every core decodes. Only (doc_id) rows cross
+    # the shuffle — payloads are generated after it.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     return mm.decode_stats(mm.as_media_png(docs))
 
 
@@ -114,3 +124,39 @@ def q_ivf_probe_all_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=16)
+
+
+@query(
+    "bm25_term_topk",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+    corpus AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+    avgdl AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+    df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY word),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2)
+                / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl))))
+               AS bm25
+      FROM tf JOIN df ON tf.word = df.word JOIN dl ON tf.doc_id = dl.doc_id, corpus, avgdl
+    )
+    SELECT doc_id, word, bm25, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY bm25 DESC, word) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_bm25_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 BM25-salient terms per document (text.bm25_term_scores):
+    tf saturation with document-length normalization times the rational
+    odds-idf — the retrieval-grade upgrade of term_scores' raw TF-IDF,
+    log-free so the oracle hash-matches bit-exactly."""
+    from goeventstream_spark.operators import text
+
+    return text.bm25_term_scores(load_table(spark, sf_dir, "documents"), top_k=5)
