@@ -216,28 +216,13 @@ def lsh_bucket(emb: DataFrame, n_planes: int = 8, seed_dims: int = 64) -> DataFr
     bucket = sum(proj_bits).cast("long")
     return emb.select("vec_id", "label", "embedding", bucket.alias("lsh_bucket"))
 
-def band_signatures(
-    emb: DataFrame,
-    bands: int = 8,
-    planes_per_band: int = 4,
-    dims: int = 64,
-) -> DataFrame:
-    """The deterministic signature TABLE underneath
-    :func:`lsh_banded_near_dup`, in exact-fold JVM-expression form:
-    one row per (vec_id, band_id) with the band's sign-of-projection
-    bit string. The hyperplanes are the same md5-parity ±1 family, and
-    each projection is the HOF ``aggregate`` left-fold — bit-identical
-    to a SQL ``list_dot_product`` chain, so the table is DuckDB-
-    hash-oracle-able even though the near-dup RESULT is recall-bounded
-    (BLAS-projected buckets are approximate by design; this exact form
-    is the component a verifier or re-shard reads).
-
-    Pure map-side: no shuffle, no UDF; one posexplode per vector.
-    """
+def _md5_planes(n_planes: int, dims: int) -> list[list[float]]:
+    """The md5-parity ±1 hyperplane family shared by lsh_bucket,
+    band_signatures, and lsh_banded_near_dup — deterministic,
+    reproducible on any engine, no stored model."""
     import hashlib as _hashlib
 
-    n_planes = bands * planes_per_band
-    planes = [
+    return [
         [
             1.0
             if int(_hashlib.md5(f"{p}|{j}".encode()).hexdigest(), 16) % 2 == 0
@@ -246,28 +231,63 @@ def band_signatures(
         ]
         for p in range(n_planes)
     ]
-    v = _as_double(F.col("embedding"))
 
-    def _proj(p: int):
-        return F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in planes[p]]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
-    band_cols = [
-        F.concat(
-            *[
-                F.when(_proj(b * planes_per_band + r) >= 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
-                for r in range(planes_per_band)
+def _band_sig_udf(planes: list[list[float]], bands: int, planes_per_band: int):
+    """Arrow-batched band signatures with the EXACT left-fold: each
+    projection accumulates dim-by-dim in index order — bit-identical to
+    a SQL ``list_dot_product`` chain (same contract as
+    _arrow_pair_scores), unlike a BLAS matmul whose summation order is
+    unspecified and can flip a sign that lands exactly on 0. Vectorized
+    across rows, so it is also ~the matmul's speed at these dims."""
+    from pyspark.sql.functions import pandas_udf
+
+    _planes, _bands, _ppb = planes, bands, planes_per_band
+
+    @pandas_udf("array<string>")
+    def band_sigs(embs):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(_planes, dtype=np.float64)  # (n_planes, dims)
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        signs = np.empty((len(X), len(P)), dtype=np.uint8)
+        for p in range(len(P)):
+            prod = X * P[p]  # exact: ±1 scaling
+            acc = prod[:, 0].copy()
+            for j in range(1, prod.shape[1]):
+                acc += prod[:, j]
+            signs[:, p] = acc >= 0
+        return pd.Series(
+            [
+                [
+                    "".join(map(str, row[b * _ppb : (b + 1) * _ppb]))
+                    for b in range(_bands)
+                ]
+                for row in signs
             ]
         )
-        for b in range(bands)
-    ]
+
+    return band_sigs
+
+
+def band_signatures(
+    emb: DataFrame,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """The deterministic signature TABLE underneath
+    :func:`lsh_banded_near_dup`: one row per (vec_id, band_id) with the
+    band's sign-of-projection bit string, computed with the exact fold
+    (see _band_sig_udf) so the table — and therefore the banded
+    near-dup's candidate generation — is DuckDB-hash-oracle-able.
+
+    Pure map-side: no shuffle; one Arrow pass + posexplode per vector.
+    """
+    udf = _band_sig_udf(_md5_planes(bands * planes_per_band, dims), bands, planes_per_band)
     return emb.select(
-        "vec_id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_sig")
+        "vec_id", F.posexplode(udf(F.col("embedding"))).alias("band_id", "band_sig")
     )
 
 
@@ -307,44 +327,17 @@ def lsh_banded_near_dup(
     numpy prefix-equality mask, and candidate embeddings never cross a
     second shuffle at all.
     """
-    import hashlib as _hashlib
-
-    n_planes = bands * planes_per_band
-    planes = [
-        [
-            1.0 if int(_hashlib.md5(f"{p}|{j}".encode()).hexdigest(), 16) % 2 == 0 else -1.0
-            for j in range(dims)
-        ]
-        for p in range(n_planes)
-    ]
-
-    # All 32 projections in ONE numpy matmul per Arrow batch: the
-    # per-plane JVM forms are both bad here — 32 flat 64-term sums make
-    # Janino's codegen OOM a default-sized driver, and the HOF
-    # aggregate/zip_with form evaluates interpreted. Signs only — any
-    # matmul summation-order drift would have to cross 0 exactly to
-    # flip a bucket, and bucket assignment is approximate by design.
-    from pyspark.sql.functions import pandas_udf
-
-    _planes, _ppb, _bands = planes, planes_per_band, bands
-
-    @pandas_udf("array<string>")
-    def band_sig_udf(embs):
-        import numpy as np
-        import pandas as pd
-
-        P = np.array(_planes, dtype=np.float64)  # (n_planes, dims)
-        X = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
-        signs = (X @ P.T >= 0).astype(np.uint8)  # (n, n_planes)
-        return pd.Series(
-            [
-                [
-                    "".join(map(str, row[b * _ppb : (b + 1) * _ppb]))
-                    for b in range(_bands)
-                ]
-                for row in signs
-            ]
-        )
+    # All 32 projections in one Arrow pass with the EXACT left-fold
+    # (_band_sig_udf): the per-plane JVM forms are both bad here — 32
+    # flat 64-term sums make Janino's codegen OOM a default-sized
+    # driver, and the HOF aggregate/zip_with form evaluates interpreted
+    # — and a BLAS matmul's unspecified summation order would make the
+    # emitted pair set irreproducible cross-engine; with the exact fold
+    # the WHOLE result (signatures -> collisions -> verified cosines)
+    # is DuckDB-hash-oracle-able.
+    band_sig_udf = _band_sig_udf(
+        _md5_planes(bands * planes_per_band, dims), bands, planes_per_band
+    )
 
     banded = emb.select(
         "vec_id",

@@ -632,11 +632,44 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lsh_banded_near_dup")  # recall-bounded ANN: no exact oracle (rows-only)
+def _band_bits_sql(b: int, planes_per_band: int = 4) -> str:
+    return " || ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_literal(b * planes_per_band + r)}) >= 0 "
+        "THEN '1' ELSE '0' END"
+        for r in range(planes_per_band)
+    )
+
+
+_BANDS_SQL = ", ".join(f"{_band_bits_sql(b)} AS b{b}" for b in range(8))
+_BAND_COLLIDE = " OR ".join(f"a.b{b} = b.b{b}" for b in range(8))
+
+
+@query(
+    "lsh_banded_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (SELECT vec_id, v, {_BANDS_SQL} FROM e),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+      FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id AND ({_BAND_COLLIDE})
+    )
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT vec_a, vec_b,
+             list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos_sim
+      FROM pairs
+    ) WHERE cos_sim >= 0.35
+    """,
+)
 def q_lsh_banded_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH near-dup (similarity.lsh_banded_near_dup):
-    candidates from band collisions, exact cosine verify. Approximate
-    recall by design (floor pinned in test_scale_patterns), so rows-only."""
+    candidates from band collisions, exact cosine verify. RECALL is
+    approximate by design (floor pinned in test_scale_patterns), but
+    since round 3 the RESULT is deterministic end-to-end — md5-parity
+    planes + exact-fold projections make the collision set itself
+    reproducible in SQL — so the full pair set is hash-oracled (the
+    oracle's O(n²) OR-join is oracle-side only; the engine never joins
+    outside a bucket)."""
     return similarity.lsh_banded_near_dup(_emb(spark, sf_dir), threshold=0.35)
 
 
