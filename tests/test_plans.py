@@ -346,3 +346,21 @@ def test_connects_window_is_game_partitioned(spark, sf_dir):
         spec = w.split("], [")[1]
         assert "ASC" not in spec and "DESC" not in spec, f"unpartitioned window: {w}"
         assert "game" in spec, f"window not keyed by game: {w}"
+
+
+def test_bm25_partial_topk_and_single_word_explode(spark, sf_dir):
+    """BM25 term ranking must push the per-doc top-k below the final
+    window shuffle (WindowGroupLimit partial+final) and generate the
+    words explode once per aggregate consumer — never a cartesian
+    between full word relations; the corpus/avgdl one-row aggregates
+    ride broadcast nested-loop joins."""
+    import goeventstream_spark.queries_r3  # noqa: F401
+
+    df = q.QUERIES["bm25_term_topk"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+    assert "CartesianProduct" not in plan, plan
+    scans = plans.scan_read_schema(df)
+    assert scans and all(
+        "lang" not in s and "source" not in s and "n_chars" not in s for s in scans
+    ), scans
