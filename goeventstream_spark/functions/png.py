@@ -104,7 +104,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
-        if len(payload) != length:
+        if len(payload) != length or pos + 12 + length > len(data):
             raise ValueError("truncated chunk payload")
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
@@ -126,7 +126,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IHDR")
     bpp = _BPP[color_type]
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # normalize: callers treat ValueError = undecodable
+        raise ValueError(f"bad IDAT stream: {e}") from e
     if len(raw) != (stride + 1) * height:
         raise ValueError("inflated size mismatch")
     out = bytearray()

@@ -427,6 +427,24 @@ def test_png_codec_roundtrip_and_corruption():
 
     with pytest.raises(ValueError):
         decode_png(bytes(data))
+    # adversarial mutation fuzz: truncation/bitflip/insertion must only
+    # ever raise ValueError (the "undecodable -> null dims" contract of
+    # the Spark-side extractors) — never zlib.error/struct.error/IndexError
+    base = fixture_png(123)
+    for trial in range(200):
+        mut = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            mut = mut[: rng.randrange(len(mut))]
+        elif op == 1:
+            mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+        else:
+            i = rng.randrange(len(mut))
+            mut = mut[:i] + bytes([rng.randrange(256)] * rng.randrange(9)) + mut[i:]
+        try:
+            decode_png(bytes(mut))
+        except ValueError:
+            pass
 
 
 def test_extract_features_real_decode(spark, sf_dir):
