@@ -742,3 +742,104 @@ def pq_adc_topk(
     return exact.withColumn("rk", F.row_number().over(w).cast("long")).where(
         F.col("rk") <= k
     )
+
+
+def hard_negatives(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    standard negative-sampling pass for embedding/reranker training
+    (in-batch negatives are easy; the valuable negatives are the
+    near-misses across class boundaries).
+
+    ``queries`` carries (query_id, q_label, q_embedding) and is
+    broadcast; the corpus scan stays embarrassingly parallel and the
+    label-mismatch filter runs JVM-side before any scoring work, so
+    only cross-label pairs reach the Arrow cosine. Same bit-exactness
+    contract as cosine_topk (left-to-right fold). At 100 TB the
+    crossJoin-with-broadcast becomes the per-query-shard map pass; the
+    per-query top-k is a bounded-heap window.
+    """
+    joined = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("label") != F.col("q_label")
+    )
+    scored = _arrow_pair_scores(joined)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= k
+    )
+
+
+def semdedup_keep(
+    emb: DataFrame, threshold: float = 0.3, block_col: str = "label"
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): within each cluster (block), drop every vector
+    that has a LOWER-id neighbor at cosine >= threshold; survivors are
+    the semantic representatives. The monotone keep-lowest-id rule
+    (rather than the paper's greedy sweep) makes the result
+    order-independent and exactly SQL-expressible, so the oracle gate
+    applies; greedy and monotone agree whenever similarity is
+    transitive within a dup group, and monotone is strictly more
+    aggressive otherwise (documented contract).
+
+    Plan: the blocked pair generator (embedding_near_dup — one shuffle
+    on the block key, numpy in-block pairs) emits only above-threshold
+    pairs; pruning is then a broadcast-size anti-join on the dominated
+    side. At 100 TB the block key is an IVF cell id, exactly as the
+    paper clusters with k-means first.
+    """
+    dominated = (
+        embedding_near_dup(emb, threshold=threshold, block_col=block_col)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dominated, "vec_id", "left_anti").select("vec_id", block_col)
+
+
+def label_centroid_scores(emb: DataFrame, dims: int = 64, scale: int = 1_000_000) -> DataFrame:
+    """Cluster-coherence scoring: cosine of each vector to its label's
+    centroid — the ranking signal SemDeDup/SSL-prototypes pipelines use
+    to keep prototypical examples and flag outliers (low cosine = far
+    from its cluster's center).
+
+    Exactness at scale: a float centroid would need a row-order-
+    dependent float sum (non-deterministic under shuffle merge order),
+    so the centroid is accumulated in EXACT integer space — each
+    component is floor(v * 1e6) summed as int64 (mergeable, fold-order
+    free), giving a fixed quantized centroid. Cosine is scale-
+    invariant, so the un-normalized integer sum vector IS the centroid
+    direction. The final dot/norm folds are left-to-right chained
+    doubles, bit-identical to the SQL oracle's sum chain. One agg
+    shuffle (10s of rows out) + one broadcast join back.
+    """
+    qcomp = [
+        F.floor(F.col("embedding")[i].cast("double") * F.lit(float(scale))).alias(f"q{i}")
+        for i in range(dims)
+    ]
+    cent = (
+        emb.select("label", *qcomp)
+        .groupBy("label")
+        .agg(
+            F.array(*[F.sum(f"q{i}").cast("double") for i in range(dims)]).alias(
+                "q_embedding"
+            )
+        )
+    )
+    # Scoring rides the Arrow pair scorer (a 3x64-term inline JVM
+    # expression would re-create the Janino 64 KB overflow documented
+    # on embedding_near_dup); query_id doubles as the label key.
+    joined = (
+        emb.select("vec_id", "label", "embedding")
+        .join(F.broadcast(cent), "label")
+        .select(
+            F.col("label").cast("long").alias("query_id"),
+            "vec_id",
+            "q_embedding",
+            "embedding",
+        )
+    )
+    return _arrow_pair_scores(joined).select(
+        "vec_id",
+        F.col("query_id").alias("label"),
+        F.col("cos_sim").alias("centroid_cos"),
+    )

@@ -452,3 +452,61 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             (F.col("n_unique").cast("double") / F.col("n_bigrams")).alias("novelty"),
         )
     )
+
+
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1), adapted to the fixture corpus: word-count
+    band, mean-word-length band, minimum stopword evidence, alphabetic
+    ratio, and a repetition rule (share of the single most frequent
+    word — the word-soup analogue of the paper's top-2-gram share).
+
+    Every threshold comparison is EXACT integer cross-multiplication
+    (n_chars >= 3*n_words, not mean >= 3.0), so flag boundaries cannot
+    drift on float rounding between engines; the reported ratios are
+    single integer/integer divisions (IEEE-identical). Two narrowing
+    shuffles: (doc, word) counts, then per-doc sums — the same shape as
+    text_stats, O(corpus tokens) map-side.
+    """
+    w = _words(docs)
+    per_word = w.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    stop_cnt = F.sum(
+        F.when(F.col("word").isin(*STOPWORDS), F.col("cnt")).otherwise(F.lit(0))
+    )
+    alpha_cnt = F.sum(
+        F.when(F.col("word").rlike("[A-Za-z]"), F.col("cnt")).otherwise(F.lit(0))
+    )
+    pd = per_word.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("word")).cast("long").alias("n_chars"),
+        F.max("cnt").cast("long").alias("max_word_cnt"),
+        stop_cnt.cast("long").alias("stopword_cnt"),
+        alpha_cnt.cast("long").alias("alpha_cnt"),
+    )
+    nw = F.col("n_words")
+    flag = lambda c: F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("long")  # noqa: E731
+    word_count_ok = flag((nw >= 10) & (nw <= 100000))
+    mean_len_ok = flag(
+        (F.col("n_chars") >= 3 * nw) & (F.col("n_chars") <= 10 * nw)
+    )
+    stopword_ok = flag(F.col("stopword_cnt") >= 2)
+    alpha_ok = flag(5 * F.col("alpha_cnt") >= 4 * nw)
+    repetition_ok = flag(5 * F.col("max_word_cnt") <= nw)
+    return pd.select(
+        "doc_id",
+        "n_words",
+        (F.col("n_chars").cast("double") / nw.cast("double")).alias("mean_word_len"),
+        "stopword_cnt",
+        (F.col("alpha_cnt").cast("double") / nw.cast("double")).alias("alpha_ratio"),
+        (F.col("max_word_cnt").cast("double") / nw.cast("double")).alias(
+            "max_word_share"
+        ),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        stopword_ok.alias("stopword_ok"),
+        alpha_ok.alias("alpha_ok"),
+        repetition_ok.alias("repetition_ok"),
+        (
+            word_count_ok * mean_len_ok * stopword_ok * alpha_ok * repetition_ok
+        ).cast("long").alias("gopher_pass"),
+    )

@@ -160,3 +160,131 @@ def q_bm25_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goeventstream_spark.operators import text
 
     return text.bm25_term_scores(load_table(spark, sf_dir, "documents"), top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline additions: Gopher quality rules, contrastive hard
+# negatives, SemDeDup pruning, cluster-coherence outlier scores.
+# ---------------------------------------------------------------------------
+
+from goeventstream_spark.operators import similarity, text  # noqa: E402
+from goeventstream_spark.queries_llm import _COS, _WORDS  # noqa: E402
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "gopher_quality_flags",
+    f"""
+    WITH {_WORDS},
+    pw AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word),
+    pd AS (
+      SELECT doc_id,
+             sum(cnt) AS n_words,
+             sum(cnt * length(word)) AS n_chars,
+             max(cnt) AS max_word_cnt,
+             sum(CASE WHEN word IN ({_STOP_SQL}) THEN cnt ELSE 0 END) AS stopword_cnt,
+             sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN cnt ELSE 0 END) AS alpha_cnt
+      FROM pw GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           CAST(stopword_cnt AS BIGINT) AS stopword_cnt,
+           CAST(alpha_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_ratio,
+           CAST(max_word_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS max_word_share,
+           CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS word_count_ok,
+           CAST(CASE WHEN n_chars >= 3 * n_words AND n_chars <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT) AS mean_len_ok,
+           CAST(CASE WHEN stopword_cnt >= 2 THEN 1 ELSE 0 END AS BIGINT) AS stopword_ok,
+           CAST(CASE WHEN 5 * alpha_cnt >= 4 * n_words THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+           CAST(CASE WHEN 5 * max_word_cnt <= n_words THEN 1 ELSE 0 END AS BIGINT) AS repetition_ok,
+           CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+              * CASE WHEN n_chars >= 3 * n_words AND n_chars <= 10 * n_words THEN 1 ELSE 0 END
+              * CASE WHEN stopword_cnt >= 2 THEN 1 ELSE 0 END
+              * CASE WHEN 5 * alpha_cnt >= 4 * n_words THEN 1 ELSE 0 END
+              * CASE WHEN 5 * max_word_cnt <= n_words THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+    FROM pd
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule pre-filter over documents (Rae et al. 2021)."""
+    return text.gopher_quality_flags(_docs(spark, sf_dir))
+
+
+@query(
+    "hard_negatives_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id, {_COS} AS cos_sim
+      FROM q, c WHERE label <> q_label
+    )
+    SELECT query_id, vec_id, cos_sim, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query, top-5 most-similar
+    vectors with a different label."""
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return similarity.hard_negatives(emb, queries_df, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rk"
+    )
+
+
+@query(
+    "semdedup_prune",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dom AS (
+      SELECT DISTINCT b.vec_id FROM e a JOIN e b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    )
+    SELECT vec_id, label FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+    """,
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning survivors (monotone keep-lowest-id
+    rule, threshold 0.3 within label blocks)."""
+    return similarity.semdedup_keep(_emb(spark, sf_dir), threshold=0.3)
+
+
+_CENT_LIST = ", ".join(
+    f"CAST(sum(CAST(floor(v[{i + 1}] * 1000000.0) AS BIGINT)) AS DOUBLE)"
+    for i in range(64)
+)
+
+
+@query(
+    "label_centroid_outliers",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT label, [{_CENT_LIST}] AS ce FROM e GROUP BY label)
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           list_dot_product(e.v, cent.ce)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.ce, cent.ce)))
+             AS centroid_cos
+    FROM e JOIN cent USING (label)
+    """,
+)
+def q_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-coherence score: cosine of each vector to its label's
+    exact integer-quantized centroid."""
+    return similarity.label_centroid_scores(_emb(spark, sf_dir))

@@ -8,9 +8,14 @@ Prints one line per query and a final summary; exit 1 on any failure.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
+
+# Runnable from anywhere: python puts tools/ (the script dir) on
+# sys.path, not the repo root, so add the root explicitly.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import goeventstream_spark.queries_llm  # noqa: F401
 import goeventstream_spark.queries_ext  # noqa: F401
