@@ -94,3 +94,91 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
+
+
+def bloom_positions(key: Column, k: int = 4, m: int = 16384) -> Column:
+    """Array of k bloom-bit positions for a key: position j is the
+    first 4 hex chars of md5("<j>|<key>") mod m. m <= 65536 (4 hex
+    chars); lowercase-hex md5 keeps it engine-portable/exact."""
+    if m > 65536:
+        raise ValueError(f"bloom m={m} > 65536: position hash consumes 4 hex chars")
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", F.lit(str(j)), key)), 1, 4),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(m)
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build(keys: DataFrame, key_col: str, k: int = 4, m: int = 16384) -> DataFrame:
+    """Build a bloom filter over a key set as the DISTINCT set-bit
+    positions — one narrowing aggregation of bounded cardinality (<= m
+    rows out, like the CMS cells). At 100 TB the positions OR into an
+    m-bit bitmap (m/64 int64 words, bit_or partial agg) and the whole
+    filter broadcasts in KBs; the relational set-of-positions form here
+    is the same object, kept flat so the oracle can hash it."""
+    return (
+        keys.select(
+            F.explode(bloom_positions(F.col(key_col).cast("string"), k, m)).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe_report(
+    build_keys: DataFrame,
+    probe_keys: DataFrame,
+    build_col: str,
+    probe_col: str,
+    k: int = 4,
+    m: int = 16384,
+) -> DataFrame:
+    """Probe a bloom filter and report its confusion counts in one row:
+    distinct probe keys, bloom-predicted members (all k bits set), true
+    members (exact semi-join ground truth), false positives, and bits
+    set. Blooms never false-negative, so predicted >= true always —
+    the gap IS the false-positive count (asserted by construction in
+    the report arithmetic).
+
+    Scale shape: the filter is a bounded aggregate (broadcast side);
+    the probe side is scanned once, exploded k-fold only on the
+    bounded distinct-key relation. This is the data-level form of the
+    runtime bloom join pinned in test_scale_patterns — useful where
+    the pruning must survive ACROSS jobs (write the positions table
+    once, probe it from any later pipeline)."""
+    bits = bloom_build(build_keys, build_col, k, m)
+    bk = build_keys.select(F.col(build_col).cast("long").alias("key")).distinct()
+    pk = probe_keys.select(F.col(probe_col).cast("long").alias("key")).distinct()
+    probe_pos = pk.select(
+        "key", F.explode(bloom_positions(F.col("key").cast("string"), k, m)).alias("pos")
+    )
+    # predicted member <=> NO position is missing from the filter
+    # (a key's k hashes may collide with each other, so "k matched
+    # bits" would be the wrong test — absence-of-missing is exact)
+    missing = probe_pos.join(bits, "pos", "left_anti").select("key").distinct()
+    pred = pk.join(missing, "key", "left_anti").select(
+        "key", F.lit(1).alias("pred")
+    )
+    memb = bk.select("key", F.lit(1).alias("memb"))
+    report = (
+        pk.join(pred, "key", "left")
+        .join(memb, "key", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_probe"),
+            F.sum(F.coalesce(F.col("pred"), F.lit(0))).cast("long").alias("predicted_members"),
+            F.sum(F.coalesce(F.col("memb"), F.lit(0))).cast("long").alias("true_members"),
+            F.sum(
+                F.coalesce(F.col("pred"), F.lit(0))
+                * (F.lit(1) - F.coalesce(F.col("memb"), F.lit(0)))
+            ).cast("long").alias("false_positives"),
+        )
+    )
+    nbits = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    return report.crossJoin(F.broadcast(nbits))

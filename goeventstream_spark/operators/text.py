@@ -12,7 +12,7 @@ parity; the rational form ranks identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny function-word lists per language for the n-gram/stopword
@@ -510,3 +510,36 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
             word_count_ok * mean_len_ok * stopword_ok * alpha_ok * repetition_ok
         ).cast("long").alias("gopher_pass"),
     )
+
+
+def bpe_merge_candidates(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """First iteration of BPE tokenizer training (Sennrich et al.
+    2016, arXiv:1508.07909): count every adjacent character pair
+    across the corpus, weighted by word frequency — the pair with the
+    highest count is the first merge the tokenizer would learn.
+
+    The scalable shape: corpus tokens aggregate to a (word, freq)
+    vocabulary FIRST (the classic BPE trick — pair generation runs per
+    DISTINCT word, not per token), then each word explodes into its
+    length-1 adjacent pairs map-side, and one bounded aggregation sums
+    freq-weighted pair counts. Top-k ties break lexicographically, so
+    the result is total-order deterministic.
+    """
+    vocab = _words(docs).groupBy("word").agg(F.count("*").alias("freq"))
+    # length >= 2 BEFORE the sequence: sequence(1, 0) would run
+    # descending in Spark and fabricate pairs for single-char words
+    pairs = vocab.where(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("pair_count"))
+    # global top-k as sort+limit (TakeOrderedAndProject over the
+    # bounded pair-cardinality aggregate), then rank the tiny result
+    top = counts.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(top_k)
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -288,3 +288,81 @@ def q_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-coherence score: cosine of each vector to its label's
     exact integer-quantized centroid."""
     return similarity.label_centroid_scores(_emb(spark, sf_dir))
+
+
+from goeventstream_spark.operators import sketches  # noqa: E402
+
+# 4-hex-char bloom position decode, DuckDB side (mirrors
+# sketches.bloom_positions: first 4 hex chars of md5("<j>|<key>") mod m).
+_BLOOM_M = 16384
+_BLOOM_POS = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || '|' || CAST(key AS VARCHAR)), 1, 4))::BIGINT"
+    f" % {_BLOOM_M} AS BIGINT)"
+)
+_BLOOM_POS_ROWS = " UNION ALL ".join(
+    f"SELECT key, {_BLOOM_POS.format(j=j)} AS pos FROM {{src}}" for j in range(4)
+)
+
+
+@query(
+    "bloom_membership_report",
+    f"""
+    WITH bk AS (SELECT DISTINCT c_custkey AS key FROM customer
+                WHERE c_mktsegment = 'BUILDING'),
+    pk AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    bits AS (SELECT DISTINCT pos FROM ({_BLOOM_POS_ROWS.format(src="bk")})),
+    ppos AS ({_BLOOM_POS_ROWS.format(src="pk")}),
+    missing AS (SELECT DISTINCT key FROM ppos
+                WHERE pos NOT IN (SELECT pos FROM bits)),
+    flags AS (
+      SELECT pk.key,
+             CASE WHEN pk.key IN (SELECT key FROM missing) THEN 0 ELSE 1 END AS pred,
+             CASE WHEN pk.key IN (SELECT key FROM bk) THEN 1 ELSE 0 END AS memb
+      FROM pk
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(pred) AS BIGINT) AS predicted_members,
+           CAST(sum(memb) AS BIGINT) AS true_members,
+           CAST(sum(pred * (1 - memb)) AS BIGINT) AS false_positives,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set
+    FROM flags
+    """,
+)
+def q_bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe confusion report: filter built on
+    BUILDING-segment customers, probed with order custkeys."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return sketches.bloom_probe_report(
+        customer.where(F.col("c_mktsegment") == "BUILDING"),
+        orders,
+        "c_custkey",
+        "o_custkey",
+    )
+
+
+@query(
+    "bpe_merge_candidates",
+    """
+    WITH words AS (
+      SELECT word FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    ),
+    vocab AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+    pairs AS (
+      SELECT freq, unnest(list_transform(generate_series(1, length(word) - 1),
+                                         i -> substr(word, i, 2))) AS pair
+      FROM vocab WHERE length(word) >= 2
+    ),
+    counts AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+               FROM pairs GROUP BY pair)
+    SELECT pair, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT) AS rk
+    FROM counts
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge-pair counts over the corpus (top 20)."""
+    return text.bpe_merge_candidates(_docs(spark, sf_dir), top_k=20)
