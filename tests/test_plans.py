@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 import goeventstream_spark.queries_llm  # noqa: F401
 import goeventstream_spark.queries_ext  # noqa: F401
 import goeventstream_spark.queries_r2  # noqa: F401
+import goeventstream_spark.queries_r3  # noqa: F401
 from goeventstream_spark import plans
 from goeventstream_spark import queries as q
 from goeventstream_spark.sources import load_table
@@ -364,3 +365,51 @@ def test_bm25_partial_topk_and_single_word_explode(spark, sf_dir):
     assert scans and all(
         "lang" not in s and "source" not in s and "n_chars" not in s for s in scans
     ), scans
+
+
+def test_bpe_merge_candidates_is_take_ordered(spark, sf_dir):
+    """The global top-20 pair take must plan as TakeOrderedAndProject
+    over the bounded pair aggregate; the only Window allowed is the rk
+    derivation AFTER the 20-row take (same contract as Q3/top-k)."""
+    import goeventstream_spark.queries_r3  # noqa: F401
+
+    df = q.QUERIES["bpe_merge_candidates"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    before_take = plan.split("TakeOrderedAndProject")[-1]
+    assert "Window" not in before_take, plan
+
+
+def test_bloom_report_joins_are_broadcast_not_sortmerge(spark, sf_dir):
+    """Every join in the bloom confusion report touches a bounded
+    relation (<= m positions / distinct probe keys), so the plan must
+    stay broadcast — a sort-merge exchange here would shuffle the
+    probe side at 100 TB for no reason."""
+    import goeventstream_spark.queries_r3  # noqa: F401
+
+    df = q.QUERIES["bloom_membership_report"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_semdedup_prune_single_block_shuffle(spark, sf_dir):
+    """SemDeDup pruning must shuffle the corpus ONCE (on the block
+    key for pair generation); the dominated-id anti-join is against a
+    collision-bounded pair relation, never a second full-corpus
+    sort-merge on a non-key column."""
+    import goeventstream_spark.queries_r3  # noqa: F401
+
+    df = q.QUERIES["semdedup_prune"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_label_centroid_join_is_broadcast(spark, sf_dir):
+    """The label->centroid dimension is one row per cluster; joining
+    it back to the corpus must broadcast, never shuffle the embedding
+    table on label."""
+    import goeventstream_spark.queries_r3  # noqa: F401
+
+    df = q.QUERIES["label_centroid_outliers"](spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert "SortMergeJoin" not in plans.physical_plan(df)
