@@ -86,6 +86,12 @@ HEADLINE = [
     "lsh_band_signatures",
     "ivf_probe_all_topk",
     "connects",
+    "gopher_quality_flags",
+    "hard_negatives_topk",
+    "semdedup_prune",
+    "label_centroid_outliers",
+    "bloom_membership_report",
+    "bpe_merge_candidates",
 ]
 
 

@@ -276,3 +276,98 @@ def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(_resize, schema)
+
+
+def _ship_wav_codec() -> None:
+    """Same pickle-by-value shipping as _ship_codec, for the audio
+    codec module."""
+    from pyspark import cloudpickle as _cp
+
+    from goeventstream_spark.functions import wav as _wav
+
+    _cp.register_pickle_by_value(_wav)
+
+
+def as_media_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture adapter producing REAL audio payloads: one deterministic
+    16-bit PCM WAV clip per doc (functions/wav.fixture_wav — rate,
+    length, and sample values are SQL-expressible functions of doc_id,
+    so a decode of the output is DuckDB-oracle-checkable). Encode runs
+    map-side in Arrow batches."""
+    _ship_wav_codec()
+    from goeventstream_spark.functions import wav as _wav
+
+    def _gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media_type": "audio/wav",
+                    "content": [_wav.fixture_wav(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        _gen, MEDIA_SCHEMA
+    )
+
+
+def decode_audio(content: bytes) -> tuple[int, int, list[int]]:
+    """True media decode for WAV payloads: returns (sample_rate,
+    channels, samples). Pure stdlib — see functions/wav.py."""
+    from goeventstream_spark.functions.wav import decode_wav
+
+    return decode_wav(content)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """Full-decode audio statistics per asset: sample rate, sample
+    count, peak absolute amplitude, and the sum of absolute sample
+    values — values only obtainable by actually walking the RIFF
+    chunks and unpacking the signed PCM stream, which makes the decode
+    path itself oracle-checkable against the fixture_wav closed-form
+    sample function. Undecodable payloads null out (same quarantine
+    contract as the image path)."""
+    _ship_wav_codec()
+    from goeventstream_spark.functions import wav as _wav
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sample_rate", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("peak_amp", LongType()),
+            StructField("abs_sum", LongType()),
+        ]
+    )
+
+    def _stats(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    rows.append((doc_id, None, None, None, None))
+                    continue
+                try:
+                    rate, _ch, samples = _wav.decode_wav(bytes(content))
+                    rows.append(
+                        (
+                            doc_id,
+                            rate,
+                            len(samples),
+                            max((abs(s) for s in samples), default=0),
+                            sum(abs(s) for s in samples),
+                        )
+                    )
+                except ValueError:
+                    rows.append((doc_id, None, None, None, None))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "peak_amp", "abs_sum"],
+            )
+
+    return media.mapInPandas(_stats, schema)

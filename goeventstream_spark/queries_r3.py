@@ -366,3 +366,29 @@ def q_bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-iteration BPE merge-pair counts over the corpus (top 20)."""
     return text.bpe_merge_candidates(_docs(spark, sf_dir), top_k=20)
+
+
+from goeventstream_spark.operators import multimodal  # noqa: E402
+
+
+@query(
+    "multimodal_wav_decode",
+    """
+    WITH ii AS (SELECT i FROM range(0, 257) t(i))
+    SELECT d.doc_id,
+           CAST(8000 + (d.doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
+           CAST(64 + d.doc_id % 193 AS BIGINT) AS n_samples,
+           CAST(max(abs((d.doc_id * 31 + ii.i * 17) % 4001 - 2000)) AS BIGINT) AS peak_amp,
+           CAST(sum(abs((d.doc_id * 31 + ii.i * 17) % 4001 - 2000)) AS BIGINT) AS abs_sum
+    FROM documents d JOIN ii ON ii.i < 64 + d.doc_id % 193
+    GROUP BY d.doc_id
+    """,
+)
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: encode one deterministic PCM WAV
+    clip per doc (functions/wav.fixture_wav), then fully decode it —
+    RIFF chunk walk, fmt consistency checks, signed sample unpack —
+    and report stats the oracle states in closed form. The decode is
+    map-side mapInPandas over binary columns; no shuffle."""
+    docs = _docs(spark, sf_dir)
+    return multimodal.decode_audio_stats(multimodal.as_media_wav(docs))

@@ -464,3 +464,62 @@ def test_extract_features_real_decode(spark, sf_dir):
         multimodal.as_media(docs.limit(5)), fake=False
     ).collect()
     assert len(bad) == 5 and all(r.width is None and r.height is None for r in bad)
+
+
+def test_wav_codec_roundtrip_and_corruption():
+    """Pure-stdlib WAV codec: encode/decode round-trips arbitrary
+    mono/stereo int16 sample runs (odd data lengths exercise RIFF word
+    padding); mutation fuzz must only ever raise ValueError — never
+    struct.error/IndexError — matching the undecodable->null contract
+    of decode_audio_stats."""
+    import random
+
+    import pytest
+
+    from goeventstream_spark.functions.wav import decode_wav, encode_wav, fixture_wav
+
+    rng = random.Random(11)
+    for _ in range(20):
+        ch = rng.choice([1, 2])
+        n = rng.randint(1, 50) * ch
+        samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        rate = rng.choice([8000, 16000, 44100])
+        assert decode_wav(encode_wav(rate, ch, samples)) == (rate, ch, samples)
+    with pytest.raises(ValueError):
+        encode_wav(8000, 2, [1])  # not a multiple of channels
+    with pytest.raises(ValueError):
+        encode_wav(8000, 1, [40000])  # outside int16
+    base = fixture_wav(123)
+    for _trial in range(200):
+        mut = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            mut = mut[: rng.randrange(len(mut))]
+        elif op == 1:
+            mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+        else:
+            i = rng.randrange(len(mut))
+            mut = mut[:i] + bytes([rng.randrange(256)] * rng.randrange(9)) + mut[i:]
+        try:
+            decode_wav(bytes(mut))
+        except ValueError:
+            pass
+
+
+def test_decode_audio_stats_real_decode(spark, sf_dir):
+    """decode_audio_stats REALLY decodes WAV payloads — stats match
+    the fixture formula — and nulls the stats of non-WAV payloads
+    instead of crashing the task."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.as_media_wav(docs)
+    rows = multimodal.decode_audio_stats(media).collect()
+    assert len(rows) == 50
+    for r in rows:
+        n = 64 + r.doc_id % 193
+        samples = [(r.doc_id * 31 + i * 17) % 4001 - 2000 for i in range(n)]
+        assert r.sample_rate == 8000 + (r.doc_id % 5) * 1000
+        assert r.n_samples == n
+        assert r.peak_amp == max(abs(s) for s in samples)
+        assert r.abs_sum == sum(abs(s) for s in samples)
+    bad = multimodal.decode_audio_stats(multimodal.as_media(docs.limit(5))).collect()
+    assert len(bad) == 5 and all(r.sample_rate is None and r.abs_sum is None for r in bad)
