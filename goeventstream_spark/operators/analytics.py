@@ -15,7 +15,7 @@ driver-side loops, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -247,3 +247,54 @@ def dq_audit(
         .unionByName(one("orders_null_orderdate", null_date))
         .unionByName(one("lineitem_negative_price", neg_price))
     )
+
+
+def k_anonymity_risky_groups(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Data-governance gate for training corpora: every combination of
+    quasi-identifier values shared by FEWER than k rows (the groups a
+    re-identification attack narrows to under k candidates — Sweeney's
+    k-anonymity). Output is the risky group keys with their sizes; a
+    release gate joins this back as an anti-join or suppresses the
+    quasi columns for these rows.
+
+    One aggregation shuffle on the quasi key; the k-filter reduces on
+    the aggregate, so only violating groups (bounded by construction
+    at sensible k) come back.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("long").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Join/agg-key skew diagnostics: the top-k heaviest keys with
+    exact counts and integer ppm share of total rows — the first thing
+    to run before sizing a shuffle at 100 TB (a key with >1% share
+    needs salting or an AQE skew split; both implemented elsewhere in
+    this repo and pinned in test_scale_patterns).
+
+    Shape: one agg shuffle on the key, a 1-row total broadcast, and a
+    TakeOrderedAndProject for the global top-k. The ppm share is
+    floor(cnt * 1e6 / total) — exact integer arithmetic, no float
+    division in the oracle-compared columns.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").cast("long").alias("cnt"))
+    total = df.agg(F.count("*").cast("long").alias("total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "cnt",
+            F.floor(F.col("cnt") * F.lit(1_000_000) / F.col("total"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col(key_col))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))

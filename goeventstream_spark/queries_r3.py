@@ -392,3 +392,45 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side mapInPandas over binary columns; no shuffle."""
     docs = _docs(spark, sf_dir)
     return multimodal.decode_audio_stats(multimodal.as_media_wav(docs))
+
+
+from goeventstream_spark.operators import analytics  # noqa: E402
+
+
+@query(
+    "k_anonymity_risky_groups",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < 10
+    """,
+)
+def q_k_anonymity_risky_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate: quasi-identifier (nation, segment)
+    groups smaller than k=10."""
+    customer = load_table(spark, sf_dir, "customer")
+    return analytics.k_anonymity_risky_groups(
+        customer, ["c_nationkey", "c_mktsegment"], k=10
+    )
+
+
+@query(
+    "key_skew_report",
+    """
+    WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+    SELECT user_id, cnt,
+           CAST(floor(cnt * 1000000 / total) AS BIGINT) AS share_ppm,
+           CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rk
+    FROM counts, tot
+    ORDER BY cnt DESC, user_id LIMIT 20
+    """,
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: top-20 heaviest event user_ids
+    with exact counts and integer ppm share."""
+    events = load_table(spark, sf_dir, "events")
+    return analytics.key_skew_report(events, "user_id", top_k=20)
