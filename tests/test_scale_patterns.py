@@ -458,3 +458,26 @@ def test_triangle_orientation_bounds_wedge_fanout(spark, sf_dir):
     assert max_out <= bound, (max_out, bound, m)
     # and the orientation must actually be doing work on this graph
     assert max_out < max_raw, (max_out, max_raw)
+
+
+def test_bloom_probe_shuffles_bounded_by_distinct_keys(spark, sf_dir):
+    """Executed-metric proof the bloom confusion report never shuffles
+    raw fact rows: every exchange carries at most k x distinct probe
+    keys (the exploded position relation) — the orders table itself
+    reduces to its distinct custkeys before anything wide happens, so
+    at 100 TB the probe cost is O(distinct keys), not O(rows)."""
+    from goeventstream_spark.plans import shuffle_profile
+
+    import goeventstream_spark.queries_r3  # noqa: F401  (registers)
+    from goeventstream_spark import queries as q
+
+    orders = load_table(spark, sf_dir, "orders")
+    n_rows = orders.count()
+    n_keys = orders.select("o_custkey").distinct().count()
+    bound = max(4 * n_keys, 16384)  # k=4 positions per key; filter <= m bits
+    prof = shuffle_profile(q.QUERIES["bloom_membership_report"](spark, sf_dir))
+    assert prof, "no exchange found"
+    for ex in prof:
+        if ex["input_rows"] is not None:
+            assert ex["input_rows"] <= bound, (ex, bound)
+    assert n_rows > n_keys  # the bound is actually tighter than the table
