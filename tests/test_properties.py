@@ -550,3 +550,62 @@ def test_contraction_logarithmic_rounds_on_chain():
     }
     assert len(got) == 301 and set(got.values()) == {0}
     assert rounds[0] <= 12, f"contraction took {rounds[0]} rounds on a 301-chain"
+
+
+words_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["ab", "abc", "ba", "cab", "a", "bcbc", "the", "of"]),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(words_strategy)
+def test_bpe_merge_candidates_matches_python_model(docs):
+    """Freq-weighted adjacent-pair counts == brute-force Python BPE
+    pass 1 on arbitrary word-soup corpora (incl. 1-char words, which
+    must contribute no pairs)."""
+    from collections import Counter
+
+    from goeventstream_spark.operators import text as text_ops
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.pair: r.pair_count
+        for r in text_ops.bpe_merge_candidates(df, top_k=1000).collect()
+    }
+    want = Counter()
+    for ws in docs:
+        for w in ws:
+            for i in range(len(w) - 1):
+                want[w[i : i + 2]] += 1
+    assert got == dict(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+)
+def test_bloom_never_false_negative(build, probe):
+    """Bloom membership has NO false negatives by construction: every
+    true member must be predicted, and the confusion counts must obey
+    predicted = true + false_positives on any key sets."""
+    from goeventstream_spark.operators import sketches
+
+    spark = _spark()
+    b = spark.createDataFrame([(k,) for k in build], "key long")
+    p = spark.createDataFrame([(k,) for k in probe], "key long")
+    [r] = sketches.bloom_probe_report(b, p, "key", "key", k=4, m=1024).collect()
+    n_true = len(set(build) & set(probe))
+    assert r.n_probe == len(set(probe))
+    assert r.true_members == n_true
+    assert r.predicted_members >= r.true_members
+    assert r.false_positives == r.predicted_members - r.true_members
