@@ -88,6 +88,32 @@ def minhash_signatures(
     )
 
 
+def _banded(
+    sig: DataFrame, num_hashes: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band-explode a signature table: one row per (doc, band) with
+    the band signature (md5 of the band's components) plus the full
+    signature columns carried through for est-Jaccard computation."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        F.col(id_col),
+        *[F.col(f"m{i}") for i in range(num_hashes)],
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -107,24 +133,7 @@ def lsh_candidate_pairs(
             f"by bands={bands} — trailing signature components would be "
             "silently left out of every band"
         )
-    rows_per_band = num_hashes // bands
-    banded = sig.select(
-        F.col(id_col),
-        *[F.col(f"m{i}") for i in range(num_hashes)],
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_id", "band_sig"),
-    )
+    banded = _banded(sig, num_hashes, bands, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -161,6 +170,64 @@ def minhash_near_dedup(
     return lsh_candidate_pairs(sig, num_hashes, bands).where(
         F.col("est_jaccard") >= F.lit(threshold)
     )
+
+
+def incremental_minhash_dedup(
+    history_sigs: DataFrame,
+    delta_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dedup: dedup a DELTA of new documents against a
+    corpus represented ONLY by its persisted MinHash signature table —
+    the production ingest shape at 100 TB, where re-shingling the
+    historical corpus per batch is a non-starter. Returns
+    ``(delta_sigs, dup_pairs)``: the delta's signature rows (append
+    them to the index for the next batch) and every near-dup pair
+    involving at least one delta doc (delta-vs-history AND
+    delta-vs-delta).
+
+    Because signatures and band keys are doc-local, the incremental
+    result is EXACTLY the full-recompute pair set restricted to pairs
+    touching the delta (pinned by test_incremental_minhash_equals_full
+    on arbitrary splits). Join shape: the banded DELTA (small) drives
+    the band join; history participates only through its signature
+    table — persist that table bucketed by band_sig and the join is
+    shuffle-free on the history side.
+    """
+    delta_sigs = minhash_signatures(shingles(delta_docs, k), num_hashes)
+    sig_cols = [id_col, *[f"m{i}" for i in range(num_hashes)]]
+    all_sigs = history_sigs.select(*sig_cols).unionByName(delta_sigs.select(*sig_cols))
+    a = _banded(delta_sigs, num_hashes, bands, id_col).alias("a")
+    b = _banded(all_sigs, num_hashes, bands, id_col).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            # canonicalize so a delta-delta pair found in both orders
+            # (and in several bands) collapses in the distinct below;
+            # the equality flags are symmetric, so order is irrelevant
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+            *[
+                (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int").alias(f"_eq{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"_eq{i}") for i in range(num_hashes)) / F.lit(float(num_hashes))
+    dup_pairs = pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= F.lit(threshold)
+    )
+    return delta_sigs, dup_pairs
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = DEFAULT_SHINGLE_K, threshold: float = 0.5) -> DataFrame:

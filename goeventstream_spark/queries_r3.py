@@ -434,3 +434,32 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact counts and integer ppm share."""
     events = load_table(spark, sf_dir, "events")
     return analytics.key_skew_report(events, "user_id", top_k=20)
+
+
+from goeventstream_spark.operators import dedup  # noqa: E402
+from goeventstream_spark.queries import ORACLES  # noqa: E402
+
+# The incremental result is by construction the full-recompute pair
+# set restricted to pairs touching the delta (signatures are
+# doc-local), so the oracle is the existing machine-generated MinHash
+# oracle with the delta-membership filter applied on top.
+_INC_MINHASH_ORACLE = (
+    "SELECT doc_a, doc_b, est_jaccard FROM (\n"
+    + ORACLES["minhash_near_dedup"]
+    + "\n) WHERE doc_a % 2 = 1 OR doc_b % 2 = 1"
+)
+
+
+@query("incremental_minhash_dedup", _INC_MINHASH_ORACLE)
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup of a new-document delta (odd doc_ids)
+    against the persisted signature index of the history (even
+    doc_ids) — no re-shingling of the historical corpus."""
+    docs = _docs(spark, sf_dir)
+    history_sigs = dedup.minhash_signatures(
+        dedup.shingles(docs.where(F.col("doc_id") % 2 == 0))
+    )
+    _sigs, pairs = dedup.incremental_minhash_dedup(
+        history_sigs, docs.where(F.col("doc_id") % 2 == 1)
+    )
+    return pairs

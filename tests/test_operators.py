@@ -523,3 +523,34 @@ def test_decode_audio_stats_real_decode(spark, sf_dir):
         assert r.abs_sum == sum(abs(s) for s in samples)
     bad = multimodal.decode_audio_stats(multimodal.as_media(docs.limit(5))).collect()
     assert len(bad) == 5 and all(r.sample_rate is None and r.abs_sum is None for r in bad)
+
+
+def test_incremental_minhash_equals_full_on_any_split(spark, sf_dir):
+    """Incremental dedup (delta vs persisted signature index) must
+    equal the full-corpus recompute restricted to delta-touching
+    pairs, for ANY corpus split — the correctness contract that lets
+    a 100 TB pipeline dedup per-ingest-batch without rescanning."""
+    from goeventstream_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_near_dedup(docs).collect()
+    }
+    for split_expr in [
+        F.col("doc_id") % 3 == 0,
+        F.col("doc_id") < 100,
+        F.md5(F.col("doc_id").cast("string")).startswith("a"),
+    ]:
+        hist_docs = docs.where(~split_expr)
+        delta_docs = docs.where(split_expr)
+        hist_sigs = dedup.minhash_signatures(dedup.shingles(hist_docs))
+        delta_sigs, pairs = dedup.incremental_minhash_dedup(hist_sigs, delta_docs)
+        got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+        delta_ids = {r.doc_id for r in delta_docs.select("doc_id").collect()}
+        want = {
+            p: j for p, j in full.items() if p[0] in delta_ids or p[1] in delta_ids
+        }
+        assert got == want
+        # the returned signature rows are exactly the delta's index rows
+        assert delta_sigs.count() == len(delta_ids)
