@@ -174,12 +174,13 @@ def minhash_near_dedup(
 
 def incremental_minhash_dedup(
     history_sigs: DataFrame,
-    delta_docs: DataFrame,
+    delta_docs: DataFrame | None,
     threshold: float = 0.5,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     k: int = DEFAULT_SHINGLE_K,
     id_col: str = "doc_id",
+    delta_sigs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dedup: dedup a DELTA of new documents against a
     corpus represented ONLY by its persisted MinHash signature table —
@@ -197,8 +198,13 @@ def incremental_minhash_dedup(
     the band join; history participates only through its signature
     table — persist that table bucketed by band_sig and the join is
     shuffle-free on the history side.
+
+    Pass ``delta_sigs`` instead of ``delta_docs`` when the delta's
+    signatures are already materialized (the streaming sink does,
+    to avoid re-shingling the batch it just indexed).
     """
-    delta_sigs = minhash_signatures(shingles(delta_docs, k), num_hashes)
+    if delta_sigs is None:
+        delta_sigs = minhash_signatures(shingles(delta_docs, k), num_hashes)
     sig_cols = [id_col, *[f"m{i}" for i in range(num_hashes)]]
     all_sigs = history_sigs.select(*sig_cols).unionByName(delta_sigs.select(*sig_cols))
     a = _banded(delta_sigs, num_hashes, bands, id_col).alias("a")

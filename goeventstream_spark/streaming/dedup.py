@@ -1,0 +1,97 @@
+"""Streaming incremental near-dedup: the foreachBatch production
+shape for continuous corpus ingest. Each micro-batch of new documents
+is deduplicated against the PERSISTED MinHash signature index (never
+re-shingling history), its signatures are appended to the index, and
+the detected near-dup pairs are appended to the pairs lake.
+
+Exactly-once on replay: both the index and the pairs output are
+partitioned by batch_id and written under dynamic partition
+overwrite, so a batch replayed after a crash overwrites exactly its
+own partitions (the same lake-side idempotency contract pinned by
+test_foreach_batch_transactional_partitioned_sink).
+
+Correctness invariant (pinned by the streaming==batch test): each
+near-dup pair {x, y} lands in the partition of the LATER of the two
+batches — every pair is emitted exactly once, and the union over
+batches equals the full-corpus minhash_near_dedup pair set,
+regardless of how ingestion happened to batch the documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goeventstream_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    DEFAULT_SHINGLE_K,
+    incremental_minhash_dedup,
+    minhash_signatures,
+    shingles,
+)
+
+
+def streaming_minhash_dedup(
+    stream_docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+):
+    """Start the incremental-dedup stream over a streaming documents
+    DataFrame (doc_id, text, ...). Returns the StreamingQuery; the
+    caller owns awaitTermination. State lives entirely in the two
+    parquet lakes — restarting from the checkpoint resumes with the
+    index exactly as the completed batches left it."""
+    def sink(batch_df, batch_id):
+        # foreachBatch hands the batch a CLONED SparkSession with its
+        # own conf — the dynamic-overwrite setting must go on THAT
+        # session (setting it on the outer session silently leaves the
+        # batch's writes in static mode, which full-overwrites the
+        # index; caught by the streaming==batch equality test)
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            sigs = minhash_signatures(shingles(batch_df, k), num_hashes)
+            (
+                sigs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(index_dir)
+            )
+            # re-read so history AND delta come from the committed
+            # index (one shingling pass per document, ever)
+            index = spark.read.parquet(index_dir)
+            hist = index.where(F.col("batch_id") < batch_id).drop("batch_id")
+            delta = index.where(F.col("batch_id") == batch_id).drop("batch_id")
+            _sigs, pairs = incremental_minhash_dedup(
+                hist,
+                None,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                delta_sigs=delta,
+            )
+            (
+                pairs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(pairs_dir)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

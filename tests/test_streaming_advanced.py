@@ -570,3 +570,47 @@ def test_game_server_over_live_http_socket_wire(spark):
         (sid, got[sid], want[sid]) for sid in sorted(got) if got[sid] != want[sid]
     ]
     assert not mismatches, mismatches[:3]
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Continuous-ingest near-dedup: documents arrive in 3 micro-
+    batches; each batch dedups against the persisted signature index
+    only (no history re-shingle), appends its signatures, and emits
+    its pairs. The union over batches must equal the full-corpus
+    minhash_near_dedup pair set exactly — each pair once, in the
+    partition of its later batch."""
+    from goeventstream_spark.operators import dedup as dedup_ops
+    from goeventstream_spark.streaming.dedup import streaming_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_minhash_dedup(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got_pairs = spark.read.parquet(str(tmp_path / "pairs"))
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in got_pairs.collect()}
+    want = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_ops.minhash_near_dedup(docs).collect()
+    }
+    assert got == want
+    # no pair emitted twice across batch partitions
+    assert got_pairs.count() == len(got)
+    # the index holds every document's signature exactly once
+    index = spark.read.parquet(str(tmp_path / "index"))
+    assert index.count() == docs.count()
+    assert index.select("doc_id").distinct().count() == docs.count()
