@@ -463,3 +463,92 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         history_sigs, docs.where(F.col("doc_id") % 2 == 1)
     )
     return pairs
+
+
+from goeventstream_spark.queries_llm import _BENCH_PRED_SQL, _SHINGLES  # noqa: E402
+
+_GOPHER_PASS_CTE = f"""
+    gpw AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word),
+    gpd AS (
+      SELECT doc_id,
+             sum(cnt) AS n_words,
+             sum(cnt * length(word)) AS n_chars,
+             max(cnt) AS max_word_cnt,
+             sum(CASE WHEN word IN ({_STOP_SQL}) THEN cnt ELSE 0 END) AS stopword_cnt,
+             sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN cnt ELSE 0 END) AS alpha_cnt
+      FROM gpw GROUP BY doc_id
+    ),
+    gq AS (
+      SELECT doc_id FROM gpd
+      WHERE n_words BETWEEN 10 AND 100000
+        AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+        AND stopword_cnt >= 2
+        AND 5 * alpha_cnt >= 4 * n_words
+        AND 5 * max_word_cnt <= n_words
+    )
+"""
+
+
+@query(
+    "curate_corpus_semantic",
+    f"""
+    WITH {_SHINGLES},
+    bench AS (SELECT doc_id FROM documents WHERE {_BENCH_PRED_SQL}),
+    {_GOPHER_PASS_CTE},
+    surv AS (
+      SELECT d.doc_id FROM documents d JOIN gq ON d.doc_id = gq.doc_id
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM bench)
+    ),
+    e AS (
+      SELECT em.vec_id, em.label, CAST(em.embedding AS DOUBLE[]) AS v
+      FROM embeddings em JOIN surv ON em.vec_id = surv.doc_id
+    ),
+    dom AS (
+      SELECT DISTINCT b.vec_id FROM e a JOIN e b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    ),
+    keep AS (SELECT vec_id AS doc_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dom)),
+    flagged AS (
+      SELECT DISTINCT sh.doc_id
+      FROM sh
+      JOIN (SELECT DISTINCT s2.shingle FROM sh s2 JOIN bench ON s2.doc_id = bench.doc_id) bsh
+        ON sh.shingle = bsh.shingle
+      WHERE sh.doc_id IN (SELECT doc_id FROM keep)
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN keep ON d.doc_id = keep.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def q_curate_corpus_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic curation funnel — the embedding-aware variant of
+    curate_corpus: Gopher quality gate, SemDeDup semantic pruning
+    (survivor embeddings only), then benchmark decontamination. Pure
+    operator composition, one Catalyst plan; the semantic stage's
+    pair generation is blocked per label cluster, and decontamination
+    broadcasts the benchmark shingles."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    corpus = docs.where(~is_bench)
+    bench = docs.where(is_bench)
+    qual_ids = (
+        text.gopher_quality_flags(corpus)
+        .where(F.col("gopher_pass") == 1)
+        .select("doc_id")
+    )
+    survivors = corpus.join(qual_ids, "doc_id")
+    emb_s = emb.join(
+        survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    kept_vec = similarity.semdedup_keep(emb_s, threshold=0.3).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    survivors = survivors.join(kept_vec, "doc_id")
+    flagged = dedup.decontaminate(survivors, bench).select("doc_id")
+    return survivors.join(flagged, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
