@@ -92,6 +92,10 @@ HEADLINE = [
     "label_centroid_outliers",
     "bloom_membership_report",
     "bpe_merge_candidates",
+    "multimodal_wav_decode",
+    "incremental_minhash_dedup",
+    "key_skew_report",
+    "curate_corpus_semantic",
 ]
 
 

@@ -172,12 +172,23 @@ def bloom_probe_report(
         .join(memb, "key", "left")
         .agg(
             F.count("*").cast("long").alias("n_probe"),
-            F.sum(F.coalesce(F.col("pred"), F.lit(0))).cast("long").alias("predicted_members"),
-            F.sum(F.coalesce(F.col("memb"), F.lit(0))).cast("long").alias("true_members"),
-            F.sum(
-                F.coalesce(F.col("pred"), F.lit(0))
-                * (F.lit(1) - F.coalesce(F.col("memb"), F.lit(0)))
-            ).cast("long").alias("false_positives"),
+            # outer coalesce: an EMPTY probe set must report zeros,
+            # not NULL sums (the report row always exists)
+            F.coalesce(F.sum(F.coalesce(F.col("pred"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("predicted_members"),
+            F.coalesce(F.sum(F.coalesce(F.col("memb"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("true_members"),
+            F.coalesce(
+                F.sum(
+                    F.coalesce(F.col("pred"), F.lit(0))
+                    * (F.lit(1) - F.coalesce(F.col("memb"), F.lit(0)))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("false_positives"),
         )
     )
     nbits = bits.agg(F.count("*").cast("long").alias("bits_set"))

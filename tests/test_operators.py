@@ -554,3 +554,35 @@ def test_incremental_minhash_equals_full_on_any_split(spark, sf_dir):
         assert got == want
         # the returned signature rows are exactly the delta's index rows
         assert delta_sigs.count() == len(delta_ids)
+
+
+def test_incremental_minhash_empty_edges(spark, sf_dir):
+    """Degenerate ingest batches: an empty delta yields empty outputs;
+    an all-delta batch (empty history index) equals the full
+    recompute; an empty probe/build bloom reports zeros, not NULLs."""
+    from goeventstream_spark.operators import dedup, sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(dedup.shingles(docs))
+    empty_docs = docs.where(F.lit(False))
+    d_sigs, pairs = dedup.incremental_minhash_dedup(sigs, empty_docs)
+    assert d_sigs.count() == 0 and pairs.count() == 0
+    empty_sigs = sigs.where(F.lit(False))
+    _s, pairs_all = dedup.incremental_minhash_dedup(empty_sigs, docs)
+    full = {
+        (r.doc_a, r.doc_b) for r in dedup.minhash_near_dedup(docs).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in pairs_all.collect()} == full
+    keys = docs.select(F.col("doc_id").alias("key")).limit(10)
+    [r] = sketches.bloom_probe_report(
+        keys.where(F.lit(False)), keys, "key", "key"
+    ).collect()
+    assert (r.n_probe, r.predicted_members, r.true_members, r.false_positives) == (
+        10, 0, 0, 0,
+    )
+    [r] = sketches.bloom_probe_report(
+        keys, keys.where(F.lit(False)), "key", "key"
+    ).collect()
+    assert (r.n_probe, r.predicted_members, r.true_members, r.false_positives) == (
+        0, 0, 0, 0,
+    )
