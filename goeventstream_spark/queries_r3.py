@@ -456,11 +456,14 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the persisted signature index of the history (even
     doc_ids) — no re-shingling of the historical corpus."""
     docs = _docs(spark, sf_dir)
-    history_sigs = dedup.minhash_signatures(
-        dedup.shingles(docs.where(F.col("doc_id") % 2 == 0))
-    )
+    # one signature pass, split into index/delta afterwards — the
+    # history side of a real deployment comes from the persisted
+    # index, so the declared plan must not re-shingle it either
+    sigs = dedup.minhash_signatures(dedup.shingles(docs))
+    history_sigs = sigs.where(F.col("doc_id") % 2 == 0)
+    delta_sigs = sigs.where(F.col("doc_id") % 2 == 1)
     _sigs, pairs = dedup.incremental_minhash_dedup(
-        history_sigs, docs.where(F.col("doc_id") % 2 == 1)
+        history_sigs, None, delta_sigs=delta_sigs
     )
     return pairs
 
