@@ -458,8 +458,11 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # one signature pass, split into index/delta afterwards — the
     # history side of a real deployment comes from the persisted
-    # index, so the declared plan must not re-shingle it either
-    sigs = dedup.minhash_signatures(dedup.shingles(docs))
+    # index, so the declared plan must not re-shingle it either; the
+    # lazy checkpoint materializes the signature relation once for its
+    # three consumers (13x at sf0.1 vs recomputing the shingle agg per
+    # branch — same sharing pattern as protocol_replay.connections)
+    sigs = dedup.minhash_signatures(dedup.shingles(docs)).localCheckpoint(eager=False)
     history_sigs = sigs.where(F.col("doc_id") % 2 == 0)
     delta_sigs = sigs.where(F.col("doc_id") % 2 == 1)
     _sigs, pairs = dedup.incremental_minhash_dedup(
