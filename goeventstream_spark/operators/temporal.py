@@ -282,3 +282,50 @@ def incremental_sessionize(
         "left_anti",
     ).select("user_id", "session_start", "session_end", "n_events", "cents")
     return hist_out.unionByName(delta_out)
+
+
+def interval_align_join(
+    left: DataFrame, right: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Temporal alignment join of two validity-interval tables on a
+    shared key: one row per OVERLAPPING (left, right) interval pair,
+    carrying both sides' attributes plus the intersected half-open
+    window [ov_from, ov_to) and its exact millisecond length (NULL
+    while the intersection is still open). This is the SCD2 x SCD2
+    "align" primitive — e.g. which activity state held WHILE which
+    value band held — that row-at-a-time engines do with cursors.
+
+    Inputs carry (key_col, valid_from, valid_to, attributes...); a
+    NULL valid_to is the open/current interval. Open ends are mapped
+    to a far-future sentinel for the overlap arithmetic (engine-
+    portable — greatest/least NULL semantics differ between engines,
+    the sentinel sidesteps them) and mapped back to NULL on output.
+
+    Plan: one equi-join on the key (sort-merge at scale, broadcast if
+    a side is dim-sized) with the overlap predicate as the join
+    residual; per key the output is O(runs_left + runs_right), never
+    quadratic, because intervals within a side are disjoint by
+    construction.
+    """
+    far = F.to_timestamp(F.lit("9999-12-31 00:00:00"))
+    l = left.withColumnRenamed("valid_from", "_lf").withColumnRenamed("valid_to", "_lt")
+    r = right.withColumnRenamed("valid_from", "_rf").withColumnRenamed("valid_to", "_rt")
+    j = l.join(r, key_col).where(
+        (F.col("_lf") < F.coalesce(F.col("_rt"), far))
+        & (F.col("_rf") < F.coalesce(F.col("_lt"), far))
+    )
+    ov_from = F.greatest(F.col("_lf"), F.col("_rf"))
+    ov_to_s = F.least(F.coalesce(F.col("_lt"), far), F.coalesce(F.col("_rt"), far))
+    ov_to = F.when(ov_to_s == far, F.lit(None).cast("timestamp")).otherwise(ov_to_s)
+    keep = [c for c in j.columns if c not in ("_lf", "_lt", "_rf", "_rt")]
+    return j.select(
+        *keep,
+        ov_from.alias("ov_from"),
+        ov_to.alias("ov_to"),
+        F.when(
+            ov_to_s != far,
+            (F.unix_millis(ov_to_s) - F.unix_millis(ov_from)),
+        )
+        .cast("long")
+        .alias("ov_ms"),
+    )

@@ -558,3 +558,53 @@ def q_curate_corpus_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(flagged, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+from goeventstream_spark.operators import temporal as tp  # noqa: E402
+
+_SCD2_SQL = """
+      SELECT user_id, {attr_expr} AS {attr_name}, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM (
+        SELECT *, lag({attr_expr}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      ) WHERE prev_ts IS NULL OR {attr_expr} <> prev
+"""
+
+
+@query(
+    "interval_align_activity_band",
+    f"""
+    WITH l AS ({_SCD2_SQL.format(attr_expr="event_type", attr_name="attr")}),
+    r AS ({_SCD2_SQL.format(attr_expr="(CASE WHEN value >= 50 THEN 'high' ELSE 'low' END)", attr_name="band")}),
+    far AS (SELECT TIMESTAMP '9999-12-31 00:00:00' AS t)
+    SELECT l.user_id, l.attr, r.band,
+           greatest(l.valid_from, r.valid_from) AS ov_from,
+           CASE WHEN least(coalesce(l.valid_to, far.t), coalesce(r.valid_to, far.t)) = far.t
+                THEN NULL
+                ELSE least(coalesce(l.valid_to, far.t), coalesce(r.valid_to, far.t)) END AS ov_to,
+           CAST(CASE WHEN least(coalesce(l.valid_to, far.t), coalesce(r.valid_to, far.t)) = far.t
+                THEN NULL
+                ELSE epoch_ms(least(coalesce(l.valid_to, far.t), coalesce(r.valid_to, far.t)))
+                     - epoch_ms(greatest(l.valid_from, r.valid_from)) END AS BIGINT) AS ov_ms
+    FROM l JOIN r ON l.user_id = r.user_id, far
+    WHERE l.valid_from < coalesce(r.valid_to, far.t)
+      AND r.valid_from < coalesce(l.valid_to, far.t)
+    """,
+)
+def q_interval_align_activity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 x SCD2 temporal alignment: which activity (event_type) run
+    overlapped which value band (high/low) run, with the intersected
+    validity window and its exact ms length."""
+    events = load_table(spark, sf_dir, "events")
+    acts = tp.scd2_intervals(events).drop("is_current")
+    band_events = events.withColumn(
+        "band", F.when(F.col("value") >= 50, "high").otherwise("low")
+    )
+    bands = tp.scd2_intervals(band_events, attr_col="band").drop(
+        "is_current"
+    ).withColumnRenamed("attr", "band")
+    return tp.interval_align_join(acts, bands).select(
+        "user_id", "attr", "band", "ov_from", "ov_to", "ov_ms"
+    )

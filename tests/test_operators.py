@@ -586,3 +586,40 @@ def test_incremental_minhash_empty_edges(spark, sf_dir):
     assert (r.n_probe, r.predicted_members, r.true_members, r.false_positives) == (
         0, 0, 0, 0,
     )
+
+
+def test_interval_align_join_edges(spark):
+    """Hand-built interval algebra edges: touching half-open intervals
+    do NOT overlap, open (NULL-end) intervals overlap everything after
+    their start, and both-open intersections stay open (NULL ov_to/ms)."""
+    from goeventstream_spark.operators.temporal import interval_align_join
+
+    def T(s):
+        return f"2024-01-01 00:00:{s:02d}"
+
+    left = spark.createDataFrame(
+        [(1, "a1", T(0), T(10)), (1, "a2", T(10), T(20)), (1, "a3", T(30), None)],
+        "user_id int, attr string, valid_from string, valid_to string",
+    ).select(
+        "user_id", "attr",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+    right = spark.createDataFrame(
+        [(1, "b1", T(5), T(10)), (1, "b2", T(25), None)],
+        "user_id int, band string, valid_from string, valid_to string",
+    ).select(
+        "user_id", "band",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+    rows = {
+        (r.attr, r.band): (r.ov_from.second, r.ov_to.second if r.ov_to else None, r.ov_ms)
+        for r in interval_align_join(left, right).collect()
+    }
+    assert rows == {
+        # a1 x b1 overlap [5,10); a2 x b1 touch at 10 -> excluded
+        ("a1", "b1"): (5, 10, 5000),
+        # b2 open: overlaps a3 (also open) from 30, intersection open
+        ("a3", "b2"): (30, None, None),
+    }
