@@ -193,3 +193,11 @@ def bloom_probe_report(
     )
     nbits = bits.agg(F.count("*").cast("long").alias("bits_set"))
     return report.crossJoin(F.broadcast(nbits))
+
+
+def cms_merge(cells: DataFrame) -> DataFrame:
+    """Merge any number of partial CMS sketches (unioned cell rows)
+    into one: counters are plain sums, so merging is associative and
+    commutative — per-day / per-batch sketches re-aggregate exactly,
+    never approximately."""
+    return cells.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))

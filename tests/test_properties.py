@@ -609,3 +609,33 @@ def test_bloom_never_false_negative(build, probe):
     assert r.true_members == n_true
     assert r.predicted_members >= r.true_members
     assert r.false_positives == r.predicted_members - r.true_members
+
+
+@settings(max_examples=8, deadline=None)
+@given(words_strategy)
+def test_gopher_flags_match_python_model(docs):
+    """Gopher quality flags == a direct Python model of the rules on
+    arbitrary word-soup corpora (exact integer thresholds)."""
+    from goeventstream_spark.operators import text as text_ops
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in text_ops.gopher_quality_flags(df).collect()}
+    for i, ws in enumerate(docs):
+        n = len(ws)
+        n_chars = sum(len(w) for w in ws)
+        maxc = max(ws.count(w) for w in set(ws))
+        stopc = sum(1 for w in ws if w in text_ops.STOPWORDS)
+        alphac = sum(1 for w in ws if any(c.isalpha() for c in w))
+        r = got[i]
+        assert r.n_words == n and r.stopword_cnt == stopc
+        assert r.word_count_ok == (1 if 10 <= n <= 100000 else 0)
+        assert r.mean_len_ok == (1 if 3 * n <= n_chars <= 10 * n else 0)
+        assert r.stopword_ok == (1 if stopc >= 2 else 0)
+        assert r.alpha_ok == (1 if 5 * alphac >= 4 * n else 0)
+        assert r.repetition_ok == (1 if 5 * maxc <= n else 0)
+        assert r.gopher_pass == (
+            r.word_count_ok * r.mean_len_ok * r.stopword_ok * r.alpha_ok * r.repetition_ok
+        )

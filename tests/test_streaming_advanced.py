@@ -614,3 +614,46 @@ def test_streaming_incremental_dedup_equals_batch(spark, sf_dir, tmp_path):
     index = spark.read.parquet(str(tmp_path / "index"))
     assert index.count() == docs.count()
     assert index.select("doc_id").distinct().count() == docs.count()
+
+
+def test_streaming_cms_partial_merge_equals_batch(spark, sf_dir, tmp_path):
+    """Sketch accumulation over continuous ingest: per-micro-batch
+    partial CMS cells, merged on read, must equal the full-corpus
+    batch sketch EXACTLY (counters are associative sums) — the
+    never-rebuild contract for a 100 TB stream."""
+    from goeventstream_spark.operators import sketches as sk
+    from goeventstream_spark.streaming.sketches import streaming_cms_build
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def toks(df):
+        return df.select(
+            F.explode(F.split("text", " ")).alias("token")
+        ).where(F.col("token") != "")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_cms_build(
+        toks(stream),
+        cells_dir=str(tmp_path / "cells"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    cells = spark.read.parquet(str(tmp_path / "cells"))
+    assert cells.select("batch_id").distinct().count() == 3
+    merged = {
+        (r.row_i, r.bucket): r.cnt for r in sk.cms_merge(cells).collect()
+    }
+    full = {
+        (r.row_i, r.bucket): r.cnt for r in sk.cms_build(toks(docs), "token").collect()
+    }
+    assert merged == full
