@@ -187,3 +187,49 @@ def weighted_sample_topk(
         )
     order = [F.col("sample_pri").desc()] + [F.col(c).asc() for c in key_cols]
     return pri.orderBy(*order).limit(k)
+
+
+def temperature_mix(
+    df: DataFrame, group_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Temperature-based mixture rebalancing at alpha = 0.5 (the
+    T5/multilingual-LM recipe: sample group g with probability
+    proportional to n_g^alpha, i.e. downsample heavy groups toward
+    balance): keep probability p_g = sqrt(n_min / n_g), so the
+    smallest group is kept whole and a 4x-larger group is halved.
+    Rates are COMPUTED from the corpus in the same plan — one bounded
+    group-count aggregate, broadcast back; the corpus side never
+    shuffles, and the keep decision is the deterministic md5 sample
+    key (same mechanism as dataset_mix), so the subsample is stable
+    under reruns and growth.
+
+    alpha = 0.5 keeps the exponent a single IEEE sqrt (bit-identical
+    cross-engine, so the declared query hash-oracles); a general
+    alpha would need pow(), whose last-ulp behavior differs between
+    libm implementations — if you need it, precompute thresholds
+    driver-side and feed dataset_mix instead.
+    """
+    rates = temperature_rates(df, group_col)
+    key_int = F.conv(sample_key(id_col), 16, 10).cast("long")
+    return df.join(F.broadcast(rates.drop("n_docs")), group_col).where(
+        key_int < F.col("keep_threshold")
+    )
+
+
+def temperature_rates(df: DataFrame, group_col: str = "lang") -> DataFrame:
+    """The computed (group, n_docs, keep_threshold) rates relation of
+    temperature_mix — exposed so reports can state the mixture spec
+    without re-deriving it. threshold = floor(sqrt(n_min/n_g) * 65536)
+    compared against the 16-bit md5 sample key."""
+    counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n_docs"))
+    nmin = counts.agg(F.min("n_docs").alias("_nmin"))
+    return counts.crossJoin(F.broadcast(nmin)).select(
+        group_col,
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("_nmin").cast("double") / F.col("n_docs").cast("double"))
+            * F.lit(65536)
+        )
+        .cast("long")
+        .alias("keep_threshold"),
+    )

@@ -608,3 +608,43 @@ def q_interval_align_activity_band(spark: SparkSession, sf_dir: str) -> DataFram
     return tp.interval_align_join(acts, bands).select(
         "user_id", "attr", "band", "ov_from", "ov_to", "ov_ms"
     )
+
+
+from goeventstream_spark.operators import sampling  # noqa: E402
+
+
+@query(
+    "temperature_mix_summary",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    m AS (SELECT min(n_docs) AS nmin FROM c),
+    r AS (SELECT lang, n_docs,
+                 CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 65536) AS BIGINT)
+                   AS keep_threshold
+          FROM c, m),
+    k AS (SELECT d.lang, count(*) AS n_kept
+          FROM documents d JOIN r ON d.lang = r.lang
+          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT < r.keep_threshold
+          GROUP BY d.lang)
+    SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs, r.keep_threshold,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN k ON r.lang = k.lang
+    """,
+)
+def q_temperature_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language summary of alpha=0.5 temperature rebalancing:
+    computed keep thresholds and resulting kept counts (heavy
+    languages downsampled toward balance, smallest kept whole)."""
+    docs = _docs(spark, sf_dir)
+    rates = sampling.temperature_rates(docs, "lang")
+    kept_counts = (
+        sampling.temperature_mix(docs, "lang")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return rates.join(kept_counts, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "keep_threshold",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
