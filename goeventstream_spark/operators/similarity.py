@@ -843,3 +843,64 @@ def label_centroid_scores(emb: DataFrame, dims: int = 64, scale: int = 1_000_000
         F.col("query_id").alias("label"),
         F.col("cos_sim").alias("centroid_cos"),
     )
+
+
+def knn_graph_within_label(emb: DataFrame, k: int = 3) -> DataFrame:
+    """k-nearest-neighbor graph construction, blocked by label: for
+    EVERY vector, its top-k most-similar same-label neighbors — the
+    backbone relation for graph clustering, connected-component
+    semantic dedup, and kNN-classification passes.
+
+    Block-bounded all-pairs (never global n²): the label equi-join
+    bounds per-vector candidates to its block, pairs score through
+    the Arrow cosine (exact fold contract), and the per-vector top-k
+    is a bounded-heap window inside the block partition. At 100 TB
+    the block key is an IVF cell / LSH bucket, exactly like
+    embedding_near_dup.
+    """
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    b = emb.select(F.col("label"), F.col("vec_id"), F.col("embedding"))
+    joined = a.join(b, "label").where(F.col("query_id") != F.col("vec_id"))
+    scored = _arrow_pair_scores(joined)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= k
+    )
+
+
+def contrastive_triplets(emb: DataFrame, n_anchors: int = 10) -> DataFrame:
+    """Triplet mining for contrastive training: for each anchor, the
+    hardest POSITIVE (most-similar same-label vector) and the hardest
+    NEGATIVE (most-similar cross-label vector) — the (a, p, n) rows a
+    triplet-loss fine-tune consumes. Reuses the broadcast Arrow scorer
+    twice with opposite label predicates; each side is a bounded-heap
+    top-1 window, joined back on the anchor id.
+    """
+    anchors = emb.where(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    joined = emb.crossJoin(F.broadcast(anchors)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    same = joined.where(F.col("label") == F.col("q_label"))
+    diff = joined.where(F.col("label") != F.col("q_label"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+
+    def top1(scored, id_alias, cos_alias):
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select(
+                F.col("query_id").alias("anchor_id"),
+                F.col("vec_id").alias(id_alias),
+                F.col("cos_sim").alias(cos_alias),
+            )
+        )
+
+    pos = top1(_arrow_pair_scores(same), "pos_id", "pos_cos")
+    neg = top1(_arrow_pair_scores(diff), "neg_id", "neg_cos")
+    return pos.join(neg, "anchor_id")

@@ -648,3 +648,61 @@ def q_temperature_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_threshold",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "knn_graph_within_label",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_knn_graph_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked kNN graph: every vector's top-3 same-label
+    neighbors."""
+    return similarity.knn_graph_within_label(_emb(spark, sf_dir), k=3)
+
+
+@query(
+    "contrastive_triplets",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    anc AS (SELECT vec_id AS anchor_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
+    s AS (
+      SELECT anchor_id, e.vec_id, e.label, q_label,
+             list_dot_product(qv, e.v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos_sim
+      FROM anc, e WHERE e.vec_id <> anchor_id
+    ),
+    pos AS (
+      SELECT anchor_id, vec_id AS pos_id, cos_sim AS pos_cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM s WHERE label = q_label
+      ) WHERE rk = 1
+    ),
+    neg AS (
+      SELECT anchor_id, vec_id AS neg_id, cos_sim AS neg_cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM s WHERE label <> q_label
+      ) WHERE rk = 1
+    )
+    SELECT pos.anchor_id, pos_id, pos_cos, neg_id, neg_cos
+    FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id
+    """,
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest-positive / hardest-negative triplet mining for the
+    first 10 anchor vectors."""
+    return similarity.contrastive_triplets(_emb(spark, sf_dir), n_anchors=10)
