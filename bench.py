@@ -96,6 +96,10 @@ HEADLINE = [
     "incremental_minhash_dedup",
     "key_skew_report",
     "curate_corpus_semantic",
+    "interval_align_activity_band",
+    "temperature_mix_summary",
+    "knn_graph_within_label",
+    "contrastive_triplets",
 ]
 
 

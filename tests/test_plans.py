@@ -413,3 +413,40 @@ def test_label_centroid_join_is_broadcast(spark, sf_dir):
     df = q.QUERIES["label_centroid_outliers"](spark, sf_dir)
     assert plans.has_broadcast_join(df)
     assert "SortMergeJoin" not in plans.physical_plan(df)
+
+
+def test_temperature_mix_corpus_never_shuffles(spark, sf_dir):
+    """The mixture rates derive from a bounded group-count aggregate
+    and broadcast back — the corpus side of temperature_mix must join
+    by broadcast, never sort-merge on the group key."""
+    import goeventstream_spark.queries_r3  # noqa: F401
+
+    from goeventstream_spark.operators.sampling import temperature_mix
+
+    df = temperature_mix(load_table(spark, sf_dir, "documents"), "lang")
+    assert plans.has_broadcast_join(df)
+    assert "SortMergeJoin" not in plans.physical_plan(df)
+
+
+def test_knn_graph_single_block_shuffle(spark, sf_dir):
+    """kNN-graph pair generation must shuffle on the block key only;
+    no cartesian/nested-loop anywhere (the label equi-join bounds the
+    candidates)."""
+    import goeventstream_spark.queries_r3  # noqa: F401
+
+    df = q.QUERIES["knn_graph_within_label"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_interval_align_is_single_key_join(spark, sf_dir):
+    """The temporal alignment join must be ONE equi-join on the key
+    with the overlap predicate as residual — a theta-only join would
+    go nested-loop and die at scale."""
+    import goeventstream_spark.queries_r3  # noqa: F401
+
+    df = q.QUERIES["interval_align_activity_band"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
