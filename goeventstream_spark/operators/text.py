@@ -543,3 +543,49 @@ def bpe_merge_candidates(docs: DataFrame, top_k: int = 20) -> DataFrame:
     top = counts.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(top_k)
     w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def collocations_topk(
+    docs: DataFrame, top_k: int = 20, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Collocation / phrase mining: corpus bigrams ranked by lift —
+    count(xy) * total_words / (count(x) * count(y)) — the pointwise
+    association score whose high scorers are multi-word expressions
+    ("machine learning") rather than merely frequent pairs ("of the").
+    min_count suppresses the unstable one-off tail, standard practice.
+
+    All counts are exact integers from two bounded aggregations (the
+    shuffle-free bigram explode plus the word count); the score is one
+    double division of exact-in-double integer products, so ranking is
+    IEEE-deterministic cross-engine. The unigram relation joins twice
+    (left word, right word); both joins are against the bounded
+    vocabulary, broadcast at any corpus scale. Global top-k is
+    sort+limit (TakeOrderedAndProject).
+    """
+    w = _words(docs, text_col=text_col)
+    uni = w.groupBy("word").agg(F.count("*").cast("long").alias("w_cnt"))
+    total = w.agg(F.count("*").cast("long").alias("total_w"))
+    big = (
+        _bigram_rows(docs.select(F.lit(1).alias("_k"), text_col), "_k", text_col)
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("xy_cnt"))
+        .where(F.col("xy_cnt") >= min_count)
+    )
+    split = F.split(F.col("bigram"), " ")
+    scored = (
+        big.select("bigram", "xy_cnt", split[0].alias("_w1"), split[1].alias("_w2"))
+        .join(F.broadcast(uni.select(F.col("word").alias("_w1"), F.col("w_cnt").alias("c1"))), "_w1")
+        .join(F.broadcast(uni.select(F.col("word").alias("_w2"), F.col("w_cnt").alias("c2"))), "_w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "xy_cnt",
+            (
+                (F.col("xy_cnt").cast("double") * F.col("total_w").cast("double"))
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.col("lift").desc(), F.col("bigram")).limit(top_k)
+    win = Window.orderBy(F.col("lift").desc(), F.col("bigram"))
+    return top.withColumn("rk", F.row_number().over(win).cast("long"))

@@ -706,3 +706,40 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hardest-positive / hardest-negative triplet mining for the
     first 10 anchor vectors."""
     return similarity.contrastive_triplets(_emb(spark, sf_dir), n_anchors=10)
+
+
+@query(
+    "collocations_topk",
+    """
+    WITH words AS (
+      SELECT word, pos, doc_id FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    uni AS (SELECT word, CAST(count(*) AS BIGINT) AS w_cnt FROM words GROUP BY word),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS total_w FROM words),
+    big AS (
+      SELECT w1.word || ' ' || w2.word AS bigram, CAST(count(*) AS BIGINT) AS xy_cnt
+      FROM words w1 JOIN words w2
+        ON w1.doc_id = w2.doc_id AND w2.pos = w1.pos + 1
+      GROUP BY 1 HAVING count(*) >= 5
+    ),
+    scored AS (
+      SELECT bigram, xy_cnt,
+             (CAST(xy_cnt AS DOUBLE) * CAST(total_w AS DOUBLE))
+               / (CAST(u1.w_cnt AS DOUBLE) * CAST(u2.w_cnt AS DOUBLE)) AS lift
+      FROM big
+      JOIN uni u1 ON u1.word = string_split(bigram, ' ')[1]
+      JOIN uni u2 ON u2.word = string_split(bigram, ' ')[2], total
+    )
+    SELECT bigram, xy_cnt, lift,
+           CAST(row_number() OVER (ORDER BY lift DESC, bigram) AS BIGINT) AS rk
+    FROM scored
+    ORDER BY lift DESC, bigram LIMIT 20
+    """,
+)
+def q_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus collocations by lift (min bigram count 5)."""
+    return text.collocations_topk(_docs(spark, sf_dir), top_k=20, min_count=5)
