@@ -743,3 +743,41 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus collocations by lift (min bigram count 5)."""
     return text.collocations_topk(_docs(spark, sf_dir), top_k=20, min_count=5)
+
+
+@query(
+    "embedding_dim_stats",
+    """
+    SELECT CAST(dim - 1 AS BIGINT) AS dim,
+           min(val) AS min_val, max(val) AS max_val,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN val < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+    FROM (
+      SELECT unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profiling (the ANALYZE pass for a
+    vector column): min/max/negative-count per coordinate from one
+    posexplode + one bounded aggregation (64 groups out regardless of
+    corpus size; min/max/counts are exact — no float accumulation).
+    Feeds scaling decisions (quantize_embeddings' int8 range) and
+    detects dead/clipped dimensions."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("val") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+        )
+        .select(F.col("dim").cast("long"), "min_val", "max_val", "n", "n_negative")
+    )
