@@ -481,3 +481,76 @@ def test_bloom_probe_shuffles_bounded_by_distinct_keys(spark, sf_dir):
         if ex["input_rows"] is not None:
             assert ex["input_rows"] <= bound, (ex, bound)
     assert n_rows > n_keys  # the bound is actually tighter than the table
+
+
+def test_incremental_dedup_bucketed_index_history_shuffle_free(spark, sf_dir, tmp_path):
+    """The 100 TB deployment shape of incremental_minhash_dedup made
+    concrete: persist the banded history index bucketed on band_sig;
+    the per-batch band join then scans history WITHOUT re-shuffling it
+    — only the (small) delta side exchanges — and the pair set equals
+    the unbucketed operator's exactly."""
+    from goeventstream_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist_docs = docs.where(F.col("doc_id") % 2 == 0)
+    delta_docs = docs.where(F.col("doc_id") % 2 == 1)
+    hist_sigs = dedup.minhash_signatures(dedup.shingles(hist_docs))
+    banded_hist = dedup._banded(hist_sigs, dedup.DEFAULT_NUM_HASHES, dedup.DEFAULT_BANDS)
+    spark.sql("DROP TABLE IF EXISTS b_sig_index")
+    banded_hist.write.bucketBy(8, "band_id", "band_sig").sortBy("band_id", "band_sig").option(
+        "path", str(tmp_path / "b_sig_index")
+    ).mode("overwrite").saveAsTable("b_sig_index")
+
+    delta_sigs = dedup.minhash_signatures(dedup.shingles(delta_docs))
+    banded_delta = dedup._banded(
+        delta_sigs, dedup.DEFAULT_NUM_HASHES, dedup.DEFAULT_BANDS
+    )
+    nh = dedup.DEFAULT_NUM_HASHES
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = banded_delta.alias("a")
+        b = spark.table("b_sig_index").alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                *[
+                    (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int").alias(f"_eq{i}")
+                    for i in range(nh)
+                ],
+            )
+            .distinct()
+        )
+        est = sum(F.col(f"_eq{i}") for i in range(nh)) / F.lit(float(nh))
+        got_df = pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).where(
+            F.col("est_jaccard") >= 0.5
+        )
+        plan = plans.physical_plan(got_df)
+        assert "b_sig_index" in plan and "SortMergeJoin" in plan, plan
+        # exactly ONE band-key exchange — the delta side; the history
+        # side's bucketed scan feeds the join's sort directly
+        band_exchanges = [
+            seg
+            for seg in plan.split("Exchange hashpartitioning")[1:]
+            if seg.lstrip().startswith("(band")
+        ]
+        assert len(band_exchanges) == 1, plan
+        got = {(r.doc_a, r.doc_b, r.est_jaccard) for r in got_df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # equality vs the operator on the delta-vs-history portion
+    _s, want_pairs = dedup.incremental_minhash_dedup(hist_sigs, delta_docs)
+    want = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in want_pairs.collect()
+        # bucketed test joins delta vs HISTORY only; drop delta-delta
+        if (r.doc_a % 2 == 0) or (r.doc_b % 2 == 0)
+    }
+    assert got == want
