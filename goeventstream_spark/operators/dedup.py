@@ -136,7 +136,21 @@ def lsh_candidate_pairs(
     banded = _banded(sig, num_hashes, bands, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # est_jaccard is computed BEFORE the distinct, so only 3 columns
+    # cross it. Fold the per-component equality flags into one sum here
+    # rather than carrying num_hashes aliased _eq columns through the
+    # dedup: est is a pure function of the pair (both sides' signatures
+    # are fixed per doc), so distinct-then-sum and sum-then-distinct
+    # agree — and the narrow shape keeps Catalyst's constraint
+    # propagation linear when callers join pairs onward (with the wide
+    # _eq projection, stacking even one more join on the result sent
+    # InferFiltersFromConstraints into a combinatorial alias blowup
+    # that never returned from optimization).
+    est = sum(
+        (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int")
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return (
         a.join(
             b,
             (F.col(f"a.band_id") == F.col(f"b.band_id"))
@@ -146,15 +160,10 @@ def lsh_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            *[
-                (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int").alias(f"_eq{i}")
-                for i in range(num_hashes)
-            ],
+            est.alias("est_jaccard"),
         )
         .distinct()
     )
-    est = sum(F.col(f"_eq{i}") for i in range(num_hashes)) / F.lit(float(num_hashes))
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
 def minhash_near_dedup(
@@ -209,6 +218,14 @@ def incremental_minhash_dedup(
     all_sigs = history_sigs.select(*sig_cols).unionByName(delta_sigs.select(*sig_cols))
     a = _banded(delta_sigs, num_hashes, bands, id_col).alias("a")
     b = _banded(all_sigs, num_hashes, bands, id_col).alias("b")
+    # est folded pre-distinct so only 3 columns cross it — same
+    # narrow-pair shape (and constraint-propagation rationale) as
+    # lsh_candidate_pairs; est is symmetric in (a, b) so the
+    # canonicalized pair carries one well-defined value.
+    est = sum(
+        (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int")
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
     pairs = (
         a.join(
             b,
@@ -222,17 +239,11 @@ def incremental_minhash_dedup(
             # the equality flags are symmetric, so order is irrelevant
             F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
             F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
-            *[
-                (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int").alias(f"_eq{i}")
-                for i in range(num_hashes)
-            ],
+            est.alias("est_jaccard"),
         )
         .distinct()
     )
-    est = sum(F.col(f"_eq{i}") for i in range(num_hashes)) / F.lit(float(num_hashes))
-    dup_pairs = pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).where(
-        F.col("est_jaccard") >= F.lit(threshold)
-    )
+    dup_pairs = pairs.where(F.col("est_jaccard") >= F.lit(threshold))
     return delta_sigs, dup_pairs
 
 

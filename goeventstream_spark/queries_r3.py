@@ -781,3 +781,50 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("dim").cast("long"), "min_val", "max_val", "n", "n_negative")
     )
+
+
+_MINHASH_PAIRS_ORACLE = ORACLES["minhash_near_dedup"]
+
+
+@query(
+    "cross_source_dup_matrix",
+    f"""
+    WITH pairs AS ({_MINHASH_PAIRS_ORACLE}),
+    lab AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs
+      JOIN documents da ON pairs.doc_a = da.doc_id
+      JOIN documents db ON pairs.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM lab GROUP BY source_a, source_b
+    """,
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts per
+    unordered source pair — the curation diagnostic that shows which
+    feeds mirror each other (scrape overlap, syndication) and should
+    be deduped against each other first. The dim join back to sources
+    broadcasts; pair canonicalization (least/greatest) makes the
+    matrix triangular and order-free."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_dedup(docs)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))),
+            "doc_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_dup_pairs")
+    )
