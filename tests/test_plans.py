@@ -450,3 +450,24 @@ def test_interval_align_is_single_key_join(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_lsh_pair_relation_stays_narrow(spark, sf_dir):
+    """The LSH candidate-pair relation must expose ONLY
+    (doc_a, doc_b, est_jaccard): carrying the per-component _eq alias
+    columns through the distinct sent Catalyst's constraint
+    propagation combinatorial as soon as a consumer joined the pairs
+    onward (the optimizer never returned). Pin the narrow shape and
+    that the dim joins of the cross-source matrix broadcast."""
+    from goeventstream_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dedup(docs)
+    assert pairs.columns == ["doc_a", "doc_b", "est_jaccard"], pairs.columns
+    assert "_eq0" not in plans.physical_plan(pairs)
+
+    # materializing this plan at all is the regression signal: with the
+    # wide shape, optimization of pairs ⋈ dim ⋈ dim never terminated
+    df = q.QUERIES["cross_source_dup_matrix"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan, "source dim join fell back to sort-merge"
