@@ -247,6 +247,92 @@ def incremental_minhash_dedup(
     return delta_sigs, dup_pairs
 
 
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = DEFAULT_SHINGLE_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering
+    (PPJoin family, Xiao et al. WWW'08) — the scale path for exact
+    near-dup detection, complementary to MinHash-LSH (approximate,
+    recall < 1) and the plain inverted index (exact but explodes on
+    frequent tokens).
+
+    Shape: rank each doc's shingles rare-first by global document
+    frequency (ties by shingle — one canonical total order), keep only
+    the first |s| - ceil(t*|s|) + 1 as the doc's PREFIX, and generate
+    candidates by self-joining prefixes on the shingle. Any pair with
+    Jaccard >= t and sizes passing the t*|other| check shares at least
+    ceil(t*max(|a|,|b|)) shingles, so its prefixes must collide —
+    recall is exactly 1 by the prefix-filter theorem. Candidates are
+    then verified with exact intersection counts, so precision is also
+    exactly 1: output == ngram_jaccard_pairs, pinned in pytest.
+
+    100 TB anatomy: the only quadratic-risk stage — the prefix
+    self-join — shuffles on the shingle, and the rare-first order
+    means the hottest tokens sit OUTSIDE almost every prefix: a token
+    appears in a doc's prefix only when the doc has few rarer tokens,
+    so posting lists of the candidate join are the df-ranked TAIL, not
+    the head that kills the naive inverted index. Verification touches
+    candidate pairs only."""
+    sh = shingles(docs, k, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    pref = (
+        sh.join(freq, "shingle")
+        .join(sizes, id_col)
+        .withColumn("pos", F.row_number().over(w))
+        .where(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select(id_col, "shingle", "n_sh")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # size filter: |smaller| >= t*|larger| or Jaccard < t a priori
+            & (F.col("a.n_sh").cast("double") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (F.col("b.n_sh").cast("double") >= F.lit(threshold) * F.col("a.n_sh")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact verification on candidates only: intersection via the
+    # shingle sets, then the |A ∪ B| = |A| + |B| - |A ∩ B| identity
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, k: int = DEFAULT_SHINGLE_K, threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted index: explode
     distinct shingles, self-join on shingle to count intersections,

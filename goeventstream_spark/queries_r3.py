@@ -828,3 +828,21 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.groupBy("source_a", "source_b").agg(
         F.count("*").cast("long").alias("n_dup_pairs")
     )
+
+
+@query(
+    "prefix_jaccard_join",
+    ORACLES["ngram_jaccard_pairs"],
+)
+def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (PPJoin
+    family): rank shingles rare-first by corpus document frequency,
+    generate candidates only from each doc's |s|-ceil(t|s|)+1 prefix,
+    verify candidates with exact intersection counts. Recall AND
+    precision are exactly 1, so the oracle is the same exhaustive
+    inverted-index SQL as ngram_jaccard_pairs — one declared
+    operator, two physical strategies, and this one survives frequent
+    tokens at 100 TB because hot shingles fall outside almost every
+    prefix (the candidate join's posting lists are the df-ranked tail,
+    not the head)."""
+    return dedup.prefix_filter_jaccard_join(_docs(spark, sf_dir), threshold=0.5)

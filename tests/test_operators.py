@@ -623,3 +623,24 @@ def test_interval_align_join_edges(spark):
         # b2 open: overlaps a3 (also open) from 30, intersection open
         ("a3", "b2"): (30, None, None),
     }
+
+
+def test_prefix_filter_join_equals_inverted_index(spark, sf_dir):
+    """Prefix filtering is exact — recall 1 by the prefix-filter
+    theorem, precision 1 by verification — so across thresholds its
+    pair set must EQUAL the exhaustive inverted-index join's. Also
+    re-asserts the size filter is consistent (no pair lost to the
+    t*|other| pre-check)."""
+    from goeventstream_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in dedup.prefix_filter_jaccard_join(docs, threshold=t).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert got == want, f"t={t}: {got ^ want}"
