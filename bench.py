@@ -100,6 +100,8 @@ HEADLINE = [
     "temperature_mix_summary",
     "knn_graph_within_label",
     "contrastive_triplets",
+    "cross_source_dup_matrix",
+    "prefix_jaccard_join",
 ]
 
 

@@ -276,14 +276,25 @@ def prefix_filter_jaccard_join(
     so posting lists of the candidate join are the df-ranked TAIL, not
     the head that kills the naive inverted index. Verification touches
     candidate pairs only."""
-    sh = shingles(docs, k, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    # The shingle relation feeds three consumers (ranking + both verify
+    # sides); checkpoint it once so the explode+lead-window build isn't
+    # re-executed per consumer — the in-plan analogue of persisting the
+    # corpus shingle table, which is what a 100 TB deployment does.
+    sh = shingles(docs, k, id_col).localCheckpoint(eager=False)
+    # df and |s| as WINDOW counts, not agg+join-back: the naive shape
+    # (groupBy shingle, groupBy doc, two joins) recomputes the shingle
+    # explode three times and shuffles it four; windows compute both
+    # counts in the two shuffles the ranking needs anyway (the two
+    # doc-partitioned windows share one exchange). At 100 TB this
+    # ranked relation is what you'd persist as the corpus's similarity
+    # index, bucketed by shingle.
+    w_sh = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy(id_col)
+    w_rank = Window.partitionBy(id_col).orderBy("df", "shingle")
     pref = (
-        sh.join(freq, "shingle")
-        .join(sizes, id_col)
-        .withColumn("pos", F.row_number().over(w))
+        sh.withColumn("df", F.count("*").over(w_sh))
+        .withColumn("n_sh", F.count("*").over(w_doc))
+        .withColumn("pos", F.row_number().over(w_rank))
         .where(
             F.col("pos")
             <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
@@ -303,6 +314,10 @@ def prefix_filter_jaccard_join(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
+            # sizes ride along on the pair — no join back to a sizes
+            # relation after verification
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .distinct()
     )
@@ -310,17 +325,11 @@ def prefix_filter_jaccard_join(
     # shingle sets, then the |A ∪ B| = |A| + |B| - |A ∩ B| identity
     sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
+    return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
