@@ -201,3 +201,81 @@ def cms_merge(cells: DataFrame) -> DataFrame:
     commutative — per-day / per-batch sketches re-aggregate exactly,
     never approximately."""
     return cells.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def misra_gries_candidates(items: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries, unioned.
+
+    Each input partition is summarized by at most ``k`` (key, lower
+    bound) counters in ONE Arrow pass — the classic streaming heavy-
+    hitter sketch (Misra & Gries 1982). The union over partitions is a
+    SUPERSET of every key whose global frequency exceeds n/(k+1):
+    within one partition of n_p rows a non-surviving key was decremented
+    to zero, which costs at most n_p/(k+1) occurrences, so a key absent
+    from every partition's summary has total count <= sum n_p/(k+1)
+    = n/(k+1). That guarantee is what `heavy_hitters` relies on.
+
+    Scale shape: zero shuffles — the sketch is computed where the data
+    sits, and the output is <= k rows PER PARTITION regardless of
+    corpus size (the 100 TB contract of a sketch). `mg_count` is the
+    standard MG lower bound (true partition count is in
+    [mg_count, mg_count + decrements]).
+    """
+
+    def mg(it):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in it:
+            for key in pdf[key_col]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    dead = [c for c, v in counters.items() if v == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+        if counters:
+            yield pd.DataFrame(
+                {key_col: list(counters), "mg_count": list(counters.values())}
+            )
+
+    return items.select(key_col).mapInPandas(mg, f"{key_col} string, mg_count long")
+
+
+def heavy_hitters(
+    items: DataFrame, key_col: str, k: int = 64, denom: int = 32
+) -> DataFrame:
+    """Exact heavy hitters (count * denom > n) via the two-pass
+    sketch-propose / exact-verify pattern.
+
+    Pass 1 proposes candidates with :func:`misra_gries_candidates`
+    (bounded to k rows per partition, no shuffle). Pass 2 semi-joins the
+    corpus to the BROADCAST candidate set and exactly counts only those
+    keys — one aggregation shuffle whose key space is the candidate set,
+    not the vocabulary. Because denom < k+1, the MG superset guarantee
+    makes the result EXACTLY equal to the brute-force heavy hitters, so
+    the declared query is fully hash-oracled despite the sketch.
+
+    At 100 TB this is the difference between shuffling the full
+    token-frequency table (billions of distinct keys) and shuffling
+    only numPartitions*k candidate counts.
+    """
+    if denom >= k + 1:
+        raise ValueError("need denom <= k for the MG guarantee to be exact")
+    rows = items.select(key_col)
+    cand = misra_gries_candidates(rows, key_col, k=k).select(key_col).distinct()
+    total = rows.agg(F.count("*").cast("long").alias("n_total"))
+    counts = (
+        rows.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * F.lit(denom) > F.col("n_total"))
+        .select(key_col, "cnt", "n_total")
+    )

@@ -639,3 +639,40 @@ def test_gopher_flags_match_python_model(docs):
         assert r.gopher_pass == (
             r.word_count_ok * r.mean_len_ok * r.stopword_ok * r.alpha_ok * r.repetition_ok
         )
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30).map(lambda i: f"w{i}"),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_misra_gries_superset_and_exact_heavy_hitters(words):
+    """MG candidates must contain EVERY key with count > n/(k+1)
+    (the sketch guarantee), and the verified heavy_hitters output must
+    equal brute force — on arbitrary skew and partition layouts."""
+    from collections import Counter
+
+    from goeventstream_spark.operators import sketches
+
+    spark = _spark()
+    k, denom = 7, 6
+    df = spark.createDataFrame(
+        [(w,) for w in words], "word string"
+    ).repartition(4)
+    cand = {
+        r.word
+        for r in sketches.misra_gries_candidates(df, "word", k=k).collect()
+    }
+    n = len(words)
+    counts = Counter(words)
+    must_have = {w for w, c in counts.items() if c * (k + 1) > n}
+    assert must_have <= cand
+    got = {
+        (r.word, r.cnt, r.n_total)
+        for r in sketches.heavy_hitters(df, "word", k=k, denom=denom).collect()
+    }
+    want = {(w, c, n) for w, c in counts.items() if c * denom > n}
+    assert got == want
