@@ -53,3 +53,84 @@ def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("text", " ")).alias("word")
     )
     return sketches.heavy_hitters(words, "word", k=64, denom=32)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: dense cosine + lexical Jaccard, RRF-fused
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(qe, e) / "
+    "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))"
+)
+
+
+@query(
+    "hybrid_rrf_search",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dense AS (
+      SELECT query_id, vec_id AS doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, vec_id) AS rk
+      FROM q, c WHERE vec_id <> query_id
+    ),
+    words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n_doc FROM words GROUP BY doc_id),
+    qw AS (SELECT doc_id AS query_id, word FROM words WHERE doc_id < 3),
+    qsizes AS (SELECT query_id, count(*) AS n_query FROM qw GROUP BY query_id),
+    inter AS (
+      SELECT qw.query_id, w.doc_id, count(*) AS n_inter
+      FROM words w JOIN qw ON w.word = qw.word AND w.doc_id <> qw.query_id
+      GROUP BY qw.query_id, w.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(n_inter AS DOUBLE)
+                        / CAST(n_doc + n_query - n_inter AS DOUBLE) DESC,
+                        doc_id) AS rk
+      FROM inter JOIN sizes USING (doc_id) JOIN qsizes USING (query_id)
+    ),
+    contrib AS (
+      SELECT query_id, doc_id, 1000000000000 // (60 + rk) AS contrib
+      FROM dense WHERE rk <= 20
+      UNION ALL
+      SELECT query_id, doc_id, 1000000000000 // (60 + rk) FROM lex WHERE rk <= 20
+    ),
+    fused AS (
+      SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_scaled
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_scaled,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_scaled DESC, doc_id) AS BIGINT)
+             AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search the way a RAG/data-curation stack runs it: a dense
+    retriever (brute-force cosine top-20, the exact baseline) and a
+    sparse retriever (word-set Jaccard top-20 via an inverted-index
+    join, never all-pairs) each rank the corpus per query; Reciprocal
+    Rank Fusion merges them using ranks only (Cormack SIGIR'09), so no
+    cross-retriever score calibration is needed. Fusion arithmetic is
+    scaled-integer division — hash-exact across engines. The query
+    batch is broadcast on both paths; each retriever is one corpus
+    scan, and the fused relation is (n_queries x 40) rows regardless
+    of corpus size."""
+    from goeventstream_spark.operators import retrieval
+
+    return retrieval.hybrid_retrieval(
+        _docs(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=3,
+        k_per_ranking=20,
+        top_k=10,
+    )
