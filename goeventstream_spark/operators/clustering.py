@@ -1,0 +1,119 @@
+"""Deterministic fixed-point Lloyd k-means, fully hash-oracled.
+
+MLlib's KMeans (and any float k-means) is not cross-engine
+reproducible: centroid means depend on float summation order. This
+variant makes every step exact integer arithmetic so the SAME
+clustering falls out of any engine:
+
+- vectors are quantized to an integer grid: v_i = floor(x_i * scale)
+  (floor, not round — round() half-up/half-even disagrees across
+  engines at representation boundaries);
+- assignment is argmin of the exact integer squared distance, ties to
+  the lowest centroid id;
+- the centroid update is the FLOORED mean floor(sum_i / n) — still on
+  the integer grid, so the next assignment is again exact.
+
+Init is the k lowest-id vectors (deterministic farthest-point/k-means++
+inits exist but need a tie story; lowest-id keeps the oracle plain).
+
+Scale shape (the part that must survive 100 TB): centroids are k x dims
+integers — corpus-size-INDEPENDENT — and live on the driver between
+iterations exactly like `similarity.ivf_index` codebooks; each Lloyd
+iteration is one broadcast-assignment map pass plus one
+(k x dims)-key aggregation. Nothing driver-side ever scales with the
+corpus. The quantized grid also means assignment can run on int8/int16
+SIMD at scale, the same trick PQ uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_vectors(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", scale: int = 1000
+) -> DataFrame:
+    """(id, v): the embedding on the integer grid, floor(x * scale)."""
+    v = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+
+
+def _sqdist(v_col, centroid: list[int]):
+    """Exact integer squared distance between the row's grid vector and
+    a driver-held centroid literal."""
+    c = F.array(*[F.lit(int(ci)) for ci in centroid])
+    diffs = F.zip_with(v_col, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def assign(vectors: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, v, cluster_id): nearest centroid, ties to lowest id.
+    Centroids are literals — the assignment is a pure map pass, no
+    shuffle, no join."""
+    best = F.least(
+        *[
+            F.struct(
+                _sqdist(F.col("v"), c).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    return vectors.select("vec_id", "v", best.getField("cid").alias("cluster_id"))
+
+
+def update(assigned: DataFrame, old: list[list[int]]) -> list[list[int]]:
+    """Floored-mean centroids. One aggregation whose key space is
+    k x dims (bounded), collected to the driver (k x dims ints — the
+    same corpus-size-independent collect contract as IVF codebooks).
+    A cluster that lost all members keeps its previous centroid."""
+    dims = len(old[0])
+    stats = (
+        assigned.select("cluster_id", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    new = [list(c) for c in old]
+    for r in stats:
+        new[r.cluster_id][r.dim] = r.s // r.n  # floor div: s, n exact ints
+    return new
+
+
+def kmeans_fixed_point(
+    emb: DataFrame, k: int = 4, iters: int = 2, scale: int = 1000
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; return per-cluster summary
+    (cluster_id, n_members, sum_vec_id, centroid_dim0) — all BIGINT,
+    hash-comparable against a SQL transcription of the same steps."""
+    vectors = quantize_vectors(emb, scale=scale)
+    # 3 passes read this relation; at fixture scale Spark recomputes it
+    # for free, at 100 TB the caller persists the quantized table once.
+    init = vectors.orderBy("vec_id").limit(k).collect()
+    centroids = [list(r.v) for r in sorted(init, key=lambda r: r.vec_id)]
+    assigned = None
+    for _ in range(iters):
+        assigned = assign(vectors, centroids)
+        centroids = update(assigned, centroids)
+        # Final-iteration semantics: report the assignment that PRODUCED
+        # the last centroids (classic Lloyd reporting), so the loop
+        # updates after assigning even on the last pass.
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        )
+        .withColumn(
+            "centroid_dim0",
+            F.element_at(
+                F.array(*[F.lit(int(c[0])) for c in centroids]).cast("array<long>"),
+                F.col("cluster_id").cast("int") + 1,
+            ),
+        )
+        .select("cluster_id", "n_members", "sum_vec_id", "centroid_dim0")
+    )

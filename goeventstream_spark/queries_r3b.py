@@ -134,3 +134,84 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_per_ranking=20,
         top_k=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixed-point k-means (integer grid, floored-mean Lloyd)
+# ---------------------------------------------------------------------------
+
+def _kq_dist(x: str, y: str) -> str:
+    """Exact integer squared distance between two BIGINT lists, expanded
+    via dot products (every term < 2^53, so DOUBLE-exact in DuckDB)."""
+    return (
+        f"(list_dot_product({x}, {x}) - 2 * list_dot_product({x}, {y})"
+        f" + list_dot_product({y}, {y}))"
+    )
+
+
+def _kq_iter(i: int, prev_c: str) -> str:
+    """One Lloyd iteration as SQL CTEs: assign (argmin, ties to lowest
+    cid) then floored-mean update (empty cluster keeps its centroid)."""
+    return f"""
+    a{i} AS (
+      SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT e.vec_id, e.v, {prev_c}.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_kq_dist("e.v", f"{prev_c}.v")},
+                                           {prev_c}.cid) AS rk
+        FROM e, {prev_c}
+      ) WHERE rk = 1
+    ),
+    s{i} AS (
+      SELECT cluster_id, dim, sum(val) AS s, count(*) AS n
+      FROM (SELECT cluster_id, generate_subscripts(v, 1) AS dim,
+                   unnest(v) AS val FROM a{i})
+      GROUP BY cluster_id, dim
+    ),
+    c{i} AS (
+      SELECT {prev_c}.cid, coalesce(m.mv, {prev_c}.v) AS v
+      FROM {prev_c} LEFT JOIN (
+        SELECT cluster_id AS cid,
+               list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                    ORDER BY dim) AS mv
+        FROM s{i} GROUP BY cluster_id
+      ) m USING (cid)
+    )"""
+
+
+@query(
+    "kmeans_fixed_point",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+      FROM e ORDER BY vec_id LIMIT 4
+    ),{_kq_iter(1, "c0")},{_kq_iter(2, "c1")}
+    SELECT a.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(a.vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(min(c2.v[1]) AS BIGINT) AS centroid_dim0
+    FROM a2 a JOIN c2 ON a.cluster_id = c2.cid
+    GROUP BY a.cluster_id
+    """,
+)
+def q_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of deterministic fixed-point k-means (k=4)
+    over the embedding corpus — clustering as an ORACLED query, which
+    float k-means can never be (float means depend on summation order).
+    Vectors live on an integer grid (floor(x*1000)), assignment is
+    exact integer argmin with ties to the lowest centroid id, and the
+    update is the floored mean — so DuckDB replays the identical
+    trajectory. Centroids are k x dims driver-held ints between
+    iterations (corpus-size-independent, the IVF-codebook contract);
+    each iteration is one broadcast map pass + one (k x dims)-key
+    aggregation. See operators/clustering.py for the 100 TB anatomy."""
+    from goeventstream_spark.operators import clustering
+
+    return clustering.kmeans_fixed_point(
+        load_table(spark, sf_dir, "embeddings"), k=4, iters=2, scale=1000
+    )
