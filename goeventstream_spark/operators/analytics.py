@@ -298,3 +298,90 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def split_score_changepoints(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k level-shift candidates per key: the first round of binary
+    segmentation (Scott & Knott) over the hourly count series, with the
+    split statistic kept EXACT-integer.
+
+    For a boundary after the i-th of n hourly buckets, the usual
+    statistic is |mean_left - mean_right| (times a size weight); we rank
+    by the cross-multiplied integer form
+
+        D = | S_left * n_right  -  S_right * n_left |
+
+    which is n_left*n_right*|mean_left - mean_right| — same argmax, no
+    floats, so the ranking hash-matches any engine. Ties to the earlier
+    boundary.
+
+    Scale shape: one (key, hour) aggregation (map-side combinable),
+    then ONE window pass per key for the running sums — the series per
+    key is already tiny (bounded by hours of history), so the window
+    partition is never a hot spot.
+    """
+    hourly = events.groupBy(
+        F.col(key_col),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(key_col)
+    scored = hourly.select(
+        key_col,
+        "bucket",
+        F.sum("cnt").over(w).alias("s_left"),
+        F.row_number().over(Window.partitionBy(key_col).orderBy("bucket")).alias("i"),
+        F.sum("cnt").over(wall).alias("s_tot"),
+        F.count("*").over(wall).alias("n_tot"),
+    ).where(F.col("i") < F.col("n_tot"))
+    d = F.abs(
+        F.col("s_left") * (F.col("n_tot") - F.col("i"))
+        - (F.col("s_tot") - F.col("s_left")) * F.col("i")
+    )
+    ranked = scored.select(
+        key_col,
+        F.col("bucket").alias("split_after"),
+        d.cast("long").alias("split_score"),
+        F.col("i").cast("long").alias("n_left"),
+        (F.col("n_tot") - F.col("i")).cast("long").alias("n_right"),
+    ).withColumn(
+        "rk",
+        F.row_number()
+        .over(
+            Window.partitionBy(key_col).orderBy(
+                F.col("split_score").desc(), "split_after"
+            )
+        )
+        .cast("long"),
+    )
+    return ranked.where(F.col("rk") <= top_k)
+
+
+def recency_weighted_daily_activity(
+    events: DataFrame, key_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Per (key, day): the alpha=1/2 exponentially-recency-weighted
+    hourly activity, kept exact by reporting the 2^23-scaled EWMA
+    numerator  sum_h cnt_h * 2^h  (h = hour of day) — later hours
+    dominate, and the score is a plain BIGINT sum, so per-partition
+    partials merge exactly and the value hash-matches any engine.
+    One aggregation, map-side combinable; no window, no floats."""
+    day = F.date_trunc("day", F.col(ts_col))
+    # shiftleft's Python wrapper takes a literal int shift; the SQL
+    # form accepts an expression, and 1L << h stays exact in BIGINT
+    weight = F.expr(f"shiftleft(CAST(1 AS BIGINT), hour({ts_col}))")
+    return events.groupBy(
+        F.col(key_col), day.alias("day")
+    ).agg(
+        F.sum(weight).cast("long").alias("recency_score"),
+        F.count("*").cast("long").alias("n_events"),
+    )

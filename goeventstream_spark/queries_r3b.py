@@ -215,3 +215,168 @@ def q_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_fixed_point(
         load_table(spark, sf_dir, "embeddings"), k=4, iters=2, scale=1000
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: binary-segmentation changepoints + recency-weighted activity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "changepoint_candidates",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS cnt
+      FROM events GROUP BY event_type, bucket
+    ),
+    runs AS (
+      SELECT event_type, bucket,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS s_left,
+             row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i,
+             sum(cnt) OVER (PARTITION BY event_type) AS s_tot,
+             count(*) OVER (PARTITION BY event_type) AS n_tot
+      FROM hourly
+    ),
+    scored AS (
+      SELECT event_type, bucket AS split_after,
+             CAST(abs(s_left * (n_tot - i) - (s_tot - s_left) * i) AS BIGINT)
+               AS split_score,
+             CAST(i AS BIGINT) AS n_left,
+             CAST(n_tot - i AS BIGINT) AS n_right
+      FROM runs WHERE i < n_tot
+    )
+    SELECT event_type, split_after, split_score, n_left, n_right,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY split_score DESC, split_after)
+                AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= 3
+    """,
+)
+def q_changepoint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-round binary-segmentation changepoint candidates per
+    event_type: rank every hourly boundary by the exact-integer
+    cross-multiplied level-shift statistic |S_l*n_r - S_r*n_l|
+    (= n_l*n_r*|mean_l - mean_r|, same argmax, no floats). See
+    analytics.split_score_changepoints for the scale anatomy."""
+    from goeventstream_spark.operators import analytics
+
+    return analytics.split_score_changepoints(
+        load_table(spark, sf_dir, "events"), top_k=3
+    )
+
+
+@query(
+    "recency_weighted_activity",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(sum(1::BIGINT << CAST(extract(hour FROM ts) AS INT)) AS BIGINT)
+             AS recency_score,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type, day
+    """,
+)
+def q_recency_weighted_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted daily activity: the alpha=1/2 hourly EWMA
+    numerator, exact (2^hour BIGINT weights — later hours dominate;
+    partial aggregates merge exactly). One map-side-combinable
+    aggregation; see analytics.recency_weighted_daily_activity."""
+    from goeventstream_spark.operators import analytics
+
+    return analytics.recency_weighted_daily_activity(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: fuzzy pairs -> connected components -> golden records
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "er_golden_parts",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+      FROM part a JOIN part b
+        ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    cedges AS (
+      SELECT part_a AS src, part_b AS dst FROM pairs
+      UNION SELECT part_b AS src, part_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS lbl FROM cedges
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN cedges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+      SELECT p.p_partkey, coalesce(c.cluster_id, p.p_partkey) AS cluster_id
+      FROM part p LEFT JOIN comp c ON p.p_partkey = c.id
+    )
+    SELECT a.cluster_id AS golden_partkey,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(p.p_retailprice) AS DOUBLE) AS best_price,
+           min(CASE WHEN p.p_partkey = a.cluster_id THEN p.p_name END)
+             AS canonical_name,
+           CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+    FROM assigned a JOIN part p USING (p_partkey)
+    GROUP BY a.cluster_id
+    """,
+)
+def q_er_golden_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked fuzzy candidate pairs
+    (p_size block, bounded Levenshtein <= 3 — the fuzzy_part_pairs
+    discipline), transitive closure via the O(log n) large-star/
+    small-star contraction, then survivorship into one golden record
+    per entity: canonical id/name from the minimum-id member, merged
+    best price, and a brand-conflict count. The pair step never leaves
+    its block, the closure is the contraction path, and survivorship
+    is one aggregation over (entity, member) rows."""
+    from goeventstream_spark.operators import dedup
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size", "p_brand", "p_retailprice"
+    )
+    a, b = part.alias("a"), part.alias("b")
+    len_band = (
+        F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 3
+    )
+    bounded = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & len_band,
+        )
+        .where(bounded >= 0)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+        )
+    )
+    clusters = dedup.dedup_clusters_contraction(
+        pairs,
+        all_docs=part.select("p_partkey"),
+        src_col="part_a",
+        dst_col="part_b",
+        id_col="p_partkey",
+    )
+    return (
+        clusters.join(part, "p_partkey")
+        .groupBy(F.col("cluster_id").alias("golden_partkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("p_retailprice").cast("double").alias("best_price"),
+            F.min(
+                F.when(
+                    F.col("p_partkey") == F.col("cluster_id"), F.col("p_name")
+                )
+            ).alias("canonical_name"),
+            F.countDistinct("p_brand").cast("long").alias("n_brands"),
+        )
+    )
