@@ -12,6 +12,7 @@ import goeventstream_spark.queries_llm  # noqa: F401
 import goeventstream_spark.queries_ext  # noqa: F401
 import goeventstream_spark.queries_r2  # noqa: F401
 import goeventstream_spark.queries_r3  # noqa: F401
+import goeventstream_spark.queries_r3b  # noqa: F401
 from goeventstream_spark import plans
 from goeventstream_spark import queries as q
 from goeventstream_spark.sources import load_table
@@ -471,3 +472,43 @@ def test_lsh_pair_relation_stays_narrow(spark, sf_dir):
     df = q.QUERIES["cross_source_dup_matrix"](spark, sf_dir)
     plan = plans.physical_plan(df)
     assert "SortMergeJoin" not in plan, "source dim join fell back to sort-merge"
+
+
+def test_heavy_hitters_verify_join_is_broadcast(spark, sf_dir):
+    # propose = shuffle-free mapInPandas; verify = corpus semi-joined to
+    # the BROADCAST candidate set, then one bounded-key aggregation.
+    df = q.QUERIES["heavy_hitter_words"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, "candidate semi-join fell back to sort-merge"
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    # the per-iteration assignment must be a pure map pass: centroids
+    # are driver-held literals, so NO join may appear in the plan.
+    from goeventstream_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = clustering.quantize_vectors(emb)
+    centroids = [list(r.v) for r in vectors.orderBy("vec_id").limit(4).collect()]
+    assigned = clustering.assign(vectors, centroids)
+    plan = plans.physical_plan(assigned)
+    assert "Join" not in plan, f"assignment not a map pass:\n{plan}"
+    assert plans.count_exchanges(assigned) == 0, "assignment shuffled"
+
+
+def test_hybrid_rrf_query_side_is_broadcast(spark, sf_dir):
+    # both retrievers keep the query batch on the broadcast side; no
+    # sort-merge join anywhere in the fused plan.
+    df = q.QUERIES["hybrid_rrf_search"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, "query sides not broadcast"
+
+
+def test_er_golden_pair_join_blocked_not_cartesian(spark, sf_dir):
+    # the fuzzy pair step must be an equi-join on the block key
+    # (p_size), never a cartesian/theta-only product.
+    df = q.QUERIES["er_golden_parts"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan

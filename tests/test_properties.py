@@ -676,3 +676,64 @@ def test_misra_gries_superset_and_exact_heavy_hitters(words):
     }
     want = {(w, c, n) for w, c in counts.items() if c * denom > n}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-300, max_value=300), min_size=3, max_size=3
+        ),
+        min_size=4,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_kmeans_fixed_point_matches_python_model(grid_vectors):
+    """The fixed-point Lloyd trajectory (argmin ties to lowest cid,
+    floored-mean update, empty cluster keeps centroid) must match a
+    direct Python model on arbitrary integer-grid vectors."""
+    from goeventstream_spark.operators import clustering
+
+    spark = _spark()
+    k, iters = 3, 2
+    # feed pre-scaled values through the embedding column: the operator
+    # floors x*1000, so pass v/1000 floats whose product is exact enough
+    # that floor(x*1000) == v for |v| <= 300 (verified by the model
+    # comparing against the SAME quantized grid the operator computes).
+    rows = [(i, [v / 1000.0 for v in vec]) for i, vec in enumerate(grid_vectors)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.cluster_id, r.n_members, r.sum_vec_id, r.centroid_dim0)
+        for r in clustering.kmeans_fixed_point(emb, k=k, iters=iters).collect()
+    }
+
+    # python model on the operator's own quantized grid
+    import math
+
+    quant = {
+        r.vec_id: list(r.v)
+        for r in clustering.quantize_vectors(emb).collect()
+    }
+    cents = [list(quant[i]) for i in sorted(quant)[:k]]
+    assigned = {}
+    for _ in range(iters):
+        assigned = {}
+        for vid in sorted(quant):
+            dists = [
+                (sum((a - b) ** 2 for a, b in zip(quant[vid], c)), cid)
+                for cid, c in enumerate(cents)
+            ]
+            assigned[vid] = min(dists)[1]
+        for cid in range(k):
+            members = [quant[v] for v, c in assigned.items() if c == cid]
+            if members:
+                cents[cid] = [
+                    math.floor(sum(col) / len(col))
+                    for col in zip(*members)
+                ]
+    want = set()
+    for cid in range(k):
+        vids = [v for v, c in assigned.items() if c == cid]
+        if vids:
+            want.add((cid, len(vids), sum(vids), cents[cid][0]))
+    assert got == want
