@@ -102,6 +102,13 @@ HEADLINE = [
     "contrastive_triplets",
     "cross_source_dup_matrix",
     "prefix_jaccard_join",
+    # round 3 continuation
+    "heavy_hitter_words",
+    "hybrid_rrf_search",
+    "kmeans_fixed_point",
+    "changepoint_candidates",
+    "recency_weighted_activity",
+    "er_golden_parts",
 ]
 
 
@@ -113,6 +120,7 @@ def main() -> None:
     import goeventstream_spark.queries_ext  # noqa: F401  (registers)
     import goeventstream_spark.queries_r2  # noqa: F401
     import goeventstream_spark.queries_r3  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3b  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -130,3 +130,128 @@ def hybrid_retrieval(
         "query_id", "doc_id", "rk"
     )
     return rrf_fuse([dense, lexical], top_k=top_k)
+
+
+def mmr_select(
+    emb: DataFrame,
+    n_queries: int = 3,
+    pool_k: int = 20,
+    top_k: int = 5,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Greedy Maximal Marginal Relevance (Carbonell & Goldstein '98),
+    lambda = 1/2: pick argmax rel first, then repeatedly the candidate
+    maximizing rel - max_sim_to_selected (2x the lambda-1/2 MMR score —
+    same argmax), ties to the lowest doc_id. All scores are
+    floor-scaled BIGINTs, so the greedy trajectory is engine-exact.
+
+    Scale shape: the pool per query is a CONSTANT pool_k (top-k cosine
+    is the scalable step, see cosine_topk); selection runs per query
+    group over pool_k rows via cogrouped applyInPandas — pure integer
+    ops on <= pool_k^2 values, corpus-size-independent.
+    """
+    from goeventstream_spark.operators import similarity
+
+    qvecs = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    pool = (
+        similarity.cosine_topk(emb, qvecs, k=pool_k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.floor(F.col("cos_sim") * F.lit(float(scale))).cast("long").alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # pairwise pool cosines: pool x pool within query; each DISTINCT
+    # pair is scored once by the same arrow fold as the pool itself,
+    # then floor-scaled once and joined back per query
+    pa = pool.select("query_id", F.col("doc_id").alias("pair_key"))
+    pb = pool.select(F.col("query_id").alias("qb"), F.col("doc_id").alias("vec_id"))
+    pairs = pa.join(
+        pb, (F.col("query_id") == F.col("qb")) & (F.col("pair_key") < F.col("vec_id"))
+    ).select("query_id", F.col("pair_key").alias("doc_a"), F.col("vec_id").alias("doc_b"))
+    upairs = pairs.select("doc_a", "doc_b").distinct()
+    ea = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("q_embedding")
+    )
+    scored = similarity._arrow_pair_scores(
+        upairs.join(ea, "doc_a")
+        .join(emb.select("vec_id", "embedding"), upairs.doc_b == emb.vec_id)
+        .select(
+            F.col("doc_a").alias("query_id"),  # scorer's group key slot
+            "vec_id",
+            "q_embedding",
+            "embedding",
+        )
+    ).select(
+        F.col("query_id").alias("doc_a"),
+        F.col("vec_id").alias("doc_b"),
+        F.floor(F.col("cos_sim") * F.lit(float(scale))).cast("long").alias("sim"),
+    )
+    sims = (
+        pairs.alias("p")
+        .join(
+            scored.alias("s"),
+            (F.col("p.doc_a") == F.col("s.doc_a"))
+            & (F.col("p.doc_b") == F.col("s.doc_b")),
+        )
+        # Alias every output: the cogroup below keys BOTH frames on
+        # query_id, and without fresh attribute ids Spark flags the
+        # shared lineage (pool feeds both sides) as ambiguous.
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("s.sim").alias("sim"),
+        )
+    )
+
+    def pick(key, cand_it, sim_it):
+        import pandas as pd
+
+        cand = cand_it
+        rel = dict(zip(cand["doc_id"], cand["rel"]))
+        sim: dict = {}
+        for a, b, s in zip(sim_it["doc_a"], sim_it["doc_b"], sim_it["sim"]):
+            sim[(a, b)] = s
+            sim[(b, a)] = s
+        selected: list = []
+        remaining = set(rel)
+        while remaining and len(selected) < top_k:
+            if not selected:
+                best = min(((-rel[d], d) for d in remaining))[1]
+            else:
+                best = min(
+                    (
+                        (-(rel[d] - max(sim[(d, s)] for s in selected)), d)
+                        for d in remaining
+                    )
+                )[1]
+            selected.append(best)
+            remaining.discard(best)
+        return pd.DataFrame(
+            {
+                "query_id": [key[0]] * len(selected),
+                "doc_id": selected,
+                "pick_order": list(range(1, len(selected) + 1)),
+                "rel": [rel[d] for d in selected],
+            }
+        )
+
+    def pick_wrapper(key, cand_it, sim_it):
+        import pandas as pd
+
+        cand = pd.concat(list(cand_it)) if not isinstance(cand_it, pd.DataFrame) else cand_it
+        simdf = pd.concat(list(sim_it)) if not isinstance(sim_it, pd.DataFrame) else sim_it
+        return pick(key, cand, simdf)
+
+    return (
+        pool.groupBy("query_id")
+        .cogroup(sims.groupBy("query_id"))
+        .applyInPandas(
+            pick_wrapper,
+            "query_id long, doc_id long, pick_order long, rel long",
+        )
+    )

@@ -380,3 +380,103 @@ def q_er_golden_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("p_brand").cast("long").alias("n_brands"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (greedy, unrolled in the oracle)
+# ---------------------------------------------------------------------------
+
+_COS_AB = (
+    "list_dot_product(ae, be) / "
+    "(sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(be, be)))"
+)
+
+
+def _mmr_step(i: int) -> str:
+    """Greedy MMR step i (i >= 2): among not-yet-selected pool members,
+    pick argmax(rel - max sim to selected), ties to lowest doc_id."""
+    return f"""
+    m{i} AS (
+      SELECT c.query_id, c.doc_id, c.rel, max(y.sim) AS maxsim
+      FROM cand c
+      JOIN sel{i - 1} s ON s.query_id = c.query_id
+      JOIN ssym y ON y.query_id = c.query_id
+                 AND y.doc_a = c.doc_id AND y.doc_b = s.doc_id
+      LEFT JOIN sel{i - 1} x ON x.query_id = c.query_id AND x.doc_id = c.doc_id
+      WHERE x.doc_id IS NULL
+      GROUP BY c.query_id, c.doc_id, c.rel
+    ),
+    s{i} AS (
+      SELECT query_id, doc_id, rel, {i} AS pick_order FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel - maxsim DESC, doc_id) AS rk
+        FROM m{i}
+      ) WHERE rk = 1
+    ),
+    sel{i} AS (
+      SELECT query_id, doc_id FROM sel{i - 1}
+      UNION ALL SELECT query_id, doc_id FROM s{i}
+    )"""
+
+
+_MMR_STEPS = ",".join(_mmr_step(i) for i in range(2, 6))
+_MMR_UNION = " UNION ALL ".join(
+    f"SELECT query_id, doc_id, pick_order, rel FROM s{i}" for i in range(1, 6)
+)
+
+
+@query(
+    "mmr_diversified_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cand AS (
+      SELECT query_id, doc_id, rel FROM (
+        SELECT query_id, vec_id AS doc_id,
+               CAST(floor(({_COS}) * 1000000000) AS BIGINT) AS rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COS} DESC, vec_id) AS rk
+        FROM q, c WHERE vec_id <> query_id
+      ) WHERE rk <= 20
+    ),
+    sims AS (
+      SELECT p.query_id, p.da AS doc_a, p.db AS doc_b,
+             CAST(floor(({_COS_AB}) * 1000000000) AS BIGINT) AS sim
+      FROM (SELECT c1.query_id, c1.doc_id AS da, c2.doc_id AS db
+            FROM cand c1 JOIN cand c2
+              ON c1.query_id = c2.query_id AND c1.doc_id < c2.doc_id) p
+      JOIN (SELECT vec_id, e AS ae FROM c) a ON a.vec_id = p.da
+      JOIN (SELECT vec_id, e AS be FROM c) b ON b.vec_id = p.db
+    ),
+    ssym AS (
+      SELECT query_id, doc_a, doc_b, sim FROM sims
+      UNION ALL SELECT query_id, doc_b, doc_a, sim FROM sims
+    ),
+    s1 AS (
+      SELECT query_id, doc_id, rel, 1 AS pick_order FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, doc_id) AS rk
+        FROM cand
+      ) WHERE rk = 1
+    ),
+    sel1 AS (SELECT query_id, doc_id FROM s1),{_MMR_STEPS}
+    SELECT query_id, doc_id, CAST(pick_order AS BIGINT) AS pick_order, rel
+    FROM ({_MMR_UNION})
+    """,
+)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-5 per query by greedy Maximal Marginal Relevance
+    (lambda = 1/2) over the top-20 cosine pool: each pick maximizes
+    relevance minus max-similarity-to-already-picked, so near-duplicate
+    results are suppressed — the standard de-redundancy step after
+    retrieval. Relevance and pairwise similarities cross the float->int
+    boundary ONCE (floor(cos * 1e9)), making the greedy trajectory
+    engine-exact; the oracle unrolls the same five picks in SQL. Pool
+    size is constant, so selection work per query is corpus-size-
+    independent (cogrouped applyInPandas over <= 20 rows per query)."""
+    from goeventstream_spark.operators import retrieval
+
+    return retrieval.mmr_select(
+        load_table(spark, sf_dir, "embeddings"), n_queries=3, pool_k=20, top_k=5
+    )
