@@ -657,3 +657,59 @@ def test_streaming_cms_partial_merge_equals_batch(spark, sf_dir, tmp_path):
         (r.row_i, r.bucket): r.cnt for r in sk.cms_build(toks(docs), "token").collect()
     }
     assert merged == full
+
+
+def test_streaming_heavy_hitters_superset_and_exact(spark, sf_dir, tmp_path):
+    """Continuous-ingest heavy hitters: documents arrive in 3 micro-
+    batches; each batch merges exact counts into the persisted
+    per-bucket Misra-Gries index (<= k counters per bucket, forever).
+    The final candidate set must contain every word with global count
+    > n/(k+1), and candidates + exact verify must equal the batch
+    heavy_hitters output exactly."""
+    from goeventstream_spark.operators import sketches
+    from goeventstream_spark.streaming.sketches import (
+        streaming_heavy_hitter_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_heavy_hitter_index(
+        stream,
+        index_dir=str(tmp_path / "hh_index"),
+        checkpoint_dir=str(tmp_path / "hh_ckpt"),
+        k=64,
+        n_buckets=32,
+    )
+    q.awaitTermination(180)
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    n = words.count()
+    true_counts = {
+        r.word: r.cnt
+        for r in words.groupBy("word").agg(F.count("*").alias("cnt")).collect()
+    }
+    cand = {
+        r.word
+        for r in spark.read.parquet(str(tmp_path / "hh_index")).collect()
+    }
+    must_have = {w for w, c in true_counts.items() if c * 65 > n}
+    assert must_have <= cand, sorted(must_have - cand)[:5]
+
+    # candidates + exact verify == the batch operator's output
+    want = {
+        (r.word, r.cnt, r.n_total)
+        for r in sketches.heavy_hitters(words, "word", k=64, denom=32).collect()
+    }
+    got = {
+        (w, c, n) for w, c in true_counts.items() if w in cand and c * 32 > n
+    }
+    assert got == want
