@@ -385,3 +385,76 @@ def recency_weighted_daily_activity(
         F.sum(weight).cast("long").alias("recency_score"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+def survival_table(
+    events: DataFrame, ts_col: str = "ts", user_col: str = "user_id"
+) -> DataFrame:
+    """Kaplan-Meier risk table over user lifetimes: one row per
+    distinct churn day with (n_at_risk, n_churned). A user's lifetime
+    ends on their LAST active day (right-censoring-free fixture form);
+    n_at_risk(t) counts users whose last day >= t.
+
+    The float KM product survival estimate is deliberately NOT emitted:
+    the (d_i, n_i) table is the exact, mergeable, engine-portable core
+    — any client can fold Π(1 - d_i/n_i) locally. Shape: one per-user
+    max aggregation, one per-day count, one running-sum window over the
+    (bounded) distinct-days relation."""
+    last_day = events.groupBy(user_col).agg(
+        F.date_trunc("day", F.max(ts_col)).alias("churn_day")
+    )
+    per_day = last_day.groupBy("churn_day").agg(
+        F.count("*").cast("long").alias("n_churned")
+    )
+    # at risk on day t = users whose churn day is >= t = suffix sum
+    w = (
+        Window.orderBy(F.col("churn_day").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "churn_day",
+        "n_churned",
+        F.sum("n_churned").over(w).cast("long").alias("n_at_risk"),
+    )
+
+
+def trend_slopes(
+    events: DataFrame, key_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Least-squares trend of hourly volume per key, from EXACT integer
+    sums: with x = hour index (0-based within the key) and y = count,
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+
+    Sums are BIGINT-exact; the two products and the final division run
+    in DOUBLE on identical integers, so the result is bit-identical on
+    any IEEE engine. One hourly aggregation, one window for the hour
+    index, one per-key fold."""
+    hourly = events.groupBy(
+        F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(F.count("*").alias("y"))
+    x = (
+        F.row_number().over(Window.partitionBy(key_col).orderBy("bucket")) - 1
+    ).cast("long")
+    sums = (
+        hourly.withColumn("x", x)
+        .groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        key_col,
+        "n",
+        (num / den).alias("slope_per_hour"),
+        (
+            (F.col("sy").cast("double") - (num / den) * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )

@@ -484,3 +484,202 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.mmr_select(
         load_table(spark, sf_dir, "embeddings"), n_queries=3, pool_k=20, top_k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis, trend regression, correlation, Benford DQ audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "survival_table",
+    """
+    WITH last_day AS (
+      SELECT user_id, date_trunc('day', max(ts)) AS churn_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT churn_day, CAST(count(*) AS BIGINT) AS n_churned
+      FROM last_day GROUP BY churn_day
+    )
+    SELECT churn_day, n_churned,
+           CAST(sum(n_churned) OVER (ORDER BY churn_day DESC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_at_risk
+    FROM per_day
+    """,
+)
+def q_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table over user lifetimes: per churn day, how
+    many users churned and how many were still at risk. Emits the exact
+    integer (d_i, n_i) table rather than the float survival product —
+    see analytics.survival_table (the suffix-sum window runs over the
+    bounded distinct-days relation, never raw events)."""
+    from goeventstream_spark.operators import analytics
+
+    return analytics.survival_table(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "trend_slopes_by_type",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS y
+      FROM events GROUP BY event_type, bucket
+    ),
+    xy AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1
+               AS x
+      FROM hourly
+    ),
+    sums AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_hour,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM sums
+    """,
+)
+def q_trend_slopes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly volume trend: least-squares slope/intercept from
+    EXACT BIGINT sums; only the final two products and divisions run in
+    DOUBLE, on identical integers — bit-equal on any IEEE engine. See
+    analytics.trend_slopes."""
+    from goeventstream_spark.operators import analytics
+
+    return analytics.trend_slopes(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pearson_qty_price",
+    """
+    WITH xy AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 100 AS y
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM xy GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+    FROM sums
+    """,
+)
+def q_pearson_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag,
+    computed from exact integer sums (quantity is integer-valued;
+    price is floored to whole dollars from exact cents so sum(y*y)
+    stays far inside BIGINT at every SF). Built-in corr() aggregates
+    use engine-specific Welford orders and can NOT hash-match; this
+    form does, because the float boundary is two products, two sqrts
+    and one division over identical integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.round(F.col("l_extendedprice") * 100, 0).cast("long") / 100).cast(
+        "long"
+    )
+    sums = (
+        li.select(F.col("l_returnflag"), x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    dx = F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    dy = F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return sums.select(
+        "l_returnflag", "n", (num / (dx * dy)).alias("pearson_r")
+    )
+
+
+# Benford expected first-digit shares in ppm: floor(1e6*log10(1+1/d)),
+# precomputed so both engines compare against identical constants.
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+
+@query(
+    "benford_price_audit",
+    f"""
+    WITH d AS (
+      SELECT substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS digit
+      FROM lineitem
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+    SELECT c.digit, c.n, t.n_total,
+           CAST(c.n * 1000000 // t.n_total AS BIGINT) AS observed_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm
+    FROM c, t
+    """,
+)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law data-quality audit on prices: observed vs expected
+    first-significant-digit distribution (fabricated or unit-mangled
+    numeric columns show up as large ppm gaps). The digit comes from
+    the exact-cents integer's leading character (x100 shifts no leading
+    digit), observed shares are integer-ppm (floor division), and the
+    expected shares are precomputed constants — all hash-exact. One
+    map-side digit projection + a 9-key aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    counts = (
+        li.select(F.substring(cents.cast("string"), 1, 1).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    expected = F.coalesce(
+        *[
+            F.when(F.col("digit") == str(d), F.lit(p))
+            for d, p in _BENFORD_PPM.items()
+        ]
+    ).cast("long")
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        "n_total",
+        F.expr("div(n * 1000000, n_total)").alias("observed_ppm"),
+        expected.alias("expected_ppm"),
+    )
