@@ -8,7 +8,7 @@ step and is verified exactly before the output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from goeventstream_spark.queries import query
@@ -682,4 +682,210 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.expr("div(n * 1000000, n_total)").alias("observed_ppm"),
         expected.alias("expected_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concentration (Gini), experimentation (chi-square), weighted median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gini_by_segment",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             coalesce(CAST(sum(round(o.o_totalprice * 100, 0)) AS BIGINT), 0)
+               AS cents
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents, c_custkey) AS i
+      FROM rev
+    ),
+    sums AS (
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(i * cents) AS BIGINT) AS six
+      FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n, sx AS total_cents,
+           CAST(floor(1000000.0
+                      * (2.0 * CAST(six AS DOUBLE)
+                         - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+             AS gini_ppm
+    FROM sums
+    """,
+)
+def q_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per market segment (the
+    Lorenz-rank form G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)),
+    x ascending): zero-revenue customers included, rank sums exact
+    BIGINT, the single float division floor-scaled to ppm — identical
+    doubles from identical integers on any engine. One join-aggregate
+    on custkey, one per-segment window, one per-segment fold."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0)).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("cents")
+        )
+    )
+    i = F.row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    )
+    sums = (
+        rev.withColumn("i", i.cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sx"),
+            F.sum(F.col("i") * F.col("cents")).cast("long").alias("six"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(1000000.0)
+        * (F.lit(2.0) * F.col("six").cast("double") - (nd + F.lit(1.0)) * F.col("sx").cast("double"))
+        / (nd * F.col("sx").cast("double"))
+    )
+    return sums.select(
+        "c_mktsegment",
+        "n",
+        F.col("sx").alias("total_cents"),
+        F.floor(gini).cast("long").alias("gini_ppm"),
+    )
+
+
+@query(
+    "ab_test_chi_square",
+    """
+    WITH assign AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN variant = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN variant = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM assign
+    )
+    SELECT a, b, c, d,
+           (CAST(a + b + c + d AS DOUBLE)
+            * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+               - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+            * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+               - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+           / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+              * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi_square
+    FROM cells
+    """,
+)
+def q_ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: deterministic hash assignment
+    (user_id % 2), per-user conversion (any 'purchase'), and the 2x2
+    chi-square statistic over (user, day) exposure units in its
+    closed product form
+    N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — exact integer cells, one
+    fixed-shape float expression. One per-user aggregation + a 1-row
+    fold; nothing scales with events beyond the first shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    # experiment unit = (user, day): lifetime "ever purchased" is
+    # degenerate on the fixtures (every user converts; b = d = 0)
+    assign = ev.groupBy("user_id", F.date_trunc("day", "ts")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).cast("long").alias("variant"), "converted")
+    cells = assign.agg(
+        F.sum(F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("converted") == 0), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("converted") == 0), 1).otherwise(0)).cast("long").alias("d"),
+    )
+    ad_bc = F.col("a").cast("double") * F.col("d").cast("double") - F.col("b").cast(
+        "double"
+    ) * F.col("c").cast("double")
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    return cells.select(
+        "a", "b", "c", "d", (n * ad_bc * ad_bc / den).alias("chi_square")
+    )
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, cents, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY cents, l_orderkey, l_linenumber
+                           ROWS UNBOUNDED PRECEDING) AS cum_wt,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(min(cents) AS BIGINT) AS median_cents,
+           CAST(min(tot_wt) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum_wt >= tot_wt
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag: the first
+    value (price-ordered, deterministic tiebreak) whose running weight
+    reaches half the total — all integer arithmetic, one window pass
+    per flag. The unweighted `percentile` builtin cannot express this;
+    the window form scales as one partitioned sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(run).alias("cum_wt"),
+        F.sum("wt").over(tot).alias("tot_wt"),
+    )
+    return (
+        c.where(2 * F.col("cum_wt") >= F.col("tot_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").cast("long").alias("median_cents"),
+            F.min("tot_wt").cast("long").alias("total_weight"),
+        )
     )
