@@ -889,3 +889,62 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot_wt").cast("long").alias("total_weight"),
         )
     )
+
+
+@query(
+    "autocorr_lag1_by_type",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS y
+      FROM events GROUP BY event_type, bucket
+    ),
+    pairs AS (
+      SELECT event_type, y,
+             lead(y) OVER (PARTITION BY event_type ORDER BY bucket) AS y1
+      FROM hourly
+    ),
+    sums AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sx, CAST(sum(y1) AS BIGINT) AS sy,
+             CAST(sum(y * y1) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS sxx,
+             CAST(sum(y1 * y1) AS BIGINT) AS syy
+      FROM pairs WHERE y1 IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS autocorr_lag1
+    FROM sums
+    """,
+)
+def q_autocorr_lag1_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly volume per type — the
+    burstiness/persistence signal monitoring pipelines alarm on —
+    via the same exact-integer-sums Pearson form as pearson_qty_price
+    (consecutive pairs from one lead() window per key)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("y"))
+    y1 = F.lead("y").over(Window.partitionBy("event_type").orderBy("bucket"))
+    pairs = hourly.select("event_type", "y", y1.alias("y1")).where(
+        F.col("y1").isNotNull()
+    )
+    sums = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sx"),
+        F.sum("y1").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y1")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sxx"),
+        F.sum(F.col("y1") * F.col("y1")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    dx = F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    dy = F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return sums.select("event_type", "n", (num / (dx * dy)).alias("autocorr_lag1"))
