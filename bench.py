@@ -109,6 +109,15 @@ HEADLINE = [
     "changepoint_candidates",
     "recency_weighted_activity",
     "er_golden_parts",
+    "mmr_diversified_topk",
+    "survival_table",
+    "trend_slopes_by_type",
+    "pearson_qty_price",
+    "benford_price_audit",
+    "gini_by_segment",
+    "ab_test_chi_square",
+    "weighted_median_price",
+    "autocorr_lag1_by_type",
 ]
 
 

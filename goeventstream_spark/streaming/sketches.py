@@ -1,29 +1,76 @@
-"""Streaming heavy hitters: a persisted Misra-Gries summary per hash
-bucket, maintained incrementally over continuous ingest.
-
-Batch `sketches.heavy_hitters` proposes candidates with one shuffle-free
-MG pass; this is its continuous-ingest form. Each micro-batch:
-
-1. exact word counts for the batch (one bounded aggregation);
-2. union with the persisted per-bucket summaries;
-3. MG-compress each bucket back to <= k counters: subtract the
-   (k+1)-largest combined count from every counter, keep positives —
-   the standard mergeable-summaries compress (Agarwal et al., PODS'12),
-   which adds at most n_batch/(k+1) to the undercount error;
-4. overwrite the summary index.
-
-Because ALL occurrences of a word hash to ONE bucket, a word absent
-from its bucket's summary after any number of merges has true count
-<= n_bucket/(k+1) <= n_total/(k+1) — the same superset guarantee the
-batch operator relies on, so "candidates + exact verify" stays EXACT
-under streaming. State is n_buckets * k counters total, bounded
-forever; n_buckets spreads summary maintenance across executors.
+"""Streaming sketch accumulation: per-micro-batch partial sketches
+written to a batch_id-partitioned lake (idempotent under replay, same
+dynamic-overwrite contract as streaming/dedup.py), merged exactly on
+read because CMS counters are associative sums. This is the
+continuous-ingest form of the mergeability already pinned for the
+batch sketches: a 100 TB stream never rebuilds the sketch — each
+micro-batch contributes O(depth x width) cells and the union
+re-aggregates to the exact full-corpus sketch.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from goeventstream_spark.operators.sketches import cms_build
+
+
+def streaming_cms_build(
+    stream_items: DataFrame,
+    cells_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+):
+    """Start the sketch-accumulation stream; returns the
+    StreamingQuery. Read the lake with spark.read.parquet(cells_dir)
+    and merge via operators.sketches.cms_merge."""
+
+    def sink(batch_df, batch_id):
+        spark = batch_df.sparkSession  # CLONED session — conf goes here
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                cms_build(batch_df, key_col, depth, width)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(cells_dir)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream_items.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: persisted per-bucket Misra-Gries summaries
+# ---------------------------------------------------------------------------
+# Batch `sketches.heavy_hitters` proposes candidates with one
+# shuffle-free MG pass; this is its continuous-ingest form. Each
+# micro-batch: (1) exact batch word counts; (2) union with persisted
+# per-bucket summaries; (3) MG-compress each bucket back to <= k
+# counters (subtract the (k+1)-largest combined count, keep positives
+# — the mergeable-summaries compress of Agarwal et al., PODS'12, which
+# adds at most n_batch/(k+1) undercount); (4) overwrite the index.
+# ALL occurrences of a word hash to ONE bucket, so a word absent from
+# its bucket's summary has true count <= n_bucket/(k+1) <=
+# n_total/(k+1): the same superset guarantee the batch operator relies
+# on — "candidates + exact verify" stays EXACT under streaming. State
+# is n_buckets * k counters, bounded forever.
+
+from pyspark.sql import Window  # noqa: E402  (window for MG compress)
 
 SUMMARY_SCHEMA = "bucket int, word string, mg_count long"
 
