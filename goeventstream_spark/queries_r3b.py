@@ -948,3 +948,74 @@ def q_autocorr_lag1_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     dx = F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
     dy = F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
     return sums.select("event_type", "n", (num / (dx * dy)).alias("autocorr_lag1"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — position-aware near-dup evidence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winnowing_digests",
+    """
+    WITH words AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1
+               AS pos
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS raw_pos
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    sh AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id, pos,
+               concat_ws(' ', word,
+                         lead(word, 1) OVER win, lead(word, 2) OVER win)
+                 AS shingle,
+               lead(word, 2) OVER win AS _tail
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE _tail IS NOT NULL
+    ),
+    starts AS (
+      SELECT s.doc_id, s.pos AS wstart
+      FROM sh s JOIN (SELECT doc_id, max(pos) AS mx FROM sh GROUP BY doc_id) m
+        ON s.doc_id = m.doc_id
+      WHERE s.pos + 3 <= m.mx
+    ),
+    pick AS (
+      SELECT doc_id, pos, h FROM (
+        SELECT st.doc_id, st.wstart, sh.pos, sh.h,
+               row_number() OVER (PARTITION BY st.doc_id, st.wstart
+                                  ORDER BY sh.h, sh.pos DESC) AS rk
+        FROM starts st JOIN sh
+          ON sh.doc_id = st.doc_id
+         AND sh.pos BETWEEN st.wstart AND st.wstart + 3
+      ) WHERE rk = 1
+    ),
+    sel AS (SELECT DISTINCT doc_id, pos, h FROM pick)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(h % 1000003) AS BIGINT) AS fp_digest,
+           CAST(min(h) AS BIGINT) AS min_fp, CAST(max(h) AS BIGINT) AS max_fp
+    FROM sel GROUP BY doc_id
+    """,
+)
+def q_winnowing_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint digest (count + exact modular
+    digest + extremes of the selected 60-bit hashes): the MOSS
+    selection keeps ~2/(w+1) of shingle hashes while guaranteeing any
+    shared run of >= w+k-1 words leaves a common fingerprint — the
+    position-aware middle ground between exact-dup md5 and full
+    shingle Jaccard. See dedup.winnowing_fingerprints (k=3, w=4)."""
+    from goeventstream_spark.operators import dedup
+
+    fps = dedup.winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.sum(F.col("h") % 1000003).cast("long").alias("fp_digest"),
+        F.min("h").cast("long").alias("min_fp"),
+        F.max("h").cast("long").alias("max_fp"),
+    )
