@@ -1019,3 +1019,83 @@ def q_winnowing_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").cast("long").alias("min_fp"),
         F.max("h").cast("long").alias("max_fp"),
     )
+
+
+_WINNOW_SEL = """
+    words AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1
+               AS pos
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS raw_pos
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    sh AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id, pos,
+               concat_ws(' ', word,
+                         lead(word, 1) OVER win, lead(word, 2) OVER win)
+                 AS shingle,
+               lead(word, 2) OVER win AS _tail
+        FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) WHERE _tail IS NOT NULL
+    ),
+    starts AS (
+      SELECT s.doc_id, s.pos AS wstart
+      FROM sh s JOIN (SELECT doc_id, max(pos) AS mx FROM sh GROUP BY doc_id) m
+        ON s.doc_id = m.doc_id
+      WHERE s.pos + 3 <= m.mx
+    ),
+    pick AS (
+      SELECT doc_id, pos, h FROM (
+        SELECT st.doc_id, st.wstart, sh.pos, sh.h,
+               row_number() OVER (PARTITION BY st.doc_id, st.wstart
+                                  ORDER BY sh.h, sh.pos DESC) AS rk
+        FROM starts st JOIN sh
+          ON sh.doc_id = st.doc_id
+         AND sh.pos BETWEEN st.wstart AND st.wstart + 3
+      ) WHERE rk = 1
+    ),
+    sel AS (SELECT DISTINCT doc_id, pos, h FROM pick)
+"""
+
+
+@query(
+    "winnowing_candidate_pairs",
+    f"""
+    WITH {_WINNOW_SEL},
+    fp AS (SELECT DISTINCT doc_id, h FROM sel)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from shared winnowing fingerprints (>= 2
+    common selected hashes): the MOSS matching step — an inverted-index
+    self-join on the ~2/(w+1)-sampled fingerprint table, so the pair
+    generation cost is a fraction of the full-shingle index while still
+    guaranteed to catch any w+k-1-word shared run (twice, for the >= 2
+    filter, i.e. runs of ~2(w+k-1) or two separate shared runs)."""
+    from goeventstream_spark.operators import dedup
+
+    fps = (
+        dedup.winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
