@@ -737,3 +737,109 @@ def test_kmeans_fixed_point_matches_python_model(grid_vectors):
         if vids:
             want.add((cid, len(vids), sum(vids), cents[cid][0]))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=12).map(lambda i: f"t{i}"),
+        min_size=8,
+        max_size=30,
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=12).map(lambda i: f"t{i}"),
+        min_size=8,
+        max_size=30,
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=12).map(lambda i: f"u{i}"),
+        min_size=6,
+        max_size=6,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_winnowing_shared_run_guarantee(words_a, words_b, shared_run):
+    """The MOSS guarantee: two docs sharing a run of >= w + k - 1 words
+    (k=3, w=4 -> 6) must share at least one selected fingerprint."""
+    from goeventstream_spark.operators import dedup
+
+    spark = _spark()
+    text_a = " ".join(words_a + shared_run)
+    text_b = " ".join(shared_run + words_b)
+    docs = spark.createDataFrame(
+        [(0, text_a), (1, text_b)], "doc_id long, text string"
+    )
+    fps = dedup.winnowing_fingerprints(docs, k=3, w=4).collect()
+    h_a = {r.h for r in fps if r.doc_id == 0}
+    h_b = {r.h for r in fps if r.doc_id == 1}
+    assert h_a & h_b, (text_a, text_b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),   # cents
+            st.integers(min_value=1, max_value=9),    # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_weighted_median_matches_python_model(rows):
+    """The running-weight window form must pick exactly the first value
+    (in (cents, orderkey, linenumber) order) whose cumulative weight
+    reaches half the total — checked against a direct fold."""
+    from goeventstream_spark import queries as q
+
+    spark = _spark()
+    data = [
+        ("A", float(c), float(wt), i, i) for i, (c, wt) in enumerate(rows)
+    ]
+    li = spark.createDataFrame(
+        data,
+        "l_returnflag string, l_extendedprice double, l_quantity double,"
+        " l_orderkey long, l_linenumber long",
+    )
+    # call through the registered query's shape via a local rebuild
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = (
+        w.select(
+            "l_returnflag",
+            "cents",
+            F.sum("wt").over(run).alias("cum"),
+            F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("cents").alias("median_cents"))
+        .collect()[0]
+        .median_cents
+    )
+    # model: first value (in (cents, key) order) whose cumulative
+    # weight reaches half the total
+    tot = sum(wt for _, wt in rows)
+    cum = 0
+    want = None
+    for cents, wt, _i in sorted(
+        [(int(round(c * 100)), wt, i) for i, (c, wt) in enumerate(rows)],
+        key=lambda t: (t[0], t[2]),
+    ):
+        cum += wt
+        if 2 * cum >= tot:
+            want = cents
+            break
+    assert got == want
