@@ -84,24 +84,32 @@ def update(assigned: DataFrame, old: list[list[int]]) -> list[list[int]]:
     return new
 
 
-def kmeans_fixed_point(
-    emb: DataFrame, k: int = 4, iters: int = 2, scale: int = 1000
-) -> DataFrame:
-    """Run ``iters`` Lloyd iterations; return per-cluster summary
-    (cluster_id, n_members, sum_vec_id, centroid_dim0) — all BIGINT,
-    hash-comparable against a SQL transcription of the same steps."""
-    vectors = quantize_vectors(emb, scale=scale)
-    # 3 passes read this relation; at fixture scale Spark recomputes it
-    # for free, at 100 TB the caller persists the quantized table once.
+def kmeans_fit(
+    vectors: DataFrame, k: int = 4, iters: int = 2
+) -> tuple[DataFrame, list[list[int]]]:
+    """Run ``iters`` Lloyd iterations over a quantized (vec_id, v)
+    relation; return (last assignment, final centroids). The last
+    assignment is the one that PRODUCED the final centroids (classic
+    Lloyd reporting)."""
     init = vectors.orderBy("vec_id").limit(k).collect()
     centroids = [list(r.v) for r in sorted(init, key=lambda r: r.vec_id)]
     assigned = None
     for _ in range(iters):
         assigned = assign(vectors, centroids)
         centroids = update(assigned, centroids)
-        # Final-iteration semantics: report the assignment that PRODUCED
-        # the last centroids (classic Lloyd reporting), so the loop
-        # updates after assigning even on the last pass.
+    return assigned, centroids
+
+
+def kmeans_fixed_point(
+    emb: DataFrame, k: int = 4, iters: int = 2, scale: int = 1000
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; return per-cluster summary
+    (cluster_id, n_members, sum_vec_id, centroid_dim0) — all BIGINT,
+    hash-comparable against a SQL transcription of the same steps."""
+    # 3 passes read this relation; at fixture scale Spark recomputes it
+    # for free, at 100 TB the caller persists the quantized table once.
+    vectors = quantize_vectors(emb, scale=scale)
+    assigned, centroids = kmeans_fit(vectors, k=k, iters=iters)
     return (
         assigned.groupBy("cluster_id")
         .agg(
@@ -116,4 +124,69 @@ def kmeans_fixed_point(
             ),
         )
         .select("cluster_id", "n_members", "sum_vec_id", "centroid_dim0")
+    )
+
+
+def ivf_fixed_search(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    probes: int = 2,
+    n_queries: int = 3,
+    top_k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF search with a FULLY deterministic trajectory — the oracled
+    complement to `similarity.ivf_topk` (whose sampled float-KMeans
+    codebooks are rows-only by design): coarse centroids come from
+    `kmeans_fit` on the integer grid, the corpus is assigned to the
+    FINAL centroids in one literal-broadcast map pass, each query
+    probes its ``probes`` nearest cells, and candidates are ranked by
+    exact integer distance (ties to vec_id). Every step is integer
+    arithmetic, so a SQL engine replays the identical search.
+
+    Scale anatomy (same as ivf_topk): centroids are k x dims driver
+    ints; assignment/probing are map passes; the probe join keys on
+    cluster_id, so each query touches ~probes/k of the corpus."""
+    vectors = quantize_vectors(emb, scale=scale)
+    _, cents = kmeans_fit(vectors, k=k, iters=iters)
+    indexed = assign(vectors, cents).select(
+        "cluster_id", F.col("vec_id"), F.col("v")
+    )
+    cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(F.col("v"), c).alias("d"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, c in enumerate(cents)
+            ]
+        )
+    )
+    probed = (
+        vectors.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.slice(cells, 1, probes).getField("cid")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        probed.join(indexed, "cluster_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist.alias("dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= top_k
     )

@@ -1099,3 +1099,70 @@ def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )
+
+
+@query(
+    "ivf_fixed_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+      FROM e ORDER BY vec_id LIMIT 4
+    ),{_kq_iter(1, "c0")},{_kq_iter(2, "c1")},
+    a3 AS (
+      SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT e.vec_id, e.v, c2.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_kq_dist("e.v", "c2.v")},
+                                           c2.cid) AS rk
+        FROM e, c2
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT query_id, cid AS cluster_id FROM (
+        SELECT e.vec_id AS query_id, c2.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_kq_dist("e.v", "c2.v")},
+                                           c2.cid) AS rk
+        FROM e, c2 WHERE e.vec_id < 3
+      ) WHERE rk <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id,
+             CAST({_kq_dist("q.v", "a.v")} AS BIGINT) AS dist
+      FROM probes p
+      JOIN a3 a ON a.cluster_id = p.cluster_id
+      JOIN e q ON q.vec_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, dist, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dist, vec_id) AS BIGINT) AS rk
+      FROM cand
+    ) WHERE rk <= 5
+    """,
+)
+def q_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search with a FULLY hash-oracled trajectory: coarse
+    codebook = deterministic fixed-point k-means (k=4, 2 iterations),
+    corpus indexed to the final centroids in one literal-broadcast map
+    pass, 2-of-4 cell probing, exact integer distance ranking. The
+    sampled float-KMeans variant (`ivf_topk`) remains the production
+    scale path and stays rows-only by design; THIS query proves the
+    whole IVF mechanism — train, index, probe, rank — end-to-end
+    against SQL. See clustering.ivf_fixed_search."""
+    from goeventstream_spark.operators import clustering
+
+    return clustering.ivf_fixed_search(
+        load_table(spark, sf_dir, "embeddings"),
+        k=4,
+        iters=2,
+        probes=2,
+        n_queries=3,
+        top_k=5,
+    )
