@@ -190,3 +190,76 @@ def ivf_fixed_search(
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
         F.col("rk") <= top_k
     )
+
+
+def pq_fixed_adc_topk(
+    emb: DataFrame,
+    n_sub: int = 4,
+    k: int = 4,
+    iters: int = 1,
+    n_queries: int = 3,
+    top_k: int = 5,
+    scale: int = 1000,
+    dims: int = 64,
+) -> DataFrame:
+    """Product quantization with a FULLY hash-oracled trajectory — the
+    deterministic complement to `similarity.pq_index`/`pq_adc_topk`
+    (whose sampled float codebooks are rows-only by design): split the
+    integer-grid vector into ``n_sub`` subspaces, train a fixed-point
+    k-means codebook per subspace, encode every vector as its nearest
+    per-subspace centroid ids (one literal-broadcast map pass), and
+    search by Asymmetric Distance Computation — the query's exact
+    integer distance to each candidate's RECONSTRUCTED subspace
+    centroids, summed. Every step is integer arithmetic; SQL replays
+    the identical train-encode-search pipeline.
+
+    Scale anatomy (same as the production PQ): codebooks are
+    n_sub * k * (dims/n_sub) driver ints; encoding is map-side; ADC is
+    one broadcast-queries scan over the (vec_id, codes) table, which is
+    dims/(n_sub*8)x smaller than the raw vectors — the whole point of
+    PQ at 100 TB."""
+    sub_dims = dims // n_sub
+    vectors = quantize_vectors(emb, scale=scale)
+
+    def sl(col, s: int):
+        return F.slice(col, s * sub_dims + 1, sub_dims)
+
+    cents: list[list[list[int]]] = []
+    for s in range(n_sub):
+        vs = vectors.select("vec_id", sl(F.col("v"), s).alias("v"))
+        _, c = kmeans_fit(vs, k=k, iters=iters)
+        cents.append(c)
+    code_cols = []
+    for s in range(n_sub):
+        best = F.least(
+            *[
+                F.struct(
+                    _sqdist(sl(F.col("v"), s), c).alias("d"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, c in enumerate(cents[s])
+            ]
+        )
+        code_cols.append(best.getField("cid").alias(f"code_{s}"))
+    codes = vectors.select("vec_id", *code_cols)
+    queries = vectors.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    adc = None
+    for s in range(n_sub):
+        dists = F.array(
+            *[_sqdist(sl(F.col("qv"), s), c) for c in cents[s]]
+        )
+        term = F.element_at(dists, F.col(f"code_{s}").cast("int") + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.cast("long").alias("adc_dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= top_k
+    )

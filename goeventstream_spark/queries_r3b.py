@@ -1166,3 +1166,117 @@ def q_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=3,
         top_k=5,
     )
+
+
+def _kq_iter_s(i: int, prev_c: str, sfx: str, src: str) -> str:
+    """Suffix-parameterized Lloyd iteration (per-subspace variant of
+    _kq_iter): assign from ``src`` vs ``prev_c``, floored-mean update."""
+    return f"""
+    a{i}{sfx} AS (
+      SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT {src}.vec_id, {src}.v, {prev_c}.cid,
+               row_number() OVER (PARTITION BY {src}.vec_id
+                                  ORDER BY {_kq_dist(f"{src}.v", f"{prev_c}.v")},
+                                           {prev_c}.cid) AS rk
+        FROM {src}, {prev_c}
+      ) WHERE rk = 1
+    ),
+    s{i}{sfx} AS (
+      SELECT cluster_id, dim, sum(val) AS s, count(*) AS n
+      FROM (SELECT cluster_id, generate_subscripts(v, 1) AS dim,
+                   unnest(v) AS val FROM a{i}{sfx})
+      GROUP BY cluster_id, dim
+    ),
+    c{i}{sfx} AS (
+      SELECT {prev_c}.cid, coalesce(m.mv, {prev_c}.v) AS v
+      FROM {prev_c} LEFT JOIN (
+        SELECT cluster_id AS cid,
+               list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+                    ORDER BY dim) AS mv
+        FROM s{i}{sfx} GROUP BY cluster_id
+      ) m USING (cid)
+    )"""
+
+
+def _pq_sql(n_sub: int = 4, sub_dims: int = 16, n_queries: int = 3, top_k: int = 5) -> str:
+    parts = ["""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    )"""]
+    for s in range(n_sub):
+        lo, hi = s * sub_dims + 1, (s + 1) * sub_dims
+        parts.append(
+            f""",
+    e{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),
+    c0s{s} AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+      FROM e{s} ORDER BY vec_id LIMIT 4
+    ),{_kq_iter_s(1, f"c0s{s}", f"s{s}", f"e{s}")},
+    code{s} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e{s}.vec_id, c1s{s}.cid,
+               row_number() OVER (PARTITION BY e{s}.vec_id
+                                  ORDER BY {_kq_dist(f"e{s}.v", f"c1s{s}.v")},
+                                           c1s{s}.cid) AS rk
+        FROM e{s}, c1s{s}
+      ) WHERE rk = 1
+    )"""
+        )
+    adc_terms = " + ".join(
+        f"({_kq_dist(f'q{s}.v', f'k{s}.v')})" for s in range(n_sub)
+    )
+    qjoins = "\n      ".join(
+        f"JOIN e{s} q{s} ON q{s}.vec_id = q.query_id" for s in range(n_sub)
+    )
+    kjoins = "\n      ".join(
+        f"JOIN c1s{s} k{s} ON k{s}.cid = x{s}.cid" for s in range(n_sub)
+    )
+    xjoins = "\n      ".join(
+        f"JOIN code{s} x{s} ON x{s}.vec_id = x.vec_id" for s in range(n_sub)
+    )
+    parts.append(
+        f""",
+    q AS (SELECT vec_id AS query_id FROM e WHERE vec_id < {n_queries}),
+    adc AS (
+      SELECT q.query_id, x.vec_id,
+             CAST({adc_terms} AS BIGINT) AS adc_dist
+      FROM e x
+      CROSS JOIN q
+      {xjoins}
+      {qjoins}
+      {kjoins}
+      WHERE x.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, adc_dist, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc_dist, vec_id) AS BIGINT)
+                  AS rk
+      FROM adc
+    ) WHERE rk <= {top_k}"""
+    )
+    return "".join(parts)
+
+
+@query("pq_fixed_adc_topk", _pq_sql())
+def q_pq_fixed_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization fully hash-oracled end-to-end: 4 subspace
+    codebooks trained by fixed-point k-means (1 Lloyd iteration each),
+    map-side encoding to per-subspace centroid ids, and ADC search
+    (query-to-reconstructed-centroid exact integer distances, summed)
+    over broadcast queries. The sampled float-codebook PQ
+    (`pq_codes`/`pq_adc_topk`) remains the production scale path and
+    stays rows-only by design; this query proves the whole PQ
+    mechanism against SQL. See clustering.pq_fixed_adc_topk."""
+    from goeventstream_spark.operators import clustering
+
+    return clustering.pq_fixed_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_sub=4,
+        k=4,
+        iters=1,
+        n_queries=3,
+        top_k=5,
+    )
