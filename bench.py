@@ -118,6 +118,10 @@ HEADLINE = [
     "ab_test_chi_square",
     "weighted_median_price",
     "autocorr_lag1_by_type",
+    "winnowing_digests",
+    "winnowing_candidate_pairs",
+    "ivf_fixed_topk",
+    "pq_fixed_adc_topk",
 ]
 
 
