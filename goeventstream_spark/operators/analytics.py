@@ -448,7 +448,12 @@ def trend_slopes(
         )
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # single-bucket keys (n == 1) have zero x-variance: slope is NULL,
+    # not a DIVIDE_BY_ZERO crash under ANSI mode
+    den = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
     return sums.select(
         key_col,
         "n",

@@ -543,13 +543,13 @@ def q_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_hour,
+           / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope_per_hour,
            (CAST(sy AS DOUBLE)
             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0))
               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
     FROM sums
     """,
@@ -584,10 +584,11 @@ def q_trend_slopes_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, n,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+           / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0)
+             AS pearson_r
     FROM sums
     """,
 )
@@ -623,7 +624,9 @@ def q_pearson_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     dx = F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
     dy = F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
     return sums.select(
-        "l_returnflag", "n", (num / (dx * dy)).alias("pearson_r")
+        "l_returnflag",
+        "n",
+        (num / F.nullif(dx * dy, F.lit(0.0))).alias("pearson_r"),
     )
 
 
@@ -716,7 +719,7 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(1000000.0
                       * (2.0 * CAST(six AS DOUBLE)
                          - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
-                      / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+                      / nullif(CAST(n AS DOUBLE) * CAST(sx AS DOUBLE), 0)) AS BIGINT)
              AS gini_ppm
     FROM sums
     """,
@@ -756,7 +759,7 @@ def q_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini = (
         F.lit(1000000.0)
         * (F.lit(2.0) * F.col("six").cast("double") - (nd + F.lit(1.0)) * F.col("sx").cast("double"))
-        / (nd * F.col("sx").cast("double"))
+        / F.nullif(nd * F.col("sx").cast("double"), F.lit(0.0))
     )
     return sums.select(
         "c_mktsegment",
@@ -788,8 +791,9 @@ def q_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
             * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
                - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
-           / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
-              * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi_square
+           / nullif(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE), 0)
+             AS chi_square
     FROM cells
     """,
 )
@@ -826,7 +830,11 @@ def q_ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("b") + F.col("d")).cast("double")
     )
     return cells.select(
-        "a", "b", "c", "d", (n * ad_bc * ad_bc / den).alias("chi_square")
+        "a",
+        "b",
+        "c",
+        "d",
+        (n * ad_bc * ad_bc / F.nullif(den, F.lit(0.0))).alias("chi_square"),
     )
 
 
@@ -914,10 +922,10 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n,
            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0)
              AS autocorr_lag1
     FROM sums
     """,
@@ -947,7 +955,11 @@ def q_autocorr_lag1_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
     dx = F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
     dy = F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
-    return sums.select("event_type", "n", (num / (dx * dy)).alias("autocorr_lag1"))
+    return sums.select(
+        "event_type",
+        "n",
+        (num / F.nullif(dx * dy, F.lit(0.0))).alias("autocorr_lag1"),
+    )
 
 
 # ---------------------------------------------------------------------------

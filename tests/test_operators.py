@@ -644,3 +644,19 @@ def test_prefix_filter_join_equals_inverted_index(spark, sf_dir):
             for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
         }
         assert got == want, f"t={t}: {got ^ want}"
+
+
+def test_trend_slope_degenerate_inputs_null_not_crash(spark):
+    """A key with a single hourly bucket has zero x-variance: the slope
+    must be NULL (nullif guard), never an ANSI DIVIDE_BY_ZERO crash."""
+    import datetime as dt
+
+    from goeventstream_spark.operators import analytics
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 10), "solo")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = analytics.trend_slopes(ev).collect()
+    assert len(rows) == 1
+    assert rows[0].slope_per_hour is None
