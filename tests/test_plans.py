@@ -512,3 +512,51 @@ def test_er_golden_pair_join_blocked_not_cartesian(spark, sf_dir):
     df = q.QUERIES["er_golden_parts"](spark, sf_dir)
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_fixed_probe_join_shapes(spark, sf_dir):
+    # assignment/probing are literal-broadcast map work; the only join
+    # is the probe's cluster_id equi-join — no sort-merge, no cartesian.
+    df = q.QUERIES["ivf_fixed_topk"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_fixed_encode_is_map_only_and_adc_broadcasts(spark, sf_dir):
+    # encoding must be a pure map pass (codebooks are literals): zero
+    # exchanges, zero joins in the codes relation; the ADC scan joins
+    # only against the broadcast query batch.
+    from goeventstream_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = clustering.quantize_vectors(emb)
+    cents = []
+    for s in range(4):
+        vs = vectors.select(
+            "vec_id", F.slice(F.col("v"), s * 16 + 1, 16).alias("v")
+        )
+        _, c = clustering.kmeans_fit(vs, k=4, iters=1)
+        cents.append(c)
+    code_cols = []
+    for s in range(4):
+        best = F.least(
+            *[
+                F.struct(
+                    clustering._sqdist(
+                        F.slice(F.col("v"), s * 16 + 1, 16), c
+                    ).alias("d"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, c in enumerate(cents[s])
+            ]
+        )
+        code_cols.append(best.getField("cid").alias(f"code_{s}"))
+    codes = vectors.select("vec_id", *code_cols)
+    cplan = plans.physical_plan(codes)
+    assert "Join" not in cplan and plans.count_exchanges(codes) == 0, cplan
+
+    full = q.QUERIES["pq_fixed_adc_topk"](spark, sf_dir)
+    plan = plans.physical_plan(full)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
