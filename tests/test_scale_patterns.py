@@ -554,3 +554,21 @@ def test_incremental_dedup_bucketed_index_history_shuffle_free(spark, sf_dir, tm
         if (r.doc_a % 2 == 0) or (r.doc_b % 2 == 0)
     }
     assert got == want
+
+
+def test_misra_gries_candidate_volume_bounded(spark, sf_dir):
+    """The heavy-hitter propose stage must emit <= numPartitions * k
+    rows REGARDLESS of vocabulary size — the sketch contract that
+    replaces the full-vocabulary frequency shuffle at 100 TB."""
+    from goeventstream_spark.operators import sketches
+    from goeventstream_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    n_parts, k = 8, 64
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .repartition(n_parts)
+    )
+    cand = sketches.misra_gries_candidates(words, "word", k=k)
+    assert cand.count() <= n_parts * k
