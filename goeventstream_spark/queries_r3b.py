@@ -844,14 +844,12 @@ def q_ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT l_returnflag,
              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
-             CAST(l_quantity AS BIGINT) AS wt,
-             l_orderkey, l_linenumber
-      FROM lineitem
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem GROUP BY l_returnflag, cents
     ),
     c AS (
       SELECT l_returnflag, cents, wt,
-             sum(wt) OVER (PARTITION BY l_returnflag
-                           ORDER BY cents, l_orderkey, l_linenumber
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents
                            ROWS UNBOUNDED PRECEDING) AS cum_wt,
              sum(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
       FROM w
@@ -865,21 +863,26 @@ def q_ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted median price per return flag: the first
-    value (price-ordered, deterministic tiebreak) whose running weight
-    reaches half the total — all integer arithmetic, one window pass
-    per flag. The unweighted `percentile` builtin cannot express this;
-    the window form scales as one partitioned sort."""
+    value (price-ordered) whose running weight reaches half the total
+    — all integer arithmetic. The per-value weights collapse in one
+    map-side-combinable aggregation FIRST, so the running-sum window
+    scans the distinct-cents relation (bounded by the value domain),
+    never raw rows. The unweighted `percentile` builtin cannot express
+    this."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = li.select(
+    # Collapse to (flag, cents) BEFORE the window: the running sum then
+    # scans distinct VALUES per flag (bounded by the cents domain), not
+    # raw rows — the form that survives a billions-row flag partition.
+    # Collapsing groups of equal cents cannot move the crossing value:
+    # the first row-level crossing happens inside some cents group, and
+    # min(cents) over crossings picks that same group either way.
+    w = li.groupBy(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
-        F.col("l_quantity").cast("long").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
-    )
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("wt"))
     run = (
         Window.partitionBy("l_returnflag")
-        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tot = Window.partitionBy("l_returnflag")
