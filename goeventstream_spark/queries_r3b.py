@@ -743,16 +743,38 @@ def q_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    i = F.row_number().over(
-        Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    # Rank-sum over distinct VALUES, not individuals: for a block of m
+    # customers tied at value x occupying ranks prev+1..prev+m,
+    # sum(i * x) over the block is x * (m*prev + m*(m+1)/2) — tie order
+    # never matters in the Gini rank sum. The running-count window
+    # therefore scans the (segment, cents) relation (bounded by the
+    # value domain), never raw customers; the oracle states the plain
+    # per-individual row_number() definition and the hashes must agree.
+    blocks = rev.groupBy("c_mktsegment", "cents").agg(
+        F.count("*").cast("long").alias("m")
+    )
+    run = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    contrib = F.col("cents") * (
+        F.col("m") * (F.col("cum_m") - F.col("m"))
+        + F.expr("div(m * (m + 1), 2)")
     )
     sums = (
-        rev.withColumn("i", i.cast("long"))
+        blocks.withColumn("cum_m", F.sum("m").over(run))
+        .select(
+            "c_mktsegment",
+            F.col("m").alias("n_part"),
+            (F.col("m") * F.col("cents")).alias("sx_part"),
+            contrib.alias("six_part"),
+        )
         .groupBy("c_mktsegment")
         .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("sx"),
-            F.sum(F.col("i") * F.col("cents")).cast("long").alias("six"),
+            F.sum("n_part").cast("long").alias("n"),
+            F.sum("sx_part").cast("long").alias("sx"),
+            F.sum("six_part").cast("long").alias("six"),
         )
     )
     nd = F.col("n").cast("double")
