@@ -338,8 +338,12 @@ def q_er_golden_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     record
     per entity: canonical id/name from the minimum-id member, merged
     best price, and a brand-conflict count. The pair step never leaves
-    its block, the closure is the contraction path, and survivorship
-    is one aggregation over (entity, member) rows."""
+    its block and survivorship is one aggregation over (entity, member)
+    rows. Measured negative result: a char-histogram count-filter
+    (L1/2 <= lev lower bound) prepended to the bounded levenshtein ran
+    3x SLOWER at sf0.1 — the zip_with/aggregate HOF evaluates
+    interpreted per pair while the builtin bounded levenshtein stays
+    codegen'd — so the simpler predicate IS the fast one here."""
     from goeventstream_spark.operators import dedup
 
     part = load_table(spark, sf_dir, "part").select(
