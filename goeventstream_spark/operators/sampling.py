@@ -233,3 +233,78 @@ def temperature_rates(df: DataFrame, group_col: str = "lang") -> DataFrame:
         .cast("long")
         .alias("keep_threshold"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data-selection scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): weight
+    each document by how much its hashed-unigram distribution looks
+    like the TARGET corpus vs the RAW corpus.
+
+    Per hash bucket b the importance ratio is the add-one-smoothed
+        p_target(b) / p_raw(b)
+          = (tc_b + 1) * (R + n_buckets) / ((rc_b + 1) * (T + n_buckets))
+    kept LOG-FREE as one scaled integer division (libm log is not
+    bit-portable across engines; the ratio form is) — same discipline
+    as the unigram-fluency rationals. A document's score is the exact
+    BIGINT sum of its per-bucket token counts times the bucket score.
+
+    Scale shape: bucket distributions are two n_buckets-key
+    aggregations (map-side combinable); the per-bucket score table is
+    n_buckets rows BROADCAST back onto the per-doc bucket counts; one
+    final per-doc fold. Nothing driver-side; corpus scanned twice
+    (distribution + scoring), the second scan prunable to (doc, text).
+    """
+    words = docs.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("int")
+        % F.lit(n_buckets)
+    ).alias("bucket")
+    wb = words.select(id_col, "is_target", bucket)
+    dist = wb.groupBy("bucket").agg(
+        F.sum("is_target").cast("long").alias("tc"),
+        F.count("*").cast("long").alias("rc"),
+    )
+    spine = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    totals = dist.agg(
+        F.sum("tc").cast("long").alias("t_total"),
+        F.sum("rc").cast("long").alias("r_total"),
+    )
+    scores = (
+        spine.join(dist, "bucket", "left")
+        .na.fill({"tc": 0, "rc": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"div({scale} * (tc + 1) * (r_total + {n_buckets}),"
+                f" (rc + 1) * (t_total + {n_buckets}))"
+            ).alias("bucket_score"),
+        )
+    )
+    per_doc = wb.groupBy(id_col, "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return (
+        per_doc.join(F.broadcast(scores), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("bucket_score"))
+            .cast("long")
+            .alias("dsir_score"),
+        )
+    )

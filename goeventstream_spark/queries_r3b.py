@@ -1321,3 +1321,54 @@ def q_pq_fixed_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_queries=3,
         top_k=5,
     )
+
+
+@query(
+    "dsir_importance_scores",
+    """
+    WITH wb AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+             CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) % 64 AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+    ),
+    dist AS (
+      SELECT bucket, CAST(sum(is_target) AS BIGINT) AS tc,
+             CAST(count(*) AS BIGINT) AS rc
+      FROM wb GROUP BY bucket
+    ),
+    totals AS (
+      SELECT CAST(sum(tc) AS BIGINT) AS t_total,
+             CAST(sum(rc) AS BIGINT) AS r_total
+      FROM dist
+    ),
+    scores AS (
+      SELECT s.bucket,
+             (1000000 * (coalesce(d.tc, 0) + 1) * (t.r_total + 64))
+               // ((coalesce(d.rc, 0) + 1) * (t.t_total + 64)) AS bucket_score
+      FROM (SELECT CAST(range AS INT) AS bucket FROM range(0, 64)) s
+      LEFT JOIN dist d ON d.bucket = s.bucket
+      CROSS JOIN totals t
+    ),
+    per_doc AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM wb GROUP BY doc_id, bucket
+    )
+    SELECT p.doc_id, CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(p.cnt * s.bucket_score) AS BIGINT) AS dsir_score
+    FROM per_doc p JOIN scores s ON p.bucket = s.bucket
+    GROUP BY p.doc_id
+    """,
+)
+def q_dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection scores: per-document importance of the
+    hashed-unigram distribution vs the English target slice, log-free
+    (scaled-integer smoothed ratios — libm log is not bit-portable;
+    rationals are). The selection step of a distribution-matched
+    pretraining mix. See sampling.dsir_importance for the bucket /
+    broadcast anatomy."""
+    from goeventstream_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.dsir_importance(docs, F.col("lang") == "en")
