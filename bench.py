@@ -122,6 +122,7 @@ HEADLINE = [
     "winnowing_candidate_pairs",
     "ivf_fixed_topk",
     "pq_fixed_adc_topk",
+    "dsir_importance_scores",
 ]
 
 
