@@ -71,7 +71,6 @@ def update(assigned: DataFrame, old: list[list[int]]) -> list[list[int]]:
     k x dims (bounded), collected to the driver (k x dims ints — the
     same corpus-size-independent collect contract as IVF codebooks).
     A cluster that lost all members keeps its previous centroid."""
-    dims = len(old[0])
     stats = (
         assigned.select("cluster_id", F.posexplode("v").alias("dim", "val"))
         .groupBy("cluster_id", "dim")
