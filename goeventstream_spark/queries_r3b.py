@@ -1372,3 +1372,57 @@ def q_dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return sampling.dsir_importance(docs, F.col("lang") == "en")
+
+
+@query(
+    "sequential_pair_support",
+    """
+    WITH per_ut AS (
+      SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+      FROM events GROUP BY user_id, event_type
+    ),
+    u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS BIGINT)
+             AS support,
+           u.n_users
+    FROM per_ut a JOIN per_ut b ON a.user_id = b.user_id, u
+    GROUP BY a.event_type, b.event_type, u.n_users
+    """,
+)
+def q_sequential_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern support for every ordered type pair: how many
+    users exhibit "a then b" as a SUBSEQUENCE (some a occurrence
+    strictly before some b occurrence — min(a) < max(b) per user, which
+    also covers a==b as 'a at least twice spanning time'). One per-
+    (user, type) min/max aggregation, then a per-user self-join bounded
+    by the TYPE domain squared — never by events — so the pattern
+    relation stays ~|types|^2 rows at any scale. The sequence-mining
+    support table (PrefixSpan's length-2 seed) the funnel/transition
+    operators don't provide."""
+    ev = load_table(spark, sf_dir, "events")
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    n_users = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a, b = per_ut.alias("a"), per_ut.alias("b")
+    return (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .crossJoin(F.broadcast(n_users))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            "n_users",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.mn") < F.col("b.mx"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("support")
+        )
+        .select("type_a", "type_b", "support", "n_users")
+    )
