@@ -123,6 +123,7 @@ HEADLINE = [
     "ivf_fixed_topk",
     "pq_fixed_adc_topk",
     "dsir_importance_scores",
+    "sequential_pair_support",
 ]
 
 
