@@ -223,11 +223,47 @@ def pq_fixed_adc_topk(
     def sl(col, s: int):
         return F.slice(col, s * sub_dims + 1, sub_dims)
 
-    cents: list[list[list[int]]] = []
-    for s in range(n_sub):
-        vs = vectors.select("vec_id", sl(F.col("v"), s).alias("v"))
-        _, c = kmeans_fit(vs, k=k, iters=iters)
-        cents.append(c)
+    # Train ALL subspace codebooks in one pass per Lloyd iteration:
+    # serial per-subspace kmeans_fit costs n_sub x the fixed job
+    # overhead for identical math. One init collect, then per round a
+    # single (subspace, cluster, dim)-keyed aggregation (bounded key
+    # space n_sub * k * sub_dims) updates every codebook at once.
+    init = vectors.orderBy("vec_id").limit(k).collect()
+    init_rows = sorted(init, key=lambda r: r.vec_id)
+    cents: list[list[list[int]]] = [
+        [list(r.v)[s * sub_dims : (s + 1) * sub_dims] for r in init_rows]
+        for s in range(n_sub)
+    ]
+    for _ in range(iters):
+        per_sub = [
+            vectors.select(
+                F.lit(s).alias("sub"),
+                sl(F.col("v"), s).alias("sv"),
+                F.least(
+                    *[
+                        F.struct(
+                            _sqdist(sl(F.col("v"), s), c).alias("d"),
+                            F.lit(cid).cast("long").alias("cid"),
+                        )
+                        for cid, c in enumerate(cents[s])
+                    ]
+                ).getField("cid").alias("cluster_id"),
+            )
+            for s in range(n_sub)
+        ]
+        stacked = per_sub[0]
+        for p in per_sub[1:]:
+            stacked = stacked.unionByName(p)
+        stats = (
+            stacked.select("sub", "cluster_id", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("sub", "cluster_id", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cents = [[list(c) for c in cs] for cs in cents]
+        for r in stats:
+            new_cents[r.sub][r.cluster_id][r.dim] = r.s // r.n
+        cents = new_cents
     code_cols = []
     for s in range(n_sub):
         best = F.least(
