@@ -1426,3 +1426,55 @@ def q_sequential_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("type_a", "type_b", "support", "n_users")
     )
+
+
+@query(
+    "principal_direction",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS xi
+      FROM e
+    ),
+    cov AS (
+      SELECT a.i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS c
+      FROM pos a JOIN pos b USING (vec_id) GROUP BY a.i, b.i
+    ),
+    v1 AS (SELECT i, CAST(sum(c) AS BIGINT) AS v FROM cov GROUP BY i),
+    m1 AS (SELECT CAST(max(abs(v)) AS BIGINT) AS m FROM v1),
+    w1 AS (SELECT i, CAST((v * 1000) // m AS BIGINT) AS w FROM v1, m1),
+    v2 AS (
+      SELECT cov.i, CAST(sum(c * w1.w) AS BIGINT) AS v
+      FROM cov JOIN w1 ON w1.i = cov.j GROUP BY cov.i
+    ),
+    m2 AS (SELECT CAST(max(abs(v)) AS BIGINT) AS m FROM v2),
+    w2 AS (SELECT i, CAST((v * 1000) // m AS BIGINT) AS w FROM v2, m2),
+    rqn AS (
+      SELECT CAST(sum(wi.w * cov.c * wj.w) AS BIGINT) AS rq_num
+      FROM cov JOIN w2 wi ON wi.i = cov.i JOIN w2 wj ON wj.i = cov.j
+    ),
+    rqd AS (SELECT CAST(sum(w * w) AS BIGINT) AS rq_den FROM w2)
+    SELECT CAST(w2.i AS BIGINT) AS dim, w2.w AS component, rq_num, rq_den
+    FROM w2, rqn, rqd
+    """,
+)
+def q_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding second-moment
+    matrix by fixed-point power iteration — distributed linear algebra
+    as a hash-oracled query, which float PCA can never be. The
+    second-moment aggregation is the only data-sized stage (one
+    (i, j)-keyed shuffle, dims^2 keys); both power steps and the exact
+    Rayleigh quotient run on the 64x64 matrix relation. The per-step
+    rescale is TRUNCATING integer division (identical in Spark's div
+    and DuckDB's //; floor of a float quotient is not engine-safe).
+    See operators/linalg.py."""
+    from goeventstream_spark.operators import linalg
+
+    return linalg.top_principal_direction(
+        load_table(spark, sf_dir, "embeddings"), iters=2
+    )
