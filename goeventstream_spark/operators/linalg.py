@@ -61,8 +61,14 @@ def _rescale(matvec: DataFrame) -> DataFrame:
 def top_principal_direction(
     emb: DataFrame, iters: int = 2, scale: int = 1000
 ) -> DataFrame:
-    """Leading principal direction after ``iters`` fixed-point power
-    steps from the all-ones start, with the exact Rayleigh quotient:
+    """``iters`` fixed-point power steps toward the leading principal
+    direction from the all-ones start, with the exact Rayleigh
+    quotient. Convergence is spectrum-dependent (per-step gain is the
+    eigenvalue ratio): on the near-isotropic synthetic fixtures two
+    steps reach 70-86% of lambda_max — the exact rq_num/rq_den in the
+    output IS the quality certificate; more steps converge further at
+    one bounded matvec each. Returned values are engine-exact
+    regardless.
     returns 64 rows (dim, component, rq_num, rq_den) where
     rq_num/rq_den = (w^T C w) / (w^T w) — both exact BIGINTs, scalars
     repeated per row for a flat, hash-friendly shape."""

@@ -1464,9 +1464,14 @@ def q_sequential_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading principal direction of the embedding second-moment
-    matrix by fixed-point power iteration — distributed linear algebra
-    as a hash-oracled query, which float PCA can never be. The
+    """Two fixed-point power steps toward the leading principal
+    direction of the embedding second-moment matrix — distributed
+    linear algebra as a hash-oracled query, which float PCA can never
+    be. The exact Rayleigh quotient in the output certifies the
+    captured variance (70-86% of lambda_max on the near-isotropic
+    fixtures; convergence per step is the eigenvalue ratio, so spiked
+    real-world spectra converge fast while the arithmetic stays
+    engine-exact). The
     second-moment aggregation is the only data-sized stage (one
     (i, j)-keyed shuffle, dims^2 keys); both power steps and the exact
     Rayleigh quotient run on the 64x64 matrix relation. The per-step
