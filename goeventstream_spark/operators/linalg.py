@@ -67,9 +67,8 @@ def top_principal_direction(
     eigenvalue ratio): on the near-isotropic synthetic fixtures two
     steps reach 70-86% of lambda_max — the exact rq_num/rq_den in the
     output IS the quality certificate; more steps converge further at
-    one bounded matvec each. Returned values are engine-exact
-    regardless.
-    returns 64 rows (dim, component, rq_num, rq_den) where
+    one bounded matvec each. Values are engine-exact regardless.
+    Returns 64 rows (dim, component, rq_num, rq_den) where
     rq_num/rq_den = (w^T C w) / (w^T w) — both exact BIGINTs, scalars
     repeated per row for a flat, hash-friendly shape."""
     from goeventstream_spark.operators import clustering
