@@ -124,6 +124,7 @@ HEADLINE = [
     "pq_fixed_adc_topk",
     "dsir_importance_scores",
     "sequential_pair_support",
+    "principal_direction",
 ]
 
 
