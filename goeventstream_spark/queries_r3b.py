@@ -1483,3 +1483,24 @@ def q_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linalg.top_principal_direction(
         load_table(spark, sf_dir, "embeddings"), iters=2
     )
+
+
+@query("lineitem_storage_report")  # rows-only: the oracle needs a file
+# path (parquet_metadata), which the driver's view-based harness cannot
+# express — the EXACT byte-level equality vs DuckDB's parquet_metadata()
+# is pinned in tests/test_sources.py instead.
+def q_lineitem_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout audit of the fact table from parquet FOOTERS
+    only: per-column chunk counts, value counts, exact compressed /
+    uncompressed byte totals — the statistics a manifest/data-skipping
+    layer indexes, read driver-side in kilobytes per file (the planner
+    reads metadata; executors read data). Pytest pins the report
+    hash-equal to DuckDB's native parquet_metadata() over the same
+    footers. See sources/stats.py."""
+    import os
+
+    from goeventstream_spark.sources import stats
+
+    return stats.column_storage_report(
+        spark, os.path.join(sf_dir, "lineitem.parquet")
+    )

@@ -347,3 +347,31 @@ def test_compact_parquet_sizes_from_bytes_and_roundtrips(spark, sf_dir, tmp_path
     dst2 = str(tmp_path / "compacted2")
     n2 = compact_parquet(spark, dst, dst2, target_file_mb=512, cluster_cols=["ts"])
     assert n2 == n
+
+
+def test_storage_report_matches_duckdb_parquet_metadata(spark, sf_dir):
+    """The footer-derived storage report must equal DuckDB's native
+    parquet_metadata() byte-for-byte (same footers, same sums) — the
+    exactness pin the driver's view-based oracle cannot express."""
+    import duckdb
+
+    from goeventstream_spark.sources.stats import column_storage_report
+
+    path = f"{sf_dir}/lineitem.parquet"
+    got = {
+        (r.path_in_schema, r.n_chunks, r.n_values, r.compressed, r.uncompressed)
+        for r in column_storage_report(spark, path).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+            SELECT path_in_schema, CAST(count(*) AS BIGINT),
+                   CAST(sum(num_values) AS BIGINT),
+                   CAST(sum(total_compressed_size) AS BIGINT),
+                   CAST(sum(total_uncompressed_size) AS BIGINT)
+            FROM parquet_metadata('{path}') GROUP BY path_in_schema
+            """
+        ).fetchall()
+    }
+    assert got == want
