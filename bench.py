@@ -125,6 +125,7 @@ HEADLINE = [
     "dsir_importance_scores",
     "sequential_pair_support",
     "principal_direction",
+    "lineitem_storage_report",
 ]
 
 
