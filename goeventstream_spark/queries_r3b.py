@@ -1504,3 +1504,120 @@ def q_lineitem_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.column_storage_report(
         spark, os.path.join(sf_dir, "lineitem.parquet")
     )
+
+
+# Scaled DCG discounts floor(1e6 / log2(rank + 1)) for ranks 1..5 —
+# precomputed so both engines weight with identical integers.
+_DCG_DISC = [1000000, 630929, 500000, 430676, 386852]
+_IDCG = sum(_DCG_DISC)
+_DISC_CASE = "CASE rk " + " ".join(
+    f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_DCG_DISC)
+) + " END"
+
+
+@query(
+    "ann_quality_report",
+    f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+      FROM e ORDER BY vec_id LIMIT 4
+    ),{_kq_iter(1, "c0")},{_kq_iter(2, "c1")},
+    a3 AS (
+      SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT e.vec_id, e.v, c2.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_kq_dist("e.v", "c2.v")},
+                                           c2.cid) AS rk
+        FROM e, c2
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT query_id, cid AS cluster_id FROM (
+        SELECT e.vec_id AS query_id, c2.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_kq_dist("e.v", "c2.v")},
+                                           c2.cid) AS rk
+        FROM e, c2 WHERE e.vec_id < 3
+      ) WHERE rk <= 2
+    ),
+    ivf AS (
+      SELECT query_id, vec_id, rk FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {_kq_dist("q.v", "a.v")}, a.vec_id)
+                 AS rk
+        FROM probes p
+        JOIN a3 a ON a.cluster_id = p.cluster_id
+        JOIN e q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+      ) WHERE rk <= 5
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, x.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_kq_dist("q.v", "x.v")}, x.vec_id)
+                 AS rk
+        FROM (SELECT * FROM e WHERE vec_id < 3) q, e x
+        WHERE x.vec_id <> q.vec_id
+      ) WHERE rk <= 5
+    )
+    SELECT i.query_id,
+           CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap,
+           CAST(sum(CASE WHEN x.vec_id IS NOT NULL
+                         THEN {_DISC_CASE} ELSE 0 END) AS BIGINT) AS dcg_scaled,
+           CAST((1000000 * sum(CASE WHEN x.vec_id IS NOT NULL
+                                    THEN {_DISC_CASE} ELSE 0 END))
+                // {_IDCG} AS BIGINT) AS ndcg_ppm
+    FROM ivf i
+    LEFT JOIN exact x ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+    GROUP BY i.query_id
+    """,
+)
+def q_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality readout of the oracled IVF path against exact
+    search: per query, top-5 overlap (recall numerator) and the
+    rank-weighted NDCG@5 in scaled integers (precomputed 1/log2
+    discount constants — no float boundary anywhere, so even the
+    EVALUATION is hash-oracled). The eval-harness shape every ANN
+    deployment runs before trusting an index; probes=all equals exact
+    by construction (pinned for ivf_topk), probes=2 trades recall for
+    a 2-of-4 corpus scan and this report prices that trade."""
+    from goeventstream_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = clustering.ivf_fixed_search(
+        emb, k=4, iters=2, probes=2, n_queries=3, top_k=5
+    ).select("query_id", "vec_id", "rk")
+    exact = clustering.ivf_fixed_search(
+        emb, k=4, iters=2, probes=4, n_queries=3, top_k=5
+    ).select(
+        F.col("query_id").alias("xq"), F.col("vec_id").alias("xv")
+    )
+    disc = F.coalesce(
+        *[
+            F.when(F.col("rk") == i + 1, F.lit(d))
+            for i, d in enumerate(_DCG_DISC)
+        ]
+    )
+    hit = F.col("xv").isNotNull()
+    joined = ivf.join(
+        exact,
+        (F.col("query_id") == F.col("xq")) & (F.col("vec_id") == F.col("xv")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_overlap"),
+        F.sum(F.when(hit, disc).otherwise(0)).cast("long").alias("dcg_scaled"),
+        F.expr(
+            f"div(1000000 * sum(CASE WHEN xv IS NOT NULL THEN "
+            f"({_DISC_CASE}) ELSE 0 END), {_IDCG})"
+        ).alias("ndcg_ppm"),
+    )
