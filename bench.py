@@ -126,6 +126,7 @@ HEADLINE = [
     "sequential_pair_support",
     "principal_direction",
     "lineitem_storage_report",
+    "ann_quality_report",
 ]
 
 
