@@ -141,3 +141,56 @@ def streaming_heavy_hitter_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dsir_distribution(
+    docs_stream: DataFrame,
+    cells_dir: str,
+    checkpoint_dir: str,
+    target_pred_sql: str = "lang = 'en'",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Accumulate the DSIR hashed-unigram bucket distribution over
+    continuous ingest: per micro-batch, one bounded (bucket, tc, rc)
+    partial written to a batch_id-partitioned lake (idempotent under
+    replay, the streaming_cms_build contract); the union re-aggregates
+    to the exact full-corpus distribution because both counters are
+    plain sums. Importance scores are then priced from the merged
+    distribution exactly as the batch `sampling.dsir_importance` —
+    the test pins distribution equality."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            words = batch_df.select(
+                F.expr(f"CAST(({target_pred_sql}) AS INT)").alias("is_target"),
+                F.explode(F.split(F.col(text_col), " ")).alias("word"),
+            )
+            cells = words.select(
+                "is_target",
+                word_bucket(F.col("word"), n_buckets).alias("bucket"),
+            ).groupBy("bucket").agg(
+                F.sum("is_target").cast("long").alias("tc"),
+                F.count("*").cast("long").alias("rc"),
+            )
+            (
+                cells.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(cells_dir)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

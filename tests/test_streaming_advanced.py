@@ -713,3 +713,55 @@ def test_streaming_heavy_hitters_superset_and_exact(spark, sf_dir, tmp_path):
         (w, c, n) for w, c in true_counts.items() if w in cand and c * 32 > n
     }
     assert got == want
+
+
+def test_streaming_dsir_distribution_equals_batch(spark, sf_dir, tmp_path):
+    """The accumulated (bucket, tc, rc) lake, merged, must equal the
+    batch DSIR distribution exactly — both counters are associative
+    sums, so continuous ingest never re-scans history."""
+    from goeventstream_spark.streaming.sketches import (
+        streaming_dsir_distribution,
+        word_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_dsir_distribution(
+        stream,
+        cells_dir=str(tmp_path / "cells"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    merged = (
+        spark.read.parquet(str(tmp_path / "cells"))
+        .groupBy("bucket")
+        .agg(F.sum("tc").alias("tc"), F.sum("rc").alias("rc"))
+    )
+    got = {(r.bucket, r.tc, r.rc) for r in merged.collect()}
+    words = docs.select(
+        (F.col("lang") == "en").cast("int").alias("is_target"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    want = {
+        (r.bucket, r.tc, r.rc)
+        for r in words.select(
+            "is_target", word_bucket(F.col("word"), 64).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_target").cast("long").alias("tc"),
+            F.count("*").cast("long").alias("rc"),
+        )
+        .collect()
+    }
+    assert got == want
