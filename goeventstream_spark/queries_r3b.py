@@ -1621,3 +1621,76 @@ def q_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({_DISC_CASE}) ELSE 0 END), {_IDCG})"
         ).alias("ndcg_ppm"),
     )
+
+
+@query(
+    "ab_test_mann_whitney",
+    """
+    WITH units AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS variant, count(*) AS x
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    ranked AS (
+      SELECT variant, x,
+             rank() OVER (ORDER BY x) AS rk,
+             count(*) OVER (PARTITION BY x) AS tie_n
+      FROM units
+    ),
+    sums AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 0 THEN 2 * rk + tie_n - 1 ELSE 0 END)
+             AS BIGINT) AS r0_doubled,
+        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM ranked
+    )
+    SELECT n0, n1,
+           CAST(r0_doubled - n0 * (n0 + 1) AS BIGINT) AS u0_doubled,
+           CAST(2 * n0 * n1 - (r0_doubled - n0 * (n0 + 1)) AS BIGINT)
+             AS u1_doubled
+    FROM sums
+    """,
+)
+def q_ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric A/B readout: the Mann-Whitney U statistic over
+    (user, day) activity counts, exact — tied values get the average
+    rank, kept integer by working in DOUBLED ranks (2*rank + ties - 1),
+    so U is reported as 2U with no float anywhere. Complements the
+    chi-square conversion test with a continuous-metric test. One unit
+    aggregation, one global rank window over the (bounded) unit
+    relation, one fold."""
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.groupBy("user_id", F.date_trunc("day", "ts")).agg(
+        F.count("*").alias("x")
+    ).select((F.col("user_id") % 2).cast("long").alias("variant"), "x")
+    # Rank sums over distinct VALUES: every unit tied at x shares the
+    # doubled average rank 2*cum - n_x + 1 (cum = running unit count
+    # through x), so the window scans the bounded value domain, never
+    # raw units — the same hardening as gini_by_segment; the oracle
+    # states the per-unit rank() definition and the hashes must agree.
+    blocks = units.groupBy("x").agg(
+        F.count("*").cast("long").alias("n_x"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0_x"),
+    )
+    cum = F.sum("n_x").over(
+        Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_x = blocks.select(
+        "n_x",
+        "n0_x",
+        (2 * cum - F.col("n_x") + 1).alias("dr"),
+    )
+    sums = per_x.agg(
+        F.sum(F.col("n0_x") * F.col("dr")).cast("long").alias("r0_doubled"),
+        F.sum("n0_x").cast("long").alias("n0"),
+        F.sum(F.col("n_x") - F.col("n0_x")).cast("long").alias("n1"),
+    )
+    u0 = F.col("r0_doubled") - F.col("n0") * (F.col("n0") + 1)
+    return sums.select(
+        "n0",
+        "n1",
+        u0.cast("long").alias("u0_doubled"),
+        (2 * F.col("n0") * F.col("n1") - u0).cast("long").alias("u1_doubled"),
+    )
