@@ -1694,3 +1694,119 @@ def q_ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u0.cast("long").alias("u0_doubled"),
         (2 * F.col("n0") * F.col("n1") - u0).cast("long").alias("u1_doubled"),
     )
+
+
+from goeventstream_spark.queries_llm import _BANDED as _LLM_BANDED  # noqa: E402
+from goeventstream_spark.queries_llm import _NUM_HASHES as _LLM_K  # noqa: E402
+
+_MINHASH_CAL_SQL = """
+    WITH 
+  words AS (
+    SELECT doc_id, word, pos FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ) WHERE word <> ''
+  )
+,
+  sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             concat_ws(' ', word, lead(word, 1) OVER win, lead(word, 2) OVER win) AS shingle,
+             lead(word, 2) OVER win AS w3
+      FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE w3 IS NOT NULL
+  )
+,
+  sig AS (SELECT doc_id, min(md5('0|' || shingle)) AS m0, min(md5('1|' || shingle)) AS m1, min(md5('2|' || shingle)) AS m2, min(md5('3|' || shingle)) AS m3, min(md5('4|' || shingle)) AS m4, min(md5('5|' || shingle)) AS m5, min(md5('6|' || shingle)) AS m6, min(md5('7|' || shingle)) AS m7, min(md5('8|' || shingle)) AS m8, min(md5('9|' || shingle)) AS m9, min(md5('10|' || shingle)) AS m10, min(md5('11|' || shingle)) AS m11, min(md5('12|' || shingle)) AS m12, min(md5('13|' || shingle)) AS m13, min(md5('14|' || shingle)) AS m14, min(md5('15|' || shingle)) AS m15 FROM sh GROUP BY doc_id),
+  banded AS (
+    SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15, 0 AS band_id, md5(concat_ws('|', m0, m1, m2, m3)) AS band_sig FROM sig UNION ALL SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15, 1 AS band_id, md5(concat_ws('|', m4, m5, m6, m7)) AS band_sig FROM sig UNION ALL SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15, 2 AS band_id, md5(concat_ws('|', m8, m9, m10, m11)) AS band_sig FROM sig UNION ALL SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11, m12, m13, m14, m15, 3 AS band_id, md5(concat_ws('|', m12, m13, m14, m15)) AS band_sig FROM sig
+  )
+,
+    est AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (CAST(a.m0 = b.m0 AS INT) + CAST(a.m1 = b.m1 AS INT) + CAST(a.m2 = b.m2 AS INT) + CAST(a.m3 = b.m3 AS INT) + CAST(a.m4 = b.m4 AS INT) + CAST(a.m5 = b.m5 AS INT) + CAST(a.m6 = b.m6 AS INT) + CAST(a.m7 = b.m7 AS INT) + CAST(a.m8 = b.m8 AS INT) + CAST(a.m9 = b.m9 AS INT) + CAST(a.m10 = b.m10 AS INT) + CAST(a.m11 = b.m11 AS INT) + CAST(a.m12 = b.m12 AS INT) + CAST(a.m13 = b.m13 AS INT) + CAST(a.m14 = b.m14 AS INT) + CAST(a.m15 = b.m15 AS INT)) AS n_match
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT e.doc_a, e.doc_b, count(*) AS n_inter
+      FROM est e
+      JOIN sh a ON a.doc_id = e.doc_a
+      JOIN sh b ON b.doc_id = e.doc_b AND b.shingle = a.shingle
+      GROUP BY e.doc_a, e.doc_b
+    ),
+    joined AS (
+      SELECT e.n_match, coalesce(i.n_inter, 0) AS n_inter,
+             za.n_sh + zb.n_sh - coalesce(i.n_inter, 0) AS n_union
+      FROM est e
+      LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+      JOIN sizes za ON za.doc_id = e.doc_a
+      JOIN sizes zb ON zb.doc_id = e.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(abs(n_match * n_union - 16 * n_inter)) AS BIGINT)
+             AS err_num,
+           CAST(16 * sum(n_union) AS BIGINT) AS err_den,
+           CAST(max(abs(n_match * n_union - 16 * n_inter)) AS BIGINT)
+             AS worst_err_num
+    FROM joined
+"""
+
+
+@query("minhash_calibration_report", _MINHASH_CAL_SQL)
+def q_minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit of the MinHash estimator — the dedup
+    counterpart of ann_quality_report: over EVERY banded-LSH candidate
+    pair (no threshold), compare the 128-perm signature estimate with
+    the exact shingle Jaccard, reporting the aggregate absolute error
+    as an exact integer fraction
+        sum |n_match * union - 128 * inter|  /  (128 * sum union)
+    plus the worst single-pair error numerator. No float anywhere, so
+    even the calibration is hash-oracled. This is the report that
+    justifies (or indicts) a chosen band/perm configuration before
+    trusting it at 100 TB; candidate generation stays the banded join,
+    and the exact-Jaccard verification touches candidate pairs only."""
+    from goeventstream_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    sh = dedup.shingles(docs)
+    # candidate pairs with exact signature match counts (threshold-free)
+    est = dedup.minhash_near_dedup(docs, threshold=0.0).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("est_jaccard") * dedup.DEFAULT_NUM_HASHES)
+        .cast("long")
+        .alias("n_match"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        est.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    k = dedup.DEFAULT_NUM_HASHES
+    joined = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select(
+            "n_match",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    err = F.abs(F.col("n_match") * F.col("n_union") - k * F.col("n_inter"))
+    return joined.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(err).cast("long").alias("err_num"),
+        (F.lit(k) * F.sum("n_union")).cast("long").alias("err_den"),
+        F.max(err).cast("long").alias("worst_err_num"),
+    )
