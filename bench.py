@@ -127,6 +127,8 @@ HEADLINE = [
     "principal_direction",
     "lineitem_storage_report",
     "ann_quality_report",
+    "ab_test_mann_whitney",
+    "minhash_calibration_report",
 ]
 
 
