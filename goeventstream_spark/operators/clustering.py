@@ -134,6 +134,7 @@ def ivf_fixed_search(
     n_queries: int = 3,
     top_k: int = 5,
     scale: int = 1000,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF search with a FULLY deterministic trajectory — the oracled
     complement to `similarity.ivf_topk` (whose sampled float-KMeans
@@ -148,7 +149,13 @@ def ivf_fixed_search(
     ints; assignment/probing are map passes; the probe join keys on
     cluster_id, so each query touches ~probes/k of the corpus."""
     vectors = quantize_vectors(emb, scale=scale)
-    _, cents = kmeans_fit(vectors, k=k, iters=iters)
+    # pass precomputed centroids to share ONE training run across
+    # sibling searches (e.g. probed vs probe-all in the quality report)
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(vectors, k=k, iters=iters)[1]
+    )
     indexed = assign(vectors, cents).select(
         "cluster_id", F.col("vec_id"), F.col("v")
     )

@@ -1593,11 +1593,15 @@ def q_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goeventstream_spark.operators import clustering
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # one codebook training shared by both searches
+    cents = clustering.kmeans_fit(
+        clustering.quantize_vectors(emb), k=4, iters=2
+    )[1]
     ivf = clustering.ivf_fixed_search(
-        emb, k=4, iters=2, probes=2, n_queries=3, top_k=5
+        emb, k=4, iters=2, probes=2, n_queries=3, top_k=5, centroids=cents
     ).select("query_id", "vec_id", "rk")
     exact = clustering.ivf_fixed_search(
-        emb, k=4, iters=2, probes=4, n_queries=3, top_k=5
+        emb, k=4, iters=2, probes=4, n_queries=3, top_k=5, centroids=cents
     ).select(
         F.col("query_id").alias("xq"), F.col("vec_id").alias("xv")
     )
