@@ -1814,3 +1814,100 @@ def q_minhash_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(k) * F.sum("n_union")).cast("long").alias("err_den"),
         F.max(err).cast("long").alias("worst_err_num"),
     )
+
+
+@query(
+    "basket_pair_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+                 FROM baskets),
+    item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_cnt
+             FROM baskets GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS pair_cnt
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.pair_cnt,
+             CAST(1000000 * p.pair_cnt // ia.item_cnt AS BIGINT)
+               AS conf_a_to_b_ppm,
+             CAST((1000000 * p.pair_cnt * n.n)
+                  // (ia.item_cnt * ib.item_cnt) AS BIGINT) AS lift_ppm
+      FROM pairs p
+      JOIN item ia ON ia.l_partkey = p.part_a
+      JOIN item ib ON ib.l_partkey = p.part_b
+      CROSS JOIN n_orders n
+    )
+    SELECT part_a, part_b, pair_cnt, conf_a_to_b_ppm, lift_ppm,
+           CAST(row_number() OVER (ORDER BY pair_cnt DESC, part_a, part_b)
+                AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= 20
+    """,
+)
+def q_basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: top-20 part
+    pairs by co-occurrence support, with confidence(A->B) and lift in
+    exact integer ppm (floor division — no float anywhere). The pair
+    self-join is keyed on the basket id, so blowup is bounded by
+    (lines per order choose 2) — ~21 pairs for TPC-H's 7-line cap —
+    NEVER by catalog size; support counting is one map-side-combinable
+    aggregation. The global top-20 plans as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    item = baskets.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("item_cnt")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("item_cnt").alias("cnt_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("item_cnt").alias("cnt_b")
+    )
+    scored = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.expr("div(1000000 * pair_cnt, cnt_a)").alias("conf_a_to_b_ppm"),
+            F.expr("div(1000000 * pair_cnt * n, cnt_a * cnt_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pair_cnt").desc(), "part_a", "part_b"
+    ).limit(20)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("pair_cnt").desc(), "part_a", "part_b")
+        )
+        .cast("long"),
+    )
