@@ -129,6 +129,7 @@ HEADLINE = [
     "ann_quality_report",
     "ab_test_mann_whitney",
     "minhash_calibration_report",
+    "basket_pair_rules",
 ]
 
 

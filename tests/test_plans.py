@@ -560,3 +560,12 @@ def test_pq_fixed_encode_is_map_only_and_adc_broadcasts(spark, sf_dir):
     plan = plans.physical_plan(full)
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_basket_rules_topk_is_take_ordered(spark, sf_dir):
+    # the global top-20 must plan as TakeOrderedAndProject; the only
+    # Window allowed is the rk derivation AFTER the 20-row take.
+    df = q.QUERIES["basket_pair_rules"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan.split("TakeOrderedAndProject")[-1], plan
