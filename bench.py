@@ -130,6 +130,8 @@ HEADLINE = [
     "ab_test_mann_whitney",
     "minhash_calibration_report",
     "basket_pair_rules",
+    "bigram_lm_fluency_topk",
+    "bootstrap_revenue_ci",
 ]
 
 
@@ -142,6 +144,7 @@ def main() -> None:
     import goeventstream_spark.queries_r2  # noqa: F401
     import goeventstream_spark.queries_r3  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3b  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3c  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,440 @@
+"""Round-3 batch C: bigram-LM fluency ranking, Poisson-bootstrap
+confidence intervals with integer-threshold draws, and
+resource-allocation link prediction over the basket co-occurrence
+graph. Everything is integer-exact (ppm/ppb fixed-point, hardcoded
+Poisson CDF thresholds on an md5 lane) so every query is
+DuckDB-hash-oracled bit-for-bit; no float crosses the engine boundary.
+
+Reference parity note: the reference (GoEventStream) has no text /
+statistics surface — these belong to the SURVEY.md §2b group-3
+LLM-pipeline extension, same as queries_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goeventstream_spark.queries import query
+from goeventstream_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency: add-one smoothed conditional probabilities, ppb-exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bigram_lm_fluency_topk",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    big AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(l))) AS i)
+    ),
+    uni AS (
+      SELECT w1 AS tok, count(*) AS c1 FROM big GROUP BY w1
+    ),
+    vocab AS (
+      SELECT count(DISTINCT tok) AS v FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      )
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+    scored AS (
+      SELECT big.doc_id,
+             (1000000000 * (bc.c2 + 1)) // (uni.c1 + (SELECT v FROM vocab))
+               AS p_ppb
+      FROM big JOIN bc USING (w1, w2) JOIN uni ON big.w1 = uni.tok
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(p_ppb) // count(*) AS BIGINT) AS mean_cond_ppb
+    FROM scored GROUP BY doc_id
+    ORDER BY mean_cond_ppb ASC, doc_id LIMIT 15
+    """,
+)
+def q_bigram_lm_fluency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency: rank documents by mean add-one-smoothed
+    conditional probability P(w2|w1) of their bigrams (lowest = most
+    out-of-distribution), the second-order upgrade of
+    ``unigram_fluency_topk`` and the classic cheap stand-in for
+    perplexity filtering in an LLM data pipeline.
+
+    Exactness: each conditional is floored at parts-per-billion in
+    pure BIGINT arithmetic — (1e9 * (c(w1,w2)+1)) DIV (c(w1)+V) — and
+    the doc score is the floored mean of those integers, so Spark and
+    DuckDB agree bit-for-bit (float log-probs would drift in the last
+    ulp across engines).
+
+    Scale plan: bigrams come from one posexplode + a per-doc window
+    lag (partitioned by doc_id — never global); the bigram and unigram
+    count tables are vocabulary-bounded so they broadcast back onto
+    the stream; per-doc scoring is one agg shuffle on doc_id; the
+    global top-15 plans as TakeOrderedAndProject. At 100 TB the only
+    corpus-sized shuffles are the two count aggregations, both
+    map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    uni = big.groupBy(F.col("w1").alias("tok")).agg(
+        F.count("*").alias("c1")
+    )
+    vocab = tok.agg(F.countDistinct("tok").alias("v"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(uni), big.w1 == uni.tok)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr("(1000000000 * (c2 + 1)) DIV (c1 + v)").alias("p_ppb"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("CAST(sum(p_ppb) DIV count(*) AS BIGINT)").alias(
+                "mean_cond_ppb"
+            ),
+        )
+        .orderBy("mean_cond_ppb", "doc_id")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: integer-threshold draws, exact replicate means, CI
+# ---------------------------------------------------------------------------
+
+# P(Poisson(1) <= k) * 2^32, k = 0..7, floored — hardcoded so the draw is a
+# pure integer comparison in BOTH engines (no exp/factorial at query time).
+# P(X > 7) < 1.1e-5; draws are capped there by construction.
+_POIS1_THRESH = [
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+]
+
+
+def _pois_weight_sql(lane: str) -> str:
+    """SUM_k [lane >= t_k] — the inverse-CDF Poisson(1) draw as pure
+    integer comparisons (engine-portable SQL fragment)."""
+    return " + ".join(
+        f"(CASE WHEN {lane} >= {t} THEN 1 ELSE 0 END)" for t in _POIS1_THRESH
+    )
+
+
+@query(
+    "bootstrap_revenue_ci",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    reps AS (SELECT generate_series AS b FROM generate_series(1, 64)),
+    drawn AS (
+      SELECT o.o_orderpriority, reps.b, o.cents,
+             {_pois_weight_sql("CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || '#' || CAST(reps.b AS VARCHAR)), 1, 8)) AS BIGINT)")} AS w
+      FROM o, reps
+    ),
+    rep_means AS (
+      SELECT o_orderpriority, b,
+             sum(w * cents) // sum(w) AS mean_cents
+      FROM drawn GROUP BY o_orderpriority, b
+    ),
+    ranked AS (
+      SELECT o_orderpriority, mean_cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY mean_cents, b) AS rk
+      FROM rep_means
+    ),
+    point AS (
+      SELECT o_orderpriority, sum(cents) // count(*) AS point_cents
+      FROM o GROUP BY o_orderpriority
+    )
+    SELECT p.o_orderpriority,
+           CAST(p.point_cents AS BIGINT) AS point_cents,
+           CAST(min(CASE WHEN r.rk = 2 THEN r.mean_cents END) AS BIGINT)
+             AS ci_lo_cents,
+           CAST(min(CASE WHEN r.rk = 63 THEN r.mean_cents END) AS BIGINT)
+             AS ci_hi_cents
+    FROM point p JOIN ranked r USING (o_orderpriority)
+    GROUP BY p.o_orderpriority, p.point_cents
+    ORDER BY o_orderpriority
+    """,
+)
+def q_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean order value
+    per order priority: 64 resamples where each order's multiplicity
+    in replicate b is a Poisson(1) draw keyed on md5(orderkey#b), the
+    single-pass bootstrap used on datasets too large to resample by
+    index (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012).
+
+    Exactness: the draw is an inverse-CDF lookup against HARDCODED
+    integer thresholds (P(X<=k)*2^32 floored) on the first md5 lane —
+    pure integer comparisons, identical in Spark and DuckDB; replicate
+    means are floor-divided cents; the CI bounds are order statistics
+    (ranks 2 and 63 of 64), not interpolated percentiles. No float
+    anywhere.
+
+    Scale plan: the 64-way replicate fan-out is map-side (explode of a
+    literal range — no shuffle), the per-(priority, b) partial sums
+    are map-side combinable into ONE agg shuffle of |groups|*64 rows,
+    and the order-statistic window runs per priority over 64 rows.
+    Memory per task is O(64) partial sums — corpus-size-independent.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        # Decouple fan-out parallelism from the input split count: the
+        # 64x replicate explode multiplies work per split, so a small
+        # file (one split) would otherwise hash 64x the table in ONE
+        # task. Shuffling the slim base relation is 64x cheaper than
+        # underparallelizing the draw stage.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    lane = (
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '#', "
+        "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    drawn = o.select(
+        "o_orderpriority",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("b"),
+        "o_orderkey",
+    ).select(
+        "o_orderpriority",
+        "b",
+        "cents",
+        F.expr(_pois_weight_sql(lane)).alias("w"),
+    )
+    rep_means = drawn.groupBy("o_orderpriority", "b").agg(
+        F.expr("sum(w * cents) DIV sum(w)").alias("mean_cents")
+    )
+    wnd = Window.partitionBy("o_orderpriority").orderBy("mean_cents", "b")
+    ranked = rep_means.withColumn("rk", F.row_number().over(wnd))
+    point = o.groupBy("o_orderpriority").agg(
+        F.expr("sum(cents) DIV count(*)").alias("point_cents")
+    )
+    return (
+        point.join(ranked, "o_orderpriority")
+        .groupBy("o_orderpriority", "point_cents")
+        .agg(
+            F.expr(
+                "CAST(min(CASE WHEN rk = 2 THEN mean_cents END) AS BIGINT)"
+            ).alias("ci_lo_cents"),
+            F.expr(
+                "CAST(min(CASE WHEN rk = 63 THEN mean_cents END) AS BIGINT)"
+            ).alias("ci_hi_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("point_cents").cast("long").alias("point_cents"),
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: resource-allocation index over basket co-occurrence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "edge_strength_ra_topk",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS pk FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.pk AS a, b.pk AS b
+      FROM li a JOIN li b ON a.g = b.g AND a.pk < b.pk
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    ),
+    t AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    contrib AS (
+      SELECT a AS u, b AS v, c AS z FROM t
+      UNION ALL SELECT a, c, b FROM t
+      UNION ALL SELECT b, c, a FROM t
+    )
+    SELECT contrib.u AS part_u, contrib.v AS part_v,
+           CAST(count(*) AS BIGINT) AS common_neighbors,
+           CAST(sum(1000000000 // deg.d) AS BIGINT) AS ra_ppb
+    FROM contrib JOIN deg ON contrib.z = deg.node
+    GROUP BY contrib.u, contrib.v
+    ORDER BY ra_ppb DESC, part_u, part_v LIMIT 25
+    """,
+)
+def q_edge_strength_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-strength scoring of the part co-purchase graph: for every
+    co-purchased pair (u,v), the Resource-Allocation weight
+    RA(u,v) = sum over common neighbors z of 1/deg(z) (Zhou, Lu,
+    Zhang 2009 — the integer-exact sibling of Adamic-Adar, which
+    differs only in using 1/log deg) plus the raw common-neighbor
+    count (embeddedness). Top-25 strongest edges.
+
+    Exactness: each 1/deg(z) term is floored at parts-per-billion in
+    BIGINT, so sums are bit-identical across engines; the oracle
+    enumerates triangles id-oriented (a<b<c), the Spark side
+    degree-oriented — both enumerate each triangle exactly once, and
+    the per-edge aggregation is orientation-independent.
+
+    Scale plan: a naive wedge join on the shared neighbor costs
+    sum(deg^2) — quadratic in hub degree, the blowup this query
+    REFUSES. Instead each triangle is enumerated once from its
+    min-(degree,id) vertex over degree-oriented arcs, bounding wedge
+    work by O(m^1.5) (Schank-Wagner); per-triangle contributions to
+    its 3 edges are a constant-factor explode, and the final
+    aggregation is one shuffle keyed on the (u,v) edge. The
+    co-occurrence edge list itself is bounded by sum(basket_size
+    choose 2) — keyed on the basket id, never |parts|^2. Degrees
+    broadcast; top-25 is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        # consumed by deg, ranked, and the triangle-closing join —
+        # without materialization each branch re-runs the basket
+        # self-join + distinct (exchange reuse does not fire across
+        # these shapes); the edge list is sum(basket_size choose 2)
+        # rows, far smaller than lineitem at any scale.
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # Degree-oriented arcs: from the (deg, id)-smaller endpoint to the
+    # larger, so each triangle is found once at its min-rank apex and
+    # per-apex out-degree is O(sqrt m).
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    arcs = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("ds"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    a1, a2 = arcs.alias("a1"), arcs.alias("a2")
+    wedges = a1.join(
+        a2,
+        (F.col("a1.s") == F.col("a2.s"))
+        & (
+            (F.col("a1.dt") < F.col("a2.dt"))
+            | (
+                (F.col("a1.dt") == F.col("a2.dt"))
+                & (F.col("a1.t") < F.col("a2.t"))
+            )
+        ),
+    ).select(
+        F.col("a1.s").alias("z"),
+        F.col("a1.t").alias("x"),
+        F.col("a2.t").alias("y"),
+    )
+    closing = edges.select(
+        F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+    )
+    # Broadcast the closing probe: the wedge stream (sum outdeg^2 rows,
+    # the big side) then never shuffles — it probes the edge hash
+    # map-side. Edges are 2 longs/row; at a scale where they stop
+    # fitting in a broadcast, drop the hint and this degrades to a
+    # sort-merge join keyed on the (lo, hi) pair — still O(m^1.5).
+    # Materialize: the 3-way contribution union below consumes tris
+    # three times, and without a checkpoint each branch would re-run
+    # the whole wedge enumeration. Triangles are ~|t| rows (far fewer
+    # than wedges), so this is the cheap side to pin.
+    tris = (
+        wedges.join(
+            F.broadcast(closing),
+            (F.least("x", "y") == F.col("lo"))
+            & (F.greatest("x", "y") == F.col("hi")),
+        )
+        .select("z", "x", "y")
+        .localCheckpoint(eager=False)
+    )
+    contrib = (
+        tris.select(
+            F.least("x", "y").alias("u"),
+            F.greatest("x", "y").alias("v"),
+            F.col("z").alias("z"),
+        )
+        .unionAll(
+            tris.select(
+                F.least("z", "y").alias("u"),
+                F.greatest("z", "y").alias("v"),
+                F.col("x").alias("z"),
+            )
+        )
+        .unionAll(
+            tris.select(
+                F.least("z", "x").alias("u"),
+                F.greatest("z", "x").alias("v"),
+                F.col("y").alias("z"),
+            )
+        )
+    )
+    return (
+        contrib.join(F.broadcast(deg), contrib.z == deg.node)
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.expr("CAST(sum(1000000000 DIV d) AS BIGINT)").alias("ra_ppb"),
+        )
+        .select(
+            F.col("u").alias("part_u"),
+            F.col("v").alias("part_v"),
+            "common_neighbors",
+            "ra_ppb",
+        )
+        .orderBy(F.desc("ra_ppb"), "part_u", "part_v")
+        .limit(25)
+    )

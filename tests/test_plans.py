@@ -13,6 +13,7 @@ import goeventstream_spark.queries_ext  # noqa: F401
 import goeventstream_spark.queries_r2  # noqa: F401
 import goeventstream_spark.queries_r3  # noqa: F401
 import goeventstream_spark.queries_r3b  # noqa: F401
+import goeventstream_spark.queries_r3c  # noqa: F401  (registers into q.QUERIES)
 from goeventstream_spark import plans
 from goeventstream_spark import queries as q
 from goeventstream_spark.sources import load_table
@@ -569,3 +570,38 @@ def test_basket_rules_topk_is_take_ordered(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan.split("TakeOrderedAndProject")[-1], plan
+
+
+def test_bigram_lm_broadcast_and_take_ordered(spark, sf_dir):
+    # vocabulary-bounded count tables must broadcast back onto the
+    # bigram stream (no sort-merge on the corpus side) and the global
+    # top-15 must plan as TakeOrderedAndProject; the only Window is
+    # the per-doc lead(), partitioned by doc_id — never global.
+    df = q.QUERIES["bigram_lm_fluency_topk"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bootstrap_ci_single_agg_shuffle(spark, sf_dir):
+    # the 64x replicate fan-out must be map-side (explode of a literal
+    # sequence — no join introducing it) and the draw itself pure
+    # expressions: no Python eval in the plan, partial aggregation
+    # before the (priority, b) exchange.
+    df = q.QUERIES["bootstrap_revenue_ci"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_edge_strength_triangle_probe_broadcasts(spark, sf_dir):
+    # the wedge stream (the big side) must probe the closing-edge set
+    # via a broadcast hash join — shuffling sum(outdeg^2) wedge rows
+    # is the quadratic blowup this query exists to avoid.
+    df = q.QUERIES["edge_strength_ra_topk"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
