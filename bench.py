@@ -132,6 +132,7 @@ HEADLINE = [
     "basket_pair_rules",
     "bigram_lm_fluency_topk",
     "bootstrap_revenue_ci",
+    "ewma_hourly_rates",
 ]
 
 

@@ -463,3 +463,71 @@ def trend_slopes(
             / F.col("n").cast("double")
         ).alias("intercept"),
     )
+
+
+def ewma_series(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    num_ppm: int = 1,
+    den: int = 4,
+) -> DataFrame:
+    """Per-key hourly EWMA over a gap-filled series, in pure integer
+    ppm arithmetic: e_1 = x_1 * 1e6; e_t = (x_t * 1e6 * num +
+    (den - num) * e_{t-1}) DIV den — the floor recurrence every engine
+    evaluates identically, so the whole trajectory is hash-oracle-able
+    (float alpha powers would drift; this never leaves int64: e_t is a
+    floored convex combination, bounded by max(x) * 1e6).
+
+    Plan: one (key, hour) count agg, per-key spine via sequence +
+    explode (map-side), a left join back on (key, hour), then ONE
+    applyInPandas pass per key for the scan — an EWMA is inherently
+    sequential in t, so per-key linear scan IS the parallel algorithm:
+    at 100 TB the parallelism axis is the key count, and per-key state
+    is O(1). Arrow moves each key's series once; the pandas closure is
+    self-contained (executor workers don't share the driver's path).
+    """
+    from pyspark.sql import types as T
+
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = events.groupBy(
+        F.col(key_col).alias("k"), hour.alias("h")
+    ).agg(F.count("*").alias("c"))
+    spine = (
+        hourly.groupBy("k")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    filled = spine.join(hourly, ["k", "h"], "left").select(
+        "k", "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    out_schema = T.StructType(
+        [
+            filled.schema["k"],
+            filled.schema["h"],
+            T.StructField("c", T.LongType()),
+            T.StructField("e", T.LongType()),
+        ]
+    )
+
+    def scan(pdf):
+        import pandas as pd  # self-contained: executors don't share sys.path
+
+        pdf = pdf.sort_values("h", ignore_index=True)
+        e, out = None, []
+        for x in pdf["c"]:
+            x = int(x)
+            e = x * 1000000 if e is None else (
+                (x * 1000000 * num_ppm + (den - num_ppm) * e) // den
+            )
+            out.append(e)
+        return pd.DataFrame(
+            {"k": pdf["k"], "h": pdf["h"], "c": pdf["c"], "e": out}
+        )
+
+    return filled.groupBy("k").applyInPandas(scan, out_schema)

@@ -438,3 +438,64 @@ def q_edge_strength_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ra_ppb"), "part_u", "part_v")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing: integer floor recurrence, recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ewma_hourly_rates",
+    """
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), x AS (
+      SELECT s.event_type, s.h, coalesce(hh.c, 0) AS c,
+             row_number() OVER (PARTITION BY s.event_type ORDER BY s.h) AS rn
+      FROM spine s LEFT JOIN hourly hh
+        ON s.event_type = hh.event_type AND s.h = hh.h
+    ), r AS (
+      SELECT event_type, h, rn, c, c * 1000000 AS e FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.h, x.rn, x.c, (x.c * 1000000 + 3 * r.e) // 4
+      FROM r JOIN x ON x.event_type = r.event_type AND x.rn = r.rn + 1
+    )
+    SELECT event_type, h AS hour, CAST(c AS BIGINT) AS cnt,
+           CAST(e AS BIGINT) AS ewma_ppm
+    FROM r
+    """,
+)
+def q_ewma_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the hourly event rate
+    per event type (alpha = 1/4), over a gap-filled hour spine — the
+    smoothed-baseline operator behind alerting and trend monitors.
+
+    Exactness: the recurrence e_t = (x_t*1e6 + 3*e_{t-1}) DIV 4 is
+    pure int64 floor arithmetic evaluated in the same order by both
+    engines (the oracle unrolls it as a recursive CTE over the hour
+    index), so the whole 3600-row trajectory hash-matches — float
+    alpha powers would drift in the last ulp.
+
+    Scale plan: see ``analytics.ewma_series`` — counting and spine are
+    declarative shuffles on (key, hour); the scan itself is one
+    Arrow pass per key with O(1) state, parallel across keys. A
+    sequential recurrence cannot be a window expression without
+    exponent blowup; per-key linear scan IS the scalable algorithm.
+    """
+    from goeventstream_spark.operators.analytics import ewma_series
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma_series(ev, key_col="event_type", ts_col="ts")
+    return out.select(
+        F.col("k").alias("event_type"),
+        F.col("h").alias("hour"),
+        F.col("c").alias("cnt"),
+        F.col("e").alias("ewma_ppm"),
+    )
