@@ -133,6 +133,7 @@ HEADLINE = [
     "bigram_lm_fluency_topk",
     "bootstrap_revenue_ci",
     "ewma_hourly_rates",
+    "incremental_join_merge",
 ]
 
 

@@ -331,3 +331,40 @@ def merge_partial_aggs(
         _merge_fn(c)(c).alias(c) for c in unioned.columns if c not in key_cols
     ]
     return unioned.groupBy(*key_cols).agg(*merge_exprs)
+
+
+def delta_join_maintain(
+    base_l: DataFrame,
+    delta_l: DataFrame,
+    base_r: DataFrame,
+    delta_r: DataFrame,
+    on: list[str],
+    base_view: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental maintenance of an inner-join view: given both
+    relations split into an already-materialized base and a new delta,
+    the refreshed view is
+
+        V' = (Bl JOIN Br)  UNION ALL  (dL JOIN Br)
+             UNION ALL  (Bl JOIN dR)  UNION ALL  (dL JOIN dR)
+
+    — the classic delta-join identity (dV = dL><Br + Bl><dR + dL><dR),
+    exact for inner joins because the four quadrants partition
+    (Bl+dL) x (Br+dR). Pass ``base_view`` to reuse a materialized
+    Bl JOIN Br instead of recomputing it — at scale that quadrant IS
+    the stored view, so a refresh touches only the three delta joins,
+    each shuffling one delta against a co-partitioned (or broadcast)
+    base; history is never rescanned. Aggregates over the view then
+    merge via ``merge_partial_aggs``.
+    """
+    quadrants = [
+        base_view if base_view is not None else base_l.join(base_r, on),
+        delta_l.join(base_r, on),
+        base_l.join(delta_r, on),
+        delta_l.join(delta_r, on),
+    ]
+    it = iter(quadrants)
+    out = next(it)
+    for p in it:
+        out = out.unionByName(p)
+    return out

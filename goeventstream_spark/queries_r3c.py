@@ -499,3 +499,63 @@ def q_ewma_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("cnt"),
         F.col("e").alias("ewma_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance: delta-join quadrants == full recompute
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_join_merge",
+    """
+    SELECT o.o_orderpriority, l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority, l.l_returnflag
+    """,
+)
+def q_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view
+    (relational.delta_join_maintain): orders and lineitem are each
+    split into a base (the already-materialized 80% / non-delta slice)
+    and an independent delta, the view is refreshed as the four
+    delta-join quadrants, and the rollup over the maintained view must
+    equal the from-scratch join + aggregate bit-for-bit — the oracle
+    IS the from-scratch form, so hash-equality proves the delta-join
+    identity exact. Counts and integer cent sums are decomposable, so
+    the per-quadrant partials merge losslessly.
+
+    At 100 TB the base quadrant is the stored view (passed via
+    ``base_view``, here recomputed because the fixture has no
+    warehouse); a refresh then joins only the deltas — each one small
+    enough to broadcast or co-partition — and never rescans history.
+    """
+    from goeventstream_spark.operators.relational import delta_join_maintain
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    o_base = o.where(F.col("o_orderkey") % 5 != 4)
+    o_delta = o.where(F.col("o_orderkey") % 5 == 4)
+    l_base = li.where(F.col("cents") % 3 != 0)
+    l_delta = li.where(F.col("cents") % 3 == 0)
+    view = delta_join_maintain(o_base, o_delta, l_base, l_delta, ["o_orderkey"])
+    # one aggregation over the unioned quadrants: partial aggregation
+    # runs per quadrant map-side, so this IS the partial-merge shape —
+    # with a stored base the base quadrant's partials come from the
+    # warehouse instead (merge_partial_aggs).
+    return (
+        view.groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
