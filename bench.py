@@ -134,6 +134,7 @@ HEADLINE = [
     "bootstrap_revenue_ci",
     "ewma_hourly_rates",
     "incremental_join_merge",
+    "theil_sen_daily_trend",
 ]
 
 

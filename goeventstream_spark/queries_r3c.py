@@ -559,3 +559,99 @@ def q_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: exact median of pairwise slopes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "theil_sen_daily_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, d, cents,
+             datediff('day', min(d) OVER (PARTITION BY event_type), d) AS di
+      FROM daily
+    ), pairs AS (
+      SELECT a.event_type,
+             (1000000 * (b.cents - a.cents)) // (b.di - a.di) AS slope_ucents
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.di < b.di
+    ), ranked AS (
+      SELECT event_type, slope_ucents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_ucents) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM pairs
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+           CAST(min(CASE WHEN rk = (n + 1) // 2 THEN slope_ucents END)
+                AS BIGINT) AS ts_slope_ucents
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue per event type: the
+    median of all pairwise slopes (cents/day, in exact microcents) —
+    the 29%-breakdown-point alternative to the OLS slope in
+    ``trend_slopes_by_type``, immune to the outlier days that drag a
+    least-squares fit.
+
+    Exactness: slopes are integer-divided microcents. Negative
+    slopes make the division semantics load-bearing: BOTH engines'
+    native integer division (Spark DIV, DuckDB //) truncates toward
+    zero on BIGINT operands — verified, not assumed — so the same
+    operator is used on both sides. The median is the lower-median
+    order statistic, not an interpolated percentile. No float
+    anywhere.
+
+    Scale plan: the pair stage is quadratic in the number of DAYS per
+    key — a time-bounded quantity (a decade is ~3.7k days → 6.6M
+    pairs), never data-volume-bounded — and is generated per key
+    after one (key, day) pre-aggregation shuffle of the raw stream.
+    The rank window runs per key over those bounded pairs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.expr("sum(CAST(round(value * 100) AS BIGINT))").alias("cents"))
+    wmin = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        F.datediff(F.col("d"), F.min("d").over(wmin)).alias("di"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.di") < F.col("b.di")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.expr(
+            "(1000000 * (b.cents - a.cents)) DIV (b.di - a.di)"
+        ).alias("slope_ucents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_ucents")
+    ranked = pairs.select(
+        "event_type",
+        "slope_ucents",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(min(CASE WHEN rk = (n + 1) DIV 2"
+                " THEN slope_ucents END) AS BIGINT)"
+            ).alias("ts_slope_ucents"),
+        )
+        .orderBy("event_type")
+    )
