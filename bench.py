@@ -135,6 +135,7 @@ HEADLINE = [
     "ewma_hourly_rates",
     "incremental_join_merge",
     "theil_sen_daily_trend",
+    "conformal_interval_report",
 ]
 
 

@@ -655,3 +655,129 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals: exact order-stat calibration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conformal_interval_report",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS hx
+      FROM orders
+    ),
+    train AS (SELECT * FROM o WHERE hx < '5555'),
+    cal   AS (SELECT * FROM o WHERE hx >= '5555' AND hx < 'aaaa'),
+    test  AS (SELECT * FROM o WHERE hx >= 'aaaa'),
+    model AS (
+      SELECT o_orderpriority, sum(cents) // count(*) AS yhat
+      FROM train GROUP BY o_orderpriority
+    ),
+    scores AS (
+      SELECT c.o_orderpriority, abs(c.cents - m.yhat) AS s,
+             row_number() OVER (PARTITION BY c.o_orderpriority
+                                ORDER BY abs(c.cents - m.yhat), c.o_orderkey)
+               AS rk,
+             count(*) OVER (PARTITION BY c.o_orderpriority) AS n_cal
+      FROM cal c JOIN model m USING (o_orderpriority)
+    ),
+    q AS (
+      SELECT o_orderpriority, max(n_cal) AS n_cal,
+             min(CASE WHEN rk = ((n_cal + 1) * 9 + 9) // 10 THEN s END)
+               AS q_cents
+      FROM scores GROUP BY o_orderpriority
+    )
+    SELECT q.o_orderpriority,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(q.q_cents AS BIGINT) AS q_cents,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST((1000000 * sum(CASE WHEN abs(t.cents - m.yhat) <= q.q_cents
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS coverage_ppm
+    FROM test t
+    JOIN model m USING (o_orderpriority)
+    JOIN q USING (o_orderpriority)
+    GROUP BY q.o_orderpriority, q.n_cal, q.q_cents
+    ORDER BY q.o_orderpriority
+    """,
+)
+def q_conformal_interval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    2018) for order value per priority: fit a point predictor on a
+    train split, take the ceil(0.9 * (n_cal + 1))-th order statistic
+    of absolute calibration residuals as the 90% conformal radius,
+    then report the empirical coverage that radius achieves on a
+    held-out test split — the distribution-free uncertainty harness
+    an ML data pipeline runs next to its models.
+
+    Exactness: the three-way split is the repo's content-stable md5
+    prefix (identical hex ordering in both engines), the predictor is
+    a floor-divided train mean, the radius is an exact order statistic
+    (rank ceil(0.9 * (n+1)) computed as ((n+1)*9+9) DIV 10 in pure
+    integers), and coverage is a ppm floor ratio. No float anywhere.
+
+    Scale plan: the split is a map-side hash predicate (no shuffle);
+    the model and per-priority radii are group-count-bounded relations
+    that broadcast back onto the test stream; the only corpus-sized
+    shuffles are the per-priority aggregations, all map-side
+    combinable; the rank window runs per priority over the calibration
+    slice only.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.substring(
+            F.md5(F.col("o_orderkey").cast("string")), 1, 4
+        ).alias("hx"),
+    )
+    train = o.where(F.col("hx") < "5555")
+    cal = o.where((F.col("hx") >= "5555") & (F.col("hx") < "aaaa"))
+    test = o.where(F.col("hx") >= "aaaa")
+    model = train.groupBy("o_orderpriority").agg(
+        F.expr("sum(cents) DIV count(*)").alias("yhat")
+    )
+    sc = cal.join(F.broadcast(model), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("cents") - F.col("yhat")).alias("s"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("s", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    scored = sc.select(
+        "o_orderpriority",
+        "s",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n_cal"),
+    )
+    qr = scored.groupBy("o_orderpriority").agg(
+        F.max("n_cal").alias("n_cal"),
+        F.expr(
+            "min(CASE WHEN rk = ((n_cal + 1) * 9 + 9) DIV 10 THEN s END)"
+        ).alias("q_cents"),
+    )
+    return (
+        test.join(F.broadcast(model), "o_orderpriority")
+        .join(F.broadcast(qr), "o_orderpriority")
+        .groupBy("o_orderpriority", "n_cal", "q_cents")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.expr(
+                "CAST((1000000 * sum(CASE WHEN abs(cents - yhat) <= q_cents"
+                " THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("q_cents").cast("long").alias("q_cents"),
+            "n_test",
+            "coverage_ppm",
+        )
+        .orderBy("o_orderpriority")
+    )
