@@ -843,3 +843,85 @@ def test_weighted_median_matches_python_model(rows):
             want = cents
             break
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30)
+)
+@settings(max_examples=15, deadline=None)
+def test_ewma_series_matches_python_fold(counts):
+    """analytics.ewma_series must reproduce the plain sequential fold
+    e_t = (x_t*1e6 + 3*e_{t-1}) // 4 over a dense hourly series, and a
+    constant series must be a fixed point (e_t == x*1e6 for all t)."""
+    from goeventstream_spark.operators.analytics import ewma_series
+
+    spark = _spark()
+    rows = []
+    for i, c in enumerate(counts):
+        t = EPOCH + dt.timedelta(hours=i)
+        rows.extend((j, t, 7, "k", None) for j in range(c))
+    if not any(counts):
+        counts = counts + [1]
+        rows = [(0, EPOCH + dt.timedelta(hours=len(counts) - 1), 7, "k", None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = ewma_series(df, key_col="event_type", ts_col="ts").collect()
+    got = {r.h: r.e for r in out}
+    # the spine spans observed hours only: first to last nonzero count
+    lo = next(i for i, c in enumerate(counts) if c)
+    hi = max(i for i, c in enumerate(counts) if c)
+    assert len(got) == hi - lo + 1
+    e = None
+    for i in range(lo, hi + 1):
+        x = counts[i]
+        e = x * 1000000 if e is None else (x * 1000000 + 3 * e) // 4
+        assert got[EPOCH + dt.timedelta(hours=i)] == e
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # join key
+            st.booleans(),                           # left delta flag
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_delta_join_equals_full_recompute(left, right):
+    """The quadrant identity: delta_join_maintain over ANY base/delta
+    split of both sides must produce exactly the rows of the full
+    inner join (as a multiset)."""
+    from collections import Counter
+
+    from goeventstream_spark.operators.relational import delta_join_maintain
+
+    spark = _spark()
+    ldf = spark.createDataFrame(
+        [(k, i, d) for i, (k, d) in enumerate(left)] or [(None, None, None)],
+        "k long, lid long, ld boolean",
+    ).where("k IS NOT NULL")
+    rdf = spark.createDataFrame(
+        [(k, i, d) for i, (k, d) in enumerate(right)] or [(None, None, None)],
+        "k long, rid long, rd boolean",
+    ).where("k IS NOT NULL")
+    view = delta_join_maintain(
+        ldf.where("NOT ld"),
+        ldf.where("ld"),
+        rdf.where("NOT rd").withColumnRenamed("lid", "rid"),
+        rdf.where("rd"),
+        ["k"],
+    )
+    got = Counter((r.k, r.lid, r.rid) for r in view.collect())
+    want = Counter(
+        (r.k, r.lid, r.rid) for r in ldf.join(rdf, ["k"]).collect()
+    )
+    assert got == want
