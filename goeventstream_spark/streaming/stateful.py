@@ -1256,3 +1256,181 @@ def streaming_attribution(
     if _tws_runtime_available():
         return _attribution_tws(src)
     return _attribution_fallback(src)
+
+
+# ---------------------------------------------------------------------------
+# streaming EWMA: keyed incremental scan over closed hours
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("hour_epoch", LongType()),
+        StructField("cnt", LongType()),
+        StructField("ewma_ppm", LongType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("open_hour", LongType()),
+        StructField("open_cnt", LongType()),
+        StructField("e_prev", LongType()),
+        StructField("has_prev", LongType()),
+    ]
+)
+
+_EWMA_COLS = ["event_type", "hour_epoch", "cnt", "ewma_ppm"]
+
+
+def _fold_ewma(state, pdfs):
+    """Shared semantics core (mirrors analytics.ewma_series): fold a
+    batch of ts rows into updated (open_hour, open_cnt, e_prev,
+    has_prev) plus the (hour, cnt, ewma) rows for every hour CLOSED by
+    the arrival of a later hour — gap hours emit cnt=0. Hours arrive
+    non-decreasing across batches (time-ordered source + 0 s
+    watermark), so one open-hour accumulator suffices."""
+    from collections import Counter
+
+    import pandas as pd
+
+    counts = Counter()
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        # unit-safe, tz-naive-safe hour index: pure timedelta floor
+        # (datetime64 .astype(int64) would silently change meaning
+        # between ns- and us-backed frames)
+        hrs = (pd.to_datetime(pdf["ts"]) - pd.Timestamp("1970-01-01")) // (
+            pd.Timedelta(hours=1)
+        )
+        for v in hrs:
+            counts[int(v)] += 1
+    if not counts:
+        return state, []
+    open_hour, open_cnt, e_prev, has_prev = state
+    out = []
+
+    def close(hour, cnt):
+        nonlocal e_prev, has_prev
+        e_prev = (
+            cnt * 1_000_000
+            if not has_prev
+            else (cnt * 1_000_000 + 3 * e_prev) // 4
+        )
+        has_prev = 1
+        out.append((hour, cnt, e_prev))
+
+    for h in sorted(counts):
+        if open_hour is None:
+            open_hour, open_cnt = h, 0
+        elif h > open_hour:
+            close(open_hour, open_cnt)
+            for gap in range(open_hour + 1, h):
+                close(gap, 0)
+            open_hour, open_cnt = h, 0
+        counts_h = counts[h]
+        open_cnt += counts_h
+    return (open_hour, open_cnt, e_prev, has_prev), out
+
+
+class _EwmaProcessor:
+    """Spark 4 StatefulProcessor: closes an hour (emitting cnt + the
+    integer EWMA) when the first event of a later hour arrives; gap
+    hours emit cnt=0. The still-open final hour is never emitted —
+    batch equivalence is ewma_series minus each key's max hour."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("ew", EWMA_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator["object"]:
+        import pandas as pd
+
+        cur = (
+            tuple(self._state.get())
+            if self._state.exists()
+            else (None, 0, 0, 0)
+        )
+        new_state, out = _fold_ewma(cur, rows)
+        if new_state[0] is not None:
+            self._state.update(tuple(new_state))
+        if not out:
+            return
+        yield pd.DataFrame(
+            [(key[0], h * 3600, c, e) for h, c, e in out], columns=_EWMA_COLS
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def _ewma_tws(src: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type("_EwmaTWS", (_EwmaProcessor, StatefulProcessor), {})
+    return src.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=proc_cls(),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def _ewma_fallback(src: DataFrame) -> DataFrame:
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        cur = state.get if state.exists else (None, 0, 0, 0)
+        new_state, out = _fold_ewma(tuple(cur), pdfs)
+        if new_state[0] is not None:
+            state.update(tuple(new_state))
+        if not out:
+            return
+        yield pd.DataFrame(
+            [(key[0], h * 3600, c, e) for h, c, e in out],
+            columns=["event_type", "hour_epoch", "cnt", "ewma_ppm"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return src.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_ewma(
+    events: DataFrame, watermark: str | None = "0 seconds"
+) -> DataFrame:
+    """Streaming form of ``analytics.ewma_series``: per-event-type
+    hourly counts folded through the exact integer EWMA recurrence
+    e_t = (x_t*1e6 + 3*e_{t-1}) DIV 4, emitting each hour (gap hours
+    included, cnt=0) once a later hour's first event closes it. State
+    per key is four longs — O(1), corpus-size-independent.
+
+    CONTRACT: exact batch equivalence (ewma_series minus each key's
+    still-open max hour) requires the 0-second watermark and a
+    time-ordered source, same as first_seen_activity: the single
+    open-hour accumulator cannot accept an hour that arrives after a
+    later hour already closed it, and append mode cannot retract an
+    emitted EWMA. Non-zero delays are rejected; a lateness-tolerant
+    variant needs event-time timers holding each hour open until the
+    watermark passes it.
+    """
+    if watermark is None or _watermark_delay_ms(watermark) != 0:
+        raise ValueError(
+            "streaming_ewma is exact only under a 0-second watermark "
+            f"(got {watermark!r}): a closed hour cannot be reopened and "
+            "append mode cannot retract an emitted EWMA row. Use the "
+            "batch ewma_series for late data."
+        )
+    src = events.select("event_type", "ts").withWatermark("ts", watermark)
+    if _tws_runtime_available():
+        return _ewma_tws(src)
+    return _ewma_fallback(src)

@@ -338,3 +338,46 @@ def test_lateness_intolerant_ops_reject_nonzero_watermark(spark, sf_dir, chunked
     # the exact form still constructs
     first_seen_activity(stream)
     streaming_attribution(stream, watermark="0 seconds")
+
+
+def test_streaming_ewma_matches_batch_scan(spark, sf_dir, chunked_events_dir):
+    """Streaming keyed EWMA == batch analytics.ewma_series on every
+    CLOSED hour (the still-open max hour per key is never emitted in
+    append mode), including cnt=0 gap hours."""
+    from goeventstream_spark.operators.analytics import ewma_series
+    from goeventstream_spark.streaming.stateful import streaming_ewma
+
+    stream = read_event_stream(spark, chunked_events_dir)
+    _run_stream(streaming_ewma(stream), "ewma_out", "append")
+    got = {
+        (r.event_type, r.hour_epoch): (r.cnt, r.ewma_ppm)
+        for r in spark.sql("SELECT * FROM ewma_out").collect()
+    }
+
+    batch = ewma_series(
+        load_table(spark, sf_dir, "events"), key_col="event_type"
+    ).select(
+        F.col("k").alias("event_type"),
+        F.unix_timestamp("h").alias("hour_epoch"),
+        "c",
+        "e",
+    )
+    last = batch.groupBy("event_type").agg(
+        F.max("hour_epoch").alias("last_h")
+    )
+    want = {
+        (r.event_type, r.hour_epoch): (r.c, r.e)
+        for r in batch.join(last, "event_type")
+        .where(F.col("hour_epoch") < F.col("last_h"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 100  # non-trivial trajectory actually compared
+
+
+def test_streaming_ewma_rejects_nonzero_watermark(spark, sf_dir, chunked_events_dir):
+    from goeventstream_spark.streaming.stateful import streaming_ewma
+
+    stream = read_event_stream(spark, chunked_events_dir)
+    with pytest.raises(ValueError, match="0-second watermark"):
+        streaming_ewma(stream, watermark="10 minutes")
