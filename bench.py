@@ -136,6 +136,7 @@ HEADLINE = [
     "incremental_join_merge",
     "theil_sen_daily_trend",
     "conformal_interval_report",
+    "cusum_rate_alerts",
 ]
 
 

@@ -465,6 +465,33 @@ def trend_slopes(
     )
 
 
+def hourly_filled(
+    events: DataFrame, key_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-key hourly counts over a gap-filled spine from each key's
+    first to last observed hour (columns k, h, c) — the shared input
+    shape for sequential-scan monitors (EWMA, CUSUM). One (key, hour)
+    agg shuffle; spine row generation is map-side sequence+explode,
+    bounded by the observed per-key time range."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = events.groupBy(
+        F.col(key_col).alias("k"), hour.alias("h")
+    ).agg(F.count("*").alias("c"))
+    spine = (
+        hourly.groupBy("k")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    return spine.join(hourly, ["k", "h"], "left").select(
+        "k", "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+
+
 def ewma_series(
     events: DataFrame,
     key_col: str = "event_type",
@@ -489,23 +516,7 @@ def ewma_series(
     """
     from pyspark.sql import types as T
 
-    hour = F.date_trunc("hour", F.col(ts_col))
-    hourly = events.groupBy(
-        F.col(key_col).alias("k"), hour.alias("h")
-    ).agg(F.count("*").alias("c"))
-    spine = (
-        hourly.groupBy("k")
-        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-        .select(
-            "k",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
-        )
-    )
-    filled = spine.join(hourly, ["k", "h"], "left").select(
-        "k", "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
+    filled = hourly_filled(events, key_col, ts_col)
     out_schema = T.StructType(
         [
             filled.schema["k"],
@@ -531,3 +542,55 @@ def ewma_series(
         )
 
     return filled.groupBy("k").applyInPandas(scan, out_schema)
+
+
+def cusum_series(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    slack: int = 1,
+    threshold: int = 5,
+) -> DataFrame:
+    """One-sided CUSUM drift monitor per key over the gap-filled
+    hourly series: S_t = max(0, S_{t-1} + x_t - mu - slack) with mu
+    the key's floor-mean hourly rate, returning the ALERT rows
+    (S_t >= threshold) with their running statistic — Page's
+    cumulative-sum test, the standard upward-shift detector next to
+    the EWMA baseline.
+
+    All arithmetic is int64 (floor-mean, integer slack), so the scan
+    is engine-exact. Same scale shape as ``ewma_series``: declarative
+    counting/spine, baseline as one more bounded aggregate joined
+    back, and the inherently sequential scan as one Arrow pass per key
+    with O(1) state, parallel across keys.
+    """
+    from pyspark.sql import types as T
+
+    filled = hourly_filled(events, key_col, ts_col)
+    base = filled.groupBy("k").agg(
+        F.expr("sum(c) DIV count(*)").alias("mu")
+    )
+    withmu = filled.join(base, "k")
+    out_schema = T.StructType(
+        [
+            withmu.schema["k"],
+            withmu.schema["h"],
+            T.StructField("c", T.LongType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+
+    def scan(pdf):
+        import pandas as pd  # self-contained: executors don't share sys.path
+
+        pdf = pdf.sort_values("h", ignore_index=True)
+        s, out = 0, []
+        for x, mu in zip(pdf["c"], pdf["mu"]):
+            s = max(0, s + int(x) - int(mu) - slack)
+            out.append(s)
+        res = pd.DataFrame(
+            {"k": pdf["k"], "h": pdf["h"], "c": pdf["c"], "s": out}
+        )
+        return res[res["s"] >= threshold]
+
+    return withmu.groupBy("k").applyInPandas(scan, out_schema)

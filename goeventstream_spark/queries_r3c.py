@@ -781,3 +781,71 @@ def q_conformal_interval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift alerts: Page's test over the gap-filled hourly series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cusum_rate_alerts",
+    """
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), filled AS (
+      SELECT s.event_type, s.h, coalesce(hh.c, 0) AS c
+      FROM spine s LEFT JOIN hourly hh
+        ON s.event_type = hh.event_type AND s.h = hh.h
+    ), base AS (
+      SELECT event_type, sum(c) // count(*) AS mu FROM filled GROUP BY 1
+    ), x AS (
+      SELECT f.event_type, f.h, f.c, b.mu,
+             row_number() OVER (PARTITION BY f.event_type ORDER BY f.h) AS rn
+      FROM filled f JOIN base b USING (event_type)
+    ), r AS (
+      SELECT event_type, h, rn, c, mu,
+             greatest(0, c - mu - 1) AS s FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.h, x.rn, x.c, x.mu,
+             greatest(0, r.s + x.c - x.mu - 1)
+      FROM r JOIN x ON x.event_type = r.event_type AND x.rn = r.rn + 1
+    )
+    SELECT event_type, h AS hour, CAST(c AS BIGINT) AS cnt,
+           CAST(s AS BIGINT) AS cusum
+    FROM r WHERE s >= 5
+    """,
+)
+def q_cusum_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-drift alerts on the hourly event rate per type
+    (Page's test, slack=1, threshold=5 against the key's floor-mean
+    baseline): every hour whose one-sided cumulative sum
+    S_t = max(0, S_{t-1} + x_t - mu - 1) reaches 5 — the
+    change-detection sibling of ``ewma_hourly_rates``, sensitive to
+    small sustained shifts a fixed threshold misses.
+
+    Exactness: floor-mean baseline, integer recurrence, both engines
+    evaluate the identical scan (the oracle unrolls it as a recursive
+    CTE); the alert filter is a pure integer comparison, so the full
+    alert set hash-matches.
+
+    Scale plan: see ``analytics.cusum_series`` — shared gap-filled
+    spine (``hourly_filled``), baseline joined back as a bounded
+    relation, one O(1)-state Arrow pass per key.
+    """
+    from goeventstream_spark.operators.analytics import cusum_series
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cusum_series(ev, key_col="event_type", ts_col="ts")
+    return out.select(
+        F.col("k").alias("event_type"),
+        F.col("h").alias("hour"),
+        F.col("c").alias("cnt"),
+        F.col("s").alias("cusum"),
+    )
