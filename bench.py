@@ -137,6 +137,7 @@ HEADLINE = [
     "theil_sen_daily_trend",
     "conformal_interval_report",
     "cusum_rate_alerts",
+    "rfm_segments",
 ]
 
 

@@ -368,3 +368,79 @@ def delta_join_maintain(
     for p in it:
         out = out.unionByName(p)
     return out
+
+
+def exact_global_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    n_buckets: int,
+    out_col: str,
+) -> DataFrame:
+    """SQL-standard ntile over a TOTAL order, without the
+    single-partition window the naive ``Window.orderBy`` plans: rows
+    are range-repartitioned and sorted on the order columns (parallel,
+    the same machinery as a global sort), per-partition row counts
+    form a partition-count-sized offset relation whose prefix sum runs
+    in one bounded unpartitioned window (the deliberate exception of
+    temporal.max_concurrency_by_day — one row per partition, never per
+    data row), and each row's global rank is its partition offset plus
+    a row_number PARTITIONED by partition id. The bucket then derives
+    from (rank, n) by the standard ntile fill rule — the first n mod b
+    buckets take one extra row.
+
+    Exact for any total order (make ``order_cols`` tie-free by
+    appending a key); range boundaries are sample-based and therefore
+    nondeterministic, but ranks — and so buckets — are
+    boundary-independent.
+    """
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = df.repartitionByRange(nparts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    # Materialize ONCE: range boundaries are sample-based, and the
+    # offset relation and the rank pass are two consumers — without a
+    # checkpoint each may re-execute the exchange with different
+    # sampled boundaries, making offsets inconsistent with ranks
+    # (observed at sf0.1; exchange reuse is not guaranteed across
+    # these subtrees under AQE).
+    with_pid = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    sizes = with_pid.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    offsets = sizes.select(
+        "_pid",
+        (
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("_off"),
+        F.sum("_cnt").over(
+            Window.orderBy("_pid").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    wlocal = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = (
+        with_pid.withColumn("_lrk", F.row_number().over(wlocal))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("_rk", F.col("_off") + F.col("_lrk"))
+    )
+    # ntile fill rule in pure integers (no float division — exact past
+    # 2^53 rows): q = n DIV b, r = n MOD b; the first r buckets hold
+    # q+1 rows. When n < b, r = n and every row lands in the big
+    # branch, so the q=0 divisor is never reached.
+    b = n_buckets
+    bucket = F.expr(
+        f"CASE WHEN _rk <= (_n % {b}) * (_n DIV {b} + 1)"
+        f" THEN (_rk - 1) DIV (_n DIV {b} + 1)"
+        f" ELSE (_n % {b}) + (_rk - (_n % {b}) * (_n DIV {b} + 1) - 1)"
+        f" DIV (_n DIV {b}) END"
+    )
+    out = ranked.withColumn(out_col, (bucket + 1).cast("int"))
+    return out.drop("_pid", "_lrk", "_off", "_n", "_rk")

@@ -849,3 +849,86 @@ def q_cusum_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("cnt"),
         F.col("s").alias("cusum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: deterministic quintile scores, cell rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             datediff('day', max(o_orderdate),
+                      (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m
+      FROM cust
+    )
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) // count(*) AS BIGINT) AS avg_cents,
+           CAST(max(recency_days) AS BIGINT) AS worst_recency_days
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every ordering customer scored 1-5 on
+    recency (days since last order, vs the dataset's max date),
+    frequency (order count) and monetary value (lifetime cents), then
+    rolled up per (R, F, M) cell with size, floor-average spend, and
+    worst recency — the classic CRM partitioning, here as the
+    train-data labeling pass it becomes in a feature pipeline.
+
+    Exactness: ntile is SQL-standard (deterministic given a total
+    order — every score window breaks ties on the customer key), and
+    the cell stats are counts/floor-divided cents. No float anywhere.
+
+    Scale plan: the customer rollup is one map-side-combinable agg
+    shuffle; a quantile rank is a total order, but the scores do NOT
+    use the naive unpartitioned ntile window (all rows through one
+    task) — each score runs through
+    ``relational.exact_global_ntile``: range-repartitioned parallel
+    sort, a partition-count-sized offset relation (the only
+    unpartitioned window, one row per PARTITION), and per-partition
+    rank + offset, reproducing SQL ntile bit-exactly at any scale.
+    """
+    from goeventstream_spark.operators.relational import exact_global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("dmax"))
+    cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("dmax"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    scored = cust
+    for col, order in (
+        ("r", [F.asc("recency_days"), F.asc("o_custkey")]),
+        ("f", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m", [F.desc("monetary_cents"), F.asc("o_custkey")]),
+    ):
+        scored = exact_global_ntile(scored, order, 5, col)
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.expr("CAST(sum(monetary_cents) DIV count(*) AS BIGINT)").alias(
+            "avg_cents"
+        ),
+        F.max("recency_days").cast("long").alias("worst_recency_days"),
+    )

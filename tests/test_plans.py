@@ -605,3 +605,40 @@ def test_edge_strength_triangle_probe_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rfm_ntile_windows_never_span_data_rows(spark, sf_dir):
+    """exact_global_ntile must keep every data-row window partitioned
+    (by partition id); the only unpartitioned windows run over the
+    partition-count-sized offset relation — one row per partition,
+    bounded by cluster width, never by data volume. (The full RFM plan
+    truncates at each score's materialization, so the shape is pinned
+    on a single operator application plus an ntile-free check on the
+    full query.)"""
+    from goeventstream_spark.operators.relational import exact_global_ntile
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("frequency"))
+    )
+    one = exact_global_ntile(
+        cust, [F.desc("frequency"), F.asc("o_custkey")], 5, "f"
+    )
+    plan = plans.physical_plan(one)
+    wins = [seg.split("\n")[0] for seg in plan.split("Window [")[1:]]
+    assert wins, plan
+    unpart = [
+        w
+        for w in wins
+        if "ASC" in w.split("], [")[1] or "DESC" in w.split("], [")[1]
+    ]
+    part = [w for w in wins if w not in unpart]
+    assert len(part) == 1, wins  # the rank window, keyed by _pid
+    assert "_pid" in part[0].split("], [")[1], part
+    for w in unpart:
+        assert "_pid" in w, w  # offset prefix over per-partition counts
+    assert "ntile" not in plan, plan
+    # the declared query must never fall back to a raw global ntile
+    full = plans.physical_plan(q.QUERIES["rfm_segments"](spark, sf_dir))
+    assert "ntile" not in full, full
