@@ -138,6 +138,7 @@ HEADLINE = [
     "conformal_interval_report",
     "cusum_rate_alerts",
     "rfm_segments",
+    "decile_lift_table",
 ]
 
 

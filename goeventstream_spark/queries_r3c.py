@@ -932,3 +932,107 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("recency_days").cast("long").alias("worst_recency_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift/gains table: model-eval harness on the exact distributed ntile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decile_lift_table",
+    """
+    WITH outc AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS score_cents,
+             max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS y
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT y,
+             ntile(10) OVER (ORDER BY score_cents DESC, o_orderkey)
+               AS decile
+      FROM outc
+    ), cells AS (
+      SELECT decile, count(*) AS n, sum(y) AS n_pos FROM scored GROUP BY 1
+    ), tot AS (
+      SELECT sum(n) AS tn, sum(n_pos) AS tp FROM cells
+    )
+    SELECT decile,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST((1000000 * n_pos) // n AS BIGINT) AS rate_ppm,
+           CAST((1000000 * sum(n_pos) OVER w * (SELECT tn FROM tot))
+                // (sum(n) OVER w * (SELECT tp FROM tot)) AS BIGINT)
+             AS cum_lift_ppm
+    FROM cells
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile
+    """,
+)
+def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the standard model-evaluation readout:
+    orders ranked by a score (here order value, standing in for a model
+    score), cut into exact deciles, each reporting its
+    any-line-returned outcome rate and the cumulative lift over the
+    base rate (order value correlates with basket size and so with
+    the chance of a return — a real, non-flat lift curve).
+
+    Exactness: deciles come from ``relational.exact_global_ntile``
+    (bit-equal to SQL ntile, no data-row global window — see
+    rfm_segments); rates and lifts are ppm floor ratios; the
+    cumulative window runs over the 10-row cell relation, a bounded
+    exception like temporal.max_concurrency_by_day's day carry.
+
+    Scale plan: outcome derivation is one join + orderkey agg
+    (co-partitioned keys); decile assignment is the range-sort + rank
+    machinery; everything after operates on 10 rows.
+    """
+    from goeventstream_spark.operators.relational import exact_global_ntile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "score_cents"
+        ),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ret"),
+    )
+    outc = o.join(li, "o_orderkey").groupBy(
+        "o_orderkey", "score_cents"
+    ).agg(F.max("ret").alias("y"))
+    scored = exact_global_ntile(
+        outc, [F.desc("score_cents"), F.asc("o_orderkey")], 10, "decile"
+    )
+    cells = scored.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").alias("n_pos")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("tn"), F.sum("n_pos").alias("tp")
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "n_pos",
+        "tn",
+        "tp",
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.sum("n").over(w).alias("cum_n"),
+    )
+    return cum.select(
+        "decile",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.expr("CAST((1000000 * n_pos) DIV n AS BIGINT)").alias("rate_ppm"),
+        F.expr(
+            "CAST((1000000 * cum_pos * tn) DIV (cum_n * tp) AS BIGINT)"
+        ).alias("cum_lift_ppm"),
+    ).orderBy("decile")
