@@ -139,6 +139,7 @@ HEADLINE = [
     "cusum_rate_alerts",
     "rfm_segments",
     "decile_lift_table",
+    "roc_auc_by_segment",
 ]
 
 
