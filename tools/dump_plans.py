@@ -26,6 +26,9 @@ FLAGSHIPS = [
     "delta_scan",
     "top_orders_per_priority",
     "er_golden_parts",
+    "rfm_segments",
+    "bootstrap_revenue_ci",
+    "bigram_lm_fluency_topk",
 ]
 
 
