@@ -140,6 +140,7 @@ HEADLINE = [
     "rfm_segments",
     "decile_lift_table",
     "roc_auc_by_segment",
+    "lorenz_curve_percentiles",
 ]
 
 

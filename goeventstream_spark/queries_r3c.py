@@ -1142,3 +1142,92 @@ def q_roc_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * npos * nneg) AS BIGINT)"
         ).alias("auc_ppm"),
     ).orderBy("seg")
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve: global revenue-concentration readout on exact centiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lorenz_curve_percentiles",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT cents,
+             ntile(100) OVER (ORDER BY cents ASC, o_custkey) AS centile
+      FROM cust
+    ), cells AS (
+      SELECT centile, count(*) AS n, sum(cents) AS cents
+      FROM scored GROUP BY centile
+    ), tot AS (SELECT sum(n) AS tn, sum(cents) AS tc FROM cells)
+    SELECT centile,
+           CAST(n AS BIGINT) AS n,
+           CAST((1000000 * sum(n) OVER w) // (SELECT tn FROM tot) AS BIGINT)
+             AS cum_customers_ppm,
+           CAST((1000000 * sum(cents) OVER w) // (SELECT tc FROM tot)
+                AS BIGINT) AS cum_revenue_ppm
+    FROM cells
+    WINDOW w AS (ORDER BY centile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY centile
+    """,
+)
+def q_lorenz_curve_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Lorenz curve of revenue concentration: customers sorted
+    by lifetime spend, cut into exact centiles, each point reporting
+    the cumulative customer share vs cumulative revenue share (ppm) —
+    the curve behind the per-segment Gini (``gini_by_segment``) and
+    the whale-spotting complement of ``pareto_user_concentration``.
+
+    Exactness: centiles from ``relational.exact_global_ntile``
+    (bit-equal to SQL ntile, no data-row global window), shares as ppm
+    floor ratios; the cumulative window runs over the 100-row cell
+    relation — a bounded carry, like decile_lift_table's.
+
+    Scale plan: one customer rollup shuffle; the global total order
+    goes through the range-sort + per-partition rank machinery;
+    everything after operates on 100 rows.
+    """
+    from goeventstream_spark.operators.relational import exact_global_ntile
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").alias(
+                "cents"
+            )
+        )
+    )
+    scored = exact_global_ntile(
+        cust, [F.asc("cents"), F.asc("o_custkey")], 100, "centile"
+    )
+    cells = scored.groupBy("centile").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+    tot = cells.agg(F.sum("n").alias("tn"), F.sum("cents").alias("tc"))
+    w = Window.orderBy("centile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.crossJoin(F.broadcast(tot)).select(
+        "centile",
+        "n",
+        "tn",
+        "tc",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("cents").over(w).alias("cum_c"),
+    )
+    return cum.select(
+        "centile",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST((1000000 * cum_n) DIV tn AS BIGINT)").alias(
+            "cum_customers_ppm"
+        ),
+        F.expr("CAST((1000000 * cum_c) DIV tc AS BIGINT)").alias(
+            "cum_revenue_ppm"
+        ),
+    ).orderBy("centile")
