@@ -141,6 +141,7 @@ HEADLINE = [
     "decile_lift_table",
     "roc_auc_by_segment",
     "lorenz_curve_percentiles",
+    "global_value_percentiles",
 ]
 
 

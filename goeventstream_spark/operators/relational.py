@@ -370,28 +370,18 @@ def delta_join_maintain(
     return out
 
 
-def exact_global_ntile(
-    df: DataFrame,
-    order_cols: list[Column],
-    n_buckets: int,
-    out_col: str,
+def exact_global_rank(
+    df: DataFrame, order_cols: list[Column]
 ) -> DataFrame:
-    """SQL-standard ntile over a TOTAL order, without the
-    single-partition window the naive ``Window.orderBy`` plans: rows
-    are range-repartitioned and sorted on the order columns (parallel,
-    the same machinery as a global sort), per-partition row counts
-    form a partition-count-sized offset relation whose prefix sum runs
-    in one bounded unpartitioned window (the deliberate exception of
-    temporal.max_concurrency_by_day — one row per partition, never per
-    data row), and each row's global rank is its partition offset plus
-    a row_number PARTITIONED by partition id. The bucket then derives
-    from (rank, n) by the standard ntile fill rule — the first n mod b
-    buckets take one extra row.
-
-    Exact for any total order (make ``order_cols`` tie-free by
-    appending a key); range boundaries are sample-based and therefore
-    nondeterministic, but ranks — and so buckets — are
-    boundary-independent.
+    """Global row_number over a TOTAL order without a single-partition
+    window: range-repartition + per-partition sort (parallel, the
+    global-sort machinery), per-partition counts prefix-summed in one
+    bounded unpartitioned window (one row per PARTITION), and
+    rank = offset + local row_number. Adds ``_rk`` (1-based global
+    rank), ``_n`` (total rows) and the internal ``_pid``/``_lrk``/
+    ``_off`` columns — callers drop what they don't need. Exact for
+    any tie-free order; range boundaries are sample-based and
+    nondeterministic, but ranks are boundary-independent.
     """
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
     ranged = df.repartitionByRange(nparts, *order_cols).sortWithinPartitions(
@@ -426,11 +416,37 @@ def exact_global_ntile(
         ).alias("_n"),
     )
     wlocal = Window.partitionBy("_pid").orderBy(*order_cols)
-    ranked = (
+    return (
         with_pid.withColumn("_lrk", F.row_number().over(wlocal))
         .join(F.broadcast(offsets), "_pid")
         .withColumn("_rk", F.col("_off") + F.col("_lrk"))
     )
+
+
+def exact_global_ntile(
+    df: DataFrame,
+    order_cols: list[Column],
+    n_buckets: int,
+    out_col: str,
+) -> DataFrame:
+    """SQL-standard ntile over a TOTAL order, without the
+    single-partition window the naive ``Window.orderBy`` plans: rows
+    are range-repartitioned and sorted on the order columns (parallel,
+    the same machinery as a global sort), per-partition row counts
+    form a partition-count-sized offset relation whose prefix sum runs
+    in one bounded unpartitioned window (the deliberate exception of
+    temporal.max_concurrency_by_day — one row per partition, never per
+    data row), and each row's global rank is its partition offset plus
+    a row_number PARTITIONED by partition id. The bucket then derives
+    from (rank, n) by the standard ntile fill rule — the first n mod b
+    buckets take one extra row.
+
+    Exact for any total order (make ``order_cols`` tie-free by
+    appending a key); range boundaries are sample-based and therefore
+    nondeterministic, but ranks — and so buckets — are
+    boundary-independent.
+    """
+    ranked = exact_global_rank(df, order_cols)
     # ntile fill rule in pure integers (no float division — exact past
     # 2^53 rows): q = n DIV b, r = n MOD b; the first r buckets hold
     # q+1 rows. When n < b, r = n and every row lands in the big

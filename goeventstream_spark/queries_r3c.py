@@ -1231,3 +1231,72 @@ def q_lorenz_curve_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue_ppm"
         ),
     ).orderBy("centile")
+
+
+# ---------------------------------------------------------------------------
+# Exact global percentiles: order statistics via the distributed rank
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "global_value_percentiles",
+    """
+    WITH cust AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rk,
+             count(*) OVER () AS n
+      FROM cust
+    ), pts AS (SELECT unnest([50, 75, 90, 95, 99]) AS pct)
+    SELECT pts.pct,
+           CAST(min(r.cents) AS BIGINT) AS value_cents,
+           CAST(max(r.n) AS BIGINT) AS n
+    FROM pts JOIN ranked r ON r.rk = (pts.pct * r.n + 99) // 100
+    GROUP BY pts.pct ORDER BY pts.pct
+    """,
+)
+def q_global_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global order-value percentiles (p50/p75/p90/p95/p99,
+    discrete — the value AT rank ceil(p*n/100), never interpolated):
+    the ground-truth companion to the declared-tolerance
+    ``approx_stats`` sketch path, and the sf-robust exactness check
+    for it.
+
+    Scale plan: the naive form is one global rank window — all rows
+    through one task. Here ranks come from
+    ``relational.exact_global_rank`` (range-sort + per-partition
+    row_number + a partition-count-sized offset carry), and only the
+    5 target ranks survive the filter, so the final join touches 5
+    rows. This is exact percentile computation that parallelizes like
+    a global sort.
+    """
+    from goeventstream_spark.operators.relational import exact_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    ranked = exact_global_rank(o, [F.asc("cents"), F.asc("o_orderkey")])
+    pts = F.array([F.lit(p) for p in (50, 75, 90, 95, 99)])
+    targets = (
+        ranked.select("cents", "_rk", "_n")
+        .crossJoin(
+            F.broadcast(
+                o.sparkSession.range(1).select(
+                    F.explode(pts).alias("pct")
+                )
+            )
+        )
+        .where(F.expr("_rk = (pct * _n + 99) DIV 100"))
+    )
+    return (
+        targets.groupBy("pct")
+        .agg(
+            F.min("cents").cast("long").alias("value_cents"),
+            F.max("_n").cast("long").alias("n"),
+        )
+        .orderBy("pct")
+    )
