@@ -142,6 +142,7 @@ HEADLINE = [
     "roc_auc_by_segment",
     "lorenz_curve_percentiles",
     "global_value_percentiles",
+    "holt_trend_forecast",
 ]
 
 

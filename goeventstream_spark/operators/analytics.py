@@ -594,3 +594,63 @@ def cusum_series(
         return res[res["s"] >= threshold]
 
     return withmu.groupBy("k").applyInPandas(scan, out_schema)
+
+
+def holt_series(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Holt double-exponential smoothing per key over the gap-filled
+    hourly series (alpha = beta = 1/4), in pure int64 ppm arithmetic:
+
+        l_t = (x_t*1e6 + 3*(l_{t-1} + b_{t-1})) DIV 4
+        b_t = ((l_t - l_{t-1}) + 3*b_{t-1}) DIV 4
+
+    with l_1 = x_1*1e6, b_1 = 0. The trend term goes NEGATIVE, so the
+    division must truncate toward zero on BOTH engines — Spark DIV and
+    DuckDB // both do on BIGINT (verified; floor-emulation is the
+    cross-engine trap). Same scale shape as ``ewma_series``: counting
+    and spine declarative, the two-state scan one Arrow pass per key.
+    """
+    from pyspark.sql import types as T
+
+    filled = hourly_filled(events, key_col, ts_col)
+    out_schema = T.StructType(
+        [
+            filled.schema["k"],
+            filled.schema["h"],
+            T.StructField("c", T.LongType()),
+            T.StructField("l", T.LongType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+
+    def scan(pdf):
+        # SELF-CONTAINED closure (executors don't share the driver's
+        # sys.path): imports and helpers live inside.
+        import pandas as pd
+
+        def tdiv(a, b):
+            # truncate toward zero (C/SQL semantics) — Python // floors,
+            # which differs on the negative trend term
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        pdf = pdf.sort_values("h", ignore_index=True)
+        lev, tr, levs, trs = None, 0, [], []
+        for x in pdf["c"]:
+            x = int(x)
+            if lev is None:
+                lev, tr = x * 1000000, 0
+            else:
+                prev = lev
+                lev = tdiv(x * 1000000 + 3 * (lev + tr), 4)
+                tr = tdiv((lev - prev) + 3 * tr, 4)
+            levs.append(lev)
+            trs.append(tr)
+        return pd.DataFrame(
+            {"k": pdf["k"], "h": pdf["h"], "c": pdf["c"], "l": levs, "b": trs}
+        )
+
+    return filled.groupBy("k").applyInPandas(scan, out_schema)

@@ -1300,3 +1300,68 @@ def q_global_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear trend: two-state integer scan, recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "holt_trend_forecast",
+    """
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), x AS (
+      SELECT s.event_type, s.h, coalesce(hh.c, 0) AS c,
+             row_number() OVER (PARTITION BY s.event_type ORDER BY s.h) AS rn
+      FROM spine s LEFT JOIN hourly hh
+        ON s.event_type = hh.event_type AND s.h = hh.h
+    ), r AS (
+      SELECT event_type, h, rn, c, c * 1000000 AS l, CAST(0 AS BIGINT) AS b
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.h, x.rn, x.c,
+             (x.c * 1000000 + 3 * (r.l + r.b)) // 4,
+             (((x.c * 1000000 + 3 * (r.l + r.b)) // 4 - r.l) + 3 * r.b) // 4
+      FROM r JOIN x ON x.event_type = r.event_type AND x.rn = r.rn + 1
+    )
+    SELECT event_type, h AS hour, CAST(c AS BIGINT) AS cnt,
+           CAST(l AS BIGINT) AS level_ppm, CAST(b AS BIGINT) AS trend_ppm,
+           CAST(l + b AS BIGINT) AS forecast_ppm
+    FROM r
+    """,
+)
+def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of the hourly event rate per
+    type (alpha = beta = 1/4): level + trend state per hour and the
+    one-step-ahead forecast level+trend — the trend-aware upgrade of
+    ``ewma_hourly_rates`` for rate forecasting and burn-down alerts.
+
+    Exactness: the two coupled recurrences run in int64 with
+    TRUNCATING division on both engines (the trend goes negative;
+    Spark DIV and DuckDB // agree on truncation — see
+    theil_sen_daily_trend); the oracle replays the exact two-state
+    scan as a recursive CTE.
+
+    Scale plan: see ``analytics.holt_series`` — shared gap-filled
+    spine, one O(1)-state Arrow pass per key, parallel across keys.
+    """
+    from goeventstream_spark.operators.analytics import holt_series
+
+    ev = load_table(spark, sf_dir, "events")
+    out = holt_series(ev, key_col="event_type", ts_col="ts")
+    return out.select(
+        F.col("k").alias("event_type"),
+        F.col("h").alias("hour"),
+        F.col("c").alias("cnt"),
+        F.col("l").alias("level_ppm"),
+        F.col("b").alias("trend_ppm"),
+        (F.col("l") + F.col("b")).alias("forecast_ppm"),
+    )
