@@ -572,3 +572,44 @@ def test_misra_gries_candidate_volume_bounded(spark, sf_dir):
     )
     cand = sketches.misra_gries_candidates(words, "word", k=k)
     assert cand.count() <= n_parts * k
+
+
+def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a date-partitioned fact with
+    a FILTERED dim must prune fact partitions at runtime (the filter's
+    value set is only known after the dim scan) — the scan carries a
+    dynamicpruning partition filter instead of reading all days. This
+    is THE access-path discipline for a date-partitioned 100 TB lake:
+    a 3-day dim restriction reads 3 partitions, not 30."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    fact_path = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    days = [
+        r.day for r in ev.select("day").distinct().orderBy("day").limit(5).collect()
+    ]
+    dim = spark.createDataFrame(
+        [(d, "on" if d in days[:3] else "off") for d in days],
+        "day date, status string",
+    )
+    # the dim-side predicate must be "likely selective" (an EqualTo on
+    # an attribute) for the PartitionPruning rule to fire — a bare
+    # boolean-column filter does NOT qualify; the broadcast hint keeps
+    # the inserted subquery on the reuse-broadcast path.
+    sel = dim.where(F.col("status") == "on").hint("broadcast")
+    joined = fact.join(sel, "day").groupBy("day").agg(
+        F.sum("value").alias("v"), F.count("*").alias("n")
+    )
+    plan = plans.physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {(r.day, r.n) for r in joined.collect()}
+    want = {
+        (r.day, r.n)
+        for r in ev.join(sel, "day")
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
