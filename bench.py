@@ -143,6 +143,7 @@ HEADLINE = [
     "lorenz_curve_percentiles",
     "global_value_percentiles",
     "holt_trend_forecast",
+    "position_attribution",
 ]
 
 

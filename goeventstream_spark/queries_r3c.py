@@ -1365,3 +1365,125 @@ def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("trend_ppm"),
         (F.col("l") + F.col("b")).alias("forecast_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "position_attribution",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ), marked AS (
+      SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS conv_id
+      FROM ev
+    ), touches AS (
+      SELECT user_id, conv_id, event_type AS channel, ts, event_id
+      FROM marked WHERE event_type <> 'purchase' AND conv_id > 0
+    ), convs AS (
+      SELECT user_id, conv_id, cents
+      FROM marked WHERE event_type = 'purchase'
+    ), pos AS (
+      SELECT t.channel, c.cents,
+             row_number() OVER (PARTITION BY t.user_id, t.conv_id
+                                ORDER BY t.ts, t.event_id) AS rn,
+             count(*) OVER (PARTITION BY t.user_id, t.conv_id) AS n
+      FROM touches t JOIN convs c USING (user_id, conv_id)
+    ), credited AS (
+      SELECT channel, cents,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN rn = 1 OR rn = n THEN 400000
+                  ELSE 200000 // (n - 2) END AS credit_ppm
+      FROM pos
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum,
+           CAST(sum(credit_ppm * cents) // 1000000 AS BIGINT)
+             AS attributed_cents
+    FROM credited GROUP BY channel ORDER BY channel
+    """,
+)
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped 40/20/40) multi-touch attribution:
+    every pre-purchase touch in a user's conversion window earns 40%
+    credit if it is the first or last touch, the middles splitting the
+    remaining 20% — completing the attribution family next to
+    first/last-touch ``attribution_by_channel``.
+
+    Exactness: credits are ppm integers (floor split of the middle
+    share; single-touch = 1e6, two-touch = 500000 each), attributed
+    revenue is a credit-weighted cent sum floored back from ppm.
+    Conversion windows come from a reverse running count of purchases
+    per user — deterministic under the (ts, event_id) total order.
+
+    Scale plan: every window and the touch->conversion join are keyed
+    by user (then (user, conv)); one hash partitioning serves the
+    whole chain — no global window, no fan-out beyond the user's own
+    touches. The final rollup is group-count-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wrev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = ev.withColumn(
+        "conv_id",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(wrev),
+    )
+    touches = marked.where(
+        (F.col("event_type") != "purchase") & (F.col("conv_id") > 0)
+    ).select(
+        "user_id", "conv_id", F.col("event_type").alias("channel"), "ts", "event_id"
+    )
+    convs = marked.where(F.col("event_type") == "purchase").select(
+        "user_id", "conv_id", "cents"
+    )
+    wp = Window.partitionBy("user_id", "conv_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "conv_id")
+    pos = touches.join(convs, ["user_id", "conv_id"]).select(
+        "channel",
+        "cents",
+        F.row_number().over(wp).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    credited = pos.select(
+        "channel",
+        "cents",
+        F.expr(
+            "CASE WHEN n = 1 THEN 1000000"
+            " WHEN n = 2 THEN 500000"
+            " WHEN rn = 1 OR rn = n THEN 400000"
+            " ELSE 200000 DIV (n - 2) END"
+        ).alias("credit_ppm"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("credit_ppm").cast("long").alias("credit_ppm_sum"),
+            F.expr(
+                "CAST(sum(credit_ppm * cents) DIV 1000000 AS BIGINT)"
+            ).alias("attributed_cents"),
+        )
+        .orderBy("channel")
+    )
