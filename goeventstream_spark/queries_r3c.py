@@ -361,7 +361,9 @@ def q_edge_strength_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arcs = ranked.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("ds"),
+        # only the HEAD's degree rides along — the wedge pairing
+        # orders the two heads by (deg, id); the tail's own degree is
+        # implied by the orientation and never read again
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dt"),
     )
     a1, a2 = arcs.alias("a1"), arcs.alias("a2")
