@@ -81,6 +81,11 @@ HEADLINE = [
     "pareto_user_concentration",
     "weekly_lifecycle",
     "revenue_mom_growth",
+    "knn_label_vote",
+    "key_skew_report",
+    "seasonal_decompose_hourly",
+    "frequent_triples",
+    "source_token_cosine",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",
@@ -157,6 +162,7 @@ def main() -> None:
     import goeventstream_spark.queries_r3  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3b  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3c  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3d  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
