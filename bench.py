@@ -86,6 +86,9 @@ HEADLINE = [
     "seasonal_decompose_hourly",
     "frequent_triples",
     "source_token_cosine",
+    "benford_price_audit",
+    "cuped_adjusted_lift",
+    "rolling_active_users_7d",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",
@@ -163,6 +166,7 @@ def main() -> None:
     import goeventstream_spark.queries_r3b  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3c  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3d  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3e  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
