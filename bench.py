@@ -89,6 +89,7 @@ HEADLINE = [
     "benford_price_audit",
     "cuped_adjusted_lift",
     "rolling_active_users_7d",
+    "holt_winters_forecast",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

@@ -654,3 +654,99 @@ def holt_series(
         )
 
     return filled.groupBy("k").applyInPandas(scan, out_schema)
+
+
+def holt_winters_series(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    period: int = 4,
+    bucket_ms: int = 21600000,
+) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing per key over
+    gap-filled 6-hour buckets (alpha = beta = gamma = 1/4, seasonal
+    period ``period``), in pure int64 ppm arithmetic:
+
+        l_t = (x_t*1e6 - s_{t-m} + 3*(l_{t-1} + b_{t-1})) DIV 4
+        b_t = ((l_t - l_{t-1}) + 3*b_{t-1}) DIV 4
+        s_t = ((x_t*1e6 - l_t) + 3*s_{t-m}) DIV 4
+
+    with l_1 = x_1*1e6, b_1 = 0 and the first seasonal cycle seeded to
+    zero — a deterministic fold both engines replay bit-identically
+    (all divisions truncate toward zero: Spark DIV == DuckDB //; the
+    trend and seasonal terms go negative). One-step forecast =
+    l_t + b_t + s_{t+1-m}.
+
+    Scale shape (same as ``holt_series``): bucket counting and the
+    spine are declarative (one agg shuffle + map-side sequence
+    explode); the O(period)-state scan is one Arrow pass per key,
+    parallel across keys; series length is O(time span), never
+    O(rows).
+    """
+    from pyspark.sql import types as T
+
+    bucketed = events.groupBy(
+        F.col(key_col).alias("k"),
+        F.expr(f"unix_millis({ts_col}) DIV {bucket_ms}").alias("t"),
+    ).agg(F.count("*").alias("c"))
+    spine = (
+        bucketed.groupBy("k")
+        .agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+        .select("k", F.explode(F.sequence("lo", "hi")).alias("t"))
+    )
+    filled = spine.join(bucketed, ["k", "t"], "left").select(
+        "k", "t", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    out_schema = T.StructType(
+        [
+            filled.schema["k"],
+            T.StructField("t", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("l", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("f", T.LongType()),
+        ]
+    )
+    m = period
+
+    def scan(pdf):
+        # SELF-CONTAINED closure (executors don't share the driver's
+        # sys.path): imports and helpers live inside.
+        import pandas as pd
+
+        def tdiv(a, b):
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        pdf = pdf.sort_values("t", ignore_index=True)
+        lev, tr, seas = None, 0, [0] * m
+        ls, bs, ss, fs = [], [], [], []
+        for x in pdf["c"]:
+            x = int(x)
+            if lev is None:
+                lev, tr, snew = x * 1000000, 0, 0
+            else:
+                sp = seas.pop(0)
+                prev = lev
+                lev = tdiv(x * 1000000 - sp + 3 * (lev + tr), 4)
+                tr = tdiv((lev - prev) + 3 * tr, 4)
+                snew = tdiv((x * 1000000 - lev) + 3 * sp, 4)
+                seas.append(snew)
+            ls.append(lev)
+            bs.append(tr)
+            ss.append(snew)
+            fs.append(lev + tr + seas[0])
+        return pd.DataFrame(
+            {
+                "k": pdf["k"],
+                "t": pdf["t"],
+                "c": pdf["c"],
+                "l": ls,
+                "b": bs,
+                "s": ss,
+                "f": fs,
+            }
+        )
+
+    return filled.groupBy("k").applyInPandas(scan, out_schema)

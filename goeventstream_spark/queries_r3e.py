@@ -304,3 +304,77 @@ def q_rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         wau.join(dau, wau.d == dau.day)
         .select(F.col("d").alias("day"), "wau7", "dau")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters triple-exponential smoothing (additive seasonality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "holt_winters_forecast",
+    """
+    WITH RECURSIVE bucketed AS (
+      SELECT event_type, epoch_ms(ts) // 21600000 AS t, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(t) AS lo, max(t) AS hi FROM bucketed GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(range(lo, hi + 1)) AS t FROM bounds
+    ), x AS (
+      SELECT s.event_type, s.t, coalesce(bb.c, 0) AS c,
+             row_number() OVER (PARTITION BY s.event_type ORDER BY s.t) AS rn
+      FROM spine s LEFT JOIN bucketed bb
+        ON s.event_type = bb.event_type AND s.t = bb.t
+    ), r AS (
+      SELECT event_type, t, rn, c, c * 1000000 AS l, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+             CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4
+      FROM x WHERE rn = 1
+      UNION ALL
+      SELECT x.event_type, x.t, x.rn, x.c,
+             (x.c * 1000000 - r.s1 + 3 * (r.l + r.b)) // 4,
+             (((x.c * 1000000 - r.s1 + 3 * (r.l + r.b)) // 4 - r.l) + 3 * r.b) // 4,
+             r.s2, r.s3, r.s4,
+             ((x.c * 1000000 - (x.c * 1000000 - r.s1 + 3 * (r.l + r.b)) // 4)
+              + 3 * r.s1) // 4
+      FROM r JOIN x ON x.event_type = r.event_type AND x.rn = r.rn + 1
+    )
+    SELECT event_type, CAST(t AS BIGINT) AS bucket, CAST(c AS BIGINT) AS cnt,
+           CAST(l AS BIGINT) AS level_ppm, CAST(b AS BIGINT) AS trend_ppm,
+           CAST(s4 AS BIGINT) AS seasonal_ppm,
+           CAST(l + b + s1 AS BIGINT) AS forecast_ppm
+    FROM r
+    """,
+)
+def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing of the
+    6-hourly event rate per type (alpha = beta = gamma = 1/4, seasonal
+    period 4 = one day): level, trend, and seasonal state per bucket
+    plus the one-step-ahead forecast — the seasonality-aware upgrade of
+    ``holt_trend_forecast`` for daily-cycle rate forecasting.
+
+    Exactness: three coupled int64 recurrences with truncating
+    division on both engines (trend and seasonal go negative; Spark
+    DIV == DuckDB //); the first seasonal cycle is seeded to zero so
+    the fold is fully deterministic. The oracle replays the exact scan
+    as a recursive CTE carrying the rotating 4-slot seasonal state as
+    four BIGINT columns.
+
+    Scale plan: see ``analytics.holt_winters_series`` — declarative
+    bucket counts + spine, one O(period)-state Arrow pass per key,
+    parallel across keys, series length O(time span).
+    """
+    from goeventstream_spark.operators.analytics import holt_winters_series
+
+    ev = load_table(spark, sf_dir, "events")
+    out = holt_winters_series(ev, key_col="event_type", ts_col="ts")
+    return out.select(
+        F.col("k").alias("event_type"),
+        F.col("t").alias("bucket"),
+        F.col("c").alias("cnt"),
+        F.col("l").alias("level_ppm"),
+        F.col("b").alias("trend_ppm"),
+        F.col("s").alias("seasonal_ppm"),
+        F.col("f").alias("forecast_ppm"),
+    )
