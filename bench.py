@@ -90,6 +90,8 @@ HEADLINE = [
     "cuped_adjusted_lift",
     "rolling_active_users_7d",
     "holt_winters_forecast",
+    "kaplan_meier_sessions",
+    "rrf_fused_topk",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",
@@ -168,6 +170,7 @@ def main() -> None:
     import goeventstream_spark.queries_r3c  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3d  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3e  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3f  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
