@@ -92,6 +92,8 @@ HEADLINE = [
     "holt_winters_forecast",
     "kaplan_meier_sessions",
     "rrf_fused_topk",
+    "quantile_normalize_orders",
+    "haar_hourly_pyramid",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",
@@ -171,6 +173,7 @@ def main() -> None:
     import goeventstream_spark.queries_r3d  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3e  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3f  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3g  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,143 @@
+"""Round-3 batch G: rank-based quantile normalization of order values
+(the feature-engineering "quantile transform") and an unnormalized Haar
+wavelet pyramid over the hourly event series (multi-resolution
+time-series compression).
+
+Exactness: ranks come from the repo's distributed total-order rank
+(``relational.exact_global_rank``) over a tie-free key; normalized
+scores are ppm floors via truncating DIV; Haar smooth/detail
+coefficients are pure BIGINT sums with ±1 signs (no division at all).
+
+Reference parity note: the reference (GoEventStream) has no analytics
+surface — these are SURVEY.md §2b group-2 extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goeventstream_spark.queries import query
+from goeventstream_spark.sources import load_table
+
+
+@query(
+    "quantile_normalize_orders",
+    """
+    WITH c AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey, cents,
+             CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM c
+    )
+    SELECT o_orderkey, cents,
+           CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) AS norm_ppm
+    FROM r
+    """,
+)
+def q_quantile_normalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of order totals: each order's
+    value mapped to its empirical-CDF position in ppm — the
+    feature-engineering transform that makes any downstream model
+    scale-free. Ties are broken by o_orderkey so the rank is total and
+    the output deterministic.
+
+    Scale plan: the rank is ``relational.exact_global_rank`` — range
+    repartition + per-partition sort + a bounded one-row-per-partition
+    offset window — i.e. it parallelizes exactly like a global sort;
+    there is NO single-partition window over the data (the oracle's
+    ``row_number() OVER (ORDER BY ...)`` is the semantic spec only).
+    The normalization itself is a map-side ppm floor.
+    """
+    from goeventstream_spark.operators.relational import exact_global_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    ranked = exact_global_rank(orders, [F.col("cents"), F.col("o_orderkey")])
+    return ranked.select(
+        "o_orderkey",
+        "cents",
+        F.expr("CAST((_rk - 1) * 1000000 DIV (_n - 1) AS BIGINT)").alias(
+            "norm_ppm"
+        ),
+    )
+
+
+@query(
+    "haar_hourly_pyramid",
+    """
+    WITH hourly AS (
+      SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+    spine AS (SELECT unnest(range(lo, hi + 1)) AS hr FROM bounds),
+    filled AS (
+      SELECT spine.hr, COALESCE(hourly.c, 0) AS c
+      FROM spine LEFT JOIN hourly ON spine.hr = hourly.hr
+    ),
+    lv AS (
+      SELECT l, hr // (1 << l) AS block,
+             CAST(sum(c) AS BIGINT) AS s_sum,
+             CAST(sum(c * (1 - 2 * ((hr // (1 << (l - 1))) % 2))) AS BIGINT)
+               AS d_detail,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM filled, (SELECT unnest([1, 2, 3]) AS l)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(l AS INT) AS level, block, s_sum, d_detail
+    FROM lv WHERE n_hours = (1 << l)
+    """,
+)
+def q_haar_hourly_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet pyramid of the hourly event count
+    (levels 1-3: 2h/4h/8h blocks): per block the smooth coefficient
+    (block sum) and the detail coefficient (first-half sum minus
+    second-half sum, via a ±1 sign from bit l-1 of the hour index) —
+    the classic multi-resolution sketch for time-series compression
+    and burst localization, exact because it is additions only.
+    Partial edge blocks are dropped (n_hours must equal 2^level).
+
+    Scale plan: one distributed hash agg builds the hourly series
+    (O(time span) rows); the three pyramid levels are a 3-way
+    map-side fan-out of that tiny series and one more agg keyed on
+    (level, block). No windows, no sequential pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(F.expr("unix_millis(ts) DIV 3600000").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr")
+    )
+    filled = spine.join(hourly, "hr", "left").select(
+        "hr", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    levels = spark.range(1, 4).select(F.col("id").cast("int").alias("l"))
+    lv = (
+        filled.crossJoin(F.broadcast(levels))
+        .groupBy(
+            "l", F.expr("hr DIV shiftleft(1, l)").alias("block")
+        )
+        .agg(
+            F.sum("c").cast("long").alias("s_sum"),
+            F.sum(
+                F.expr("c * (1 - 2 * ((hr DIV shiftleft(1, l - 1)) % 2))")
+            )
+            .cast("long")
+            .alias("d_detail"),
+            F.count("*").cast("long").alias("n_hours"),
+        )
+    )
+    return lv.where(F.expr("n_hours = shiftleft(1, l)")).select(
+        F.col("l").alias("level"), "block", "s_sum", "d_detail"
+    )
