@@ -94,6 +94,7 @@ HEADLINE = [
     "rrf_fused_topk",
     "quantile_normalize_orders",
     "haar_hourly_pyramid",
+    "bloom_filter_fp_audit",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

@@ -141,3 +141,138 @@ def q_haar_hourly_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lv.where(F.expr("n_hours = shiftleft(1, l)")).select(
         F.col("l").alias("level"), "block", "s_sum", "d_detail"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter build + false-positive audit (deterministic md5 lanes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bloom_filter_fp_audit",
+    """
+    WITH lanes AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(lane)),
+    members AS (SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(lane AS VARCHAR) || '|' || key), 1, 4))
+                    ::BIGINT % 16384 AS INT) AS pos
+      FROM members CROSS JOIN lanes
+    ),
+    probes AS (
+      SELECT CAST(c_custkey + 100000000 AS VARCHAR) AS pkey FROM customer
+    ),
+    pcells AS (
+      SELECT DISTINCT pkey,
+             CAST(('0x' || substr(md5(CAST(lane AS VARCHAR) || '|' || pkey), 1, 4))
+                    ::BIGINT % 16384 AS INT) AS pos
+      FROM probes CROSS JOIN lanes
+    ),
+    hits AS (
+      SELECT pkey, count(*) AS n_pos, count(bits.pos) AS n_hit
+      FROM pcells LEFT JOIN bits USING (pos)
+      GROUP BY pkey
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS fp_count
+      FROM hits
+    ),
+    bc AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+    SELECT bits_set, n_probes, fp_count,
+           CAST(1000000 * fp_count // n_probes AS BIGINT) AS fp_ppm,
+           CAST(floor(CAST(1000000 AS DOUBLE)
+                * (CAST(bits_set AS DOUBLE) / 16384.0)
+                * (CAST(bits_set AS DOUBLE) / 16384.0)
+                * (CAST(bits_set AS DOUBLE) / 16384.0)
+                * (CAST(bits_set AS DOUBLE) / 16384.0)) AS BIGINT)
+             AS expected_fp_ppm
+    FROM agg CROSS JOIN bc
+    """,
+)
+def q_bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built from customer keys (m = 16384 bits, k = 4
+    deterministic md5 lanes into one shared bit array), then audited
+    with guaranteed-non-member probes: exact false-positive count/ppm
+    vs the (bits_set/m)^k theoretical expectation — the sizing report
+    a 100 TB join-pruning deployment needs before trusting a filter.
+
+    Exactness: bit positions are md5-hex slices mod m (the repo's CMS
+    idiom — identical in both engines); FP counting is pure integer;
+    the expectation is one fixed double expression over exact integers.
+
+    Scale plan: the bit array is at most m DISTINCT positions — a
+    bounded-cardinality aggregate that broadcasts; probes then check
+    membership map-side (left join against the broadcast bit set +
+    one count-compare per probe). Nothing is ever keyed on the member
+    corpus after the distinct.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    lanes = spark.range(0, 4).select(F.col("id").cast("int").alias("lane"))
+
+    def pos_expr(key_col: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("lane").cast("string"),
+                            F.lit("|"),
+                            F.col(key_col),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            % 16384
+        ).cast("int")
+
+    members = cust.select(F.col("c_custkey").cast("string").alias("key"))
+    bits = (
+        members.crossJoin(F.broadcast(lanes))
+        .select(pos_expr("key").alias("pos"))
+        .distinct()
+    )
+    probes = cust.select(
+        (F.col("c_custkey") + 100000000).cast("string").alias("pkey")
+    )
+    pcells = (
+        probes.crossJoin(F.broadcast(lanes))
+        .select("pkey", pos_expr("pkey").alias("pos"))
+        .distinct()
+    )
+    hits = (
+        pcells.join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left")
+        .groupBy("pkey")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.count("_hit").alias("n_hit"),
+        )
+    )
+    agg = hits.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("n_hit") == F.col("n_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp_count"),
+    )
+    bc = bits.agg(F.count("*").cast("long").alias("bits_set"))
+    frac = F.col("bits_set").cast("double") / F.lit(16384.0)
+    return (
+        agg.crossJoin(F.broadcast(bc))
+        .select(
+            "bits_set",
+            "n_probes",
+            "fp_count",
+            F.expr("CAST(1000000 * fp_count DIV n_probes AS BIGINT)").alias(
+                "fp_ppm"
+            ),
+            F.floor(F.lit(1000000.0) * frac * frac * frac * frac)
+            .cast("long")
+            .alias("expected_fp_ppm"),
+        )
+    )
