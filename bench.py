@@ -95,6 +95,7 @@ HEADLINE = [
     "quantile_normalize_orders",
     "haar_hourly_pyramid",
     "bloom_filter_fp_audit",
+    "daily_table_checksums",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

@@ -276,3 +276,76 @@ def q_bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("expected_fp_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily table checksums (order-independent content fingerprints)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "daily_table_checksums",
+    """
+    WITH rows_h AS (
+      SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+             ('0x' || substr(md5(
+                CAST(o_orderkey AS VARCHAR) || '|' ||
+                CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+                o_orderstatus), 1, 12))::BIGINT AS h
+      FROM orders
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum,
+           CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h
+    FROM rows_h GROUP BY day
+    """,
+)
+def q_daily_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day content fingerprints of the orders table: each row
+    hashes (key | exact cents | status) through md5 into a 48-bit
+    integer, and the day's checksum is the SUM of those hashes — an
+    order-independent, partial-aggregable fingerprint (plus min/max
+    sentinels), the anti-entropy primitive for reconciling two copies
+    of a 100 TB table day-by-day without moving data: compare (n_rows,
+    checksum) per day, re-sync only mismatched days.
+
+    Exactness: md5 hex is identical across engines, the 12-hex-char
+    slice fits int64 (sums of ~10^6 rows x 2^48 stay under 2^63), and
+    addition is commutative — no ordering sensitivity anywhere.
+
+    Scale plan: one map-side hash projection + one day-keyed agg with
+    full map-side combine; output is O(days).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.expr(
+                        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"
+                    ),
+                    F.lit("|"),
+                    F.col("o_orderstatus"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        orders.select(
+            F.expr("unix_millis(o_orderdate) DIV 86400000").alias("day"),
+            h.alias("h"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("h").cast("long").alias("checksum"),
+            F.min("h").cast("long").alias("min_h"),
+            F.max("h").cast("long").alias("max_h"),
+        )
+    )
