@@ -113,3 +113,35 @@ def delta_delivery(events: DataFrame, watermark: str = "0 seconds") -> DataFrame
         .withColumn("t", tick_col(F.col("ts")))
         .select("t", "event_id", "user_id", "event_type", "props")
     )
+
+
+def rolling_active_firsts(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Streaming side of the batch ``rolling_active_users_7d`` query:
+    watermarked first-occurrence dedup per (day, user) — the only
+    stateful step, whose state is O(active users x 7 days), never
+    O(events) — followed by the same map-side fan-out of each pair to
+    the 7 trailing-window days it keeps alive. Each (day, user) pair is
+    emitted exactly once, so a downstream per-day COUNT DISTINCT of
+    user_id over the emitted rows reproduces WAU7 exactly (the distinct
+    is still needed: one user can appear on several source days inside
+    one target window).
+
+    Day boundaries are the same epoch-integer math as the batch query.
+    With the default 0s watermark and in-order replay the dedup is
+    exact; at scale, raise the watermark to the real lateness bound so
+    the dedup state is evicted as event time advances.
+    """
+    dedup = (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.expr("unix_millis(ts) DIV 86400000").alias("day"),
+            "user_id",
+            "ts",
+        )
+        .dropDuplicates(["day", "user_id"])
+    )
+    return dedup.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("d"),
+        F.col("day").alias("src_day"),
+        "user_id",
+    )

@@ -381,3 +381,38 @@ def test_streaming_ewma_rejects_nonzero_watermark(spark, sf_dir, chunked_events_
     stream = read_event_stream(spark, chunked_events_dir)
     with pytest.raises(ValueError, match="0-second watermark"):
         streaming_ewma(stream, watermark="10 minutes")
+
+
+def test_streaming_wau_matches_batch_rolling_actives(spark, sf_dir, chunked_events_dir):
+    """Streaming watermarked (day, user) dedup + 7-day fan-out == the
+    batch rolling_active_users_7d query: counting distinct users per
+    target day over the streamed first-occurrence rows reproduces WAU7
+    and DAU exactly."""
+    from goeventstream_spark.streaming.windows import rolling_active_firsts
+    import goeventstream_spark.queries_r3e  # noqa: F401
+    from goeventstream_spark import queries as q
+
+    stream = read_event_stream(spark, chunked_events_dir)
+    _run_stream(rolling_active_firsts(stream), "wau_firsts", "append")
+    out = spark.sql("SELECT * FROM wau_firsts")
+
+    batch = q.QUERIES["rolling_active_users_7d"](spark, sf_dir)
+    want = {(r.day, r.wau7, r.dau): None for r in batch.collect()}
+    lo = min(d for d, _, _ in want)
+    hi = max(d for d, _, _ in want)
+
+    wau = (
+        out.where((F.col("d") >= lo) & (F.col("d") <= hi))
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau7"))
+    )
+    dau = (
+        out.where(F.col("d") == F.col("src_day"))
+        .groupBy(F.col("src_day").alias("d"))
+        .agg(F.count_distinct("user_id").cast("long").alias("dau"))
+    )
+    got = {
+        (r.d, r.wau7, r.dau): None
+        for r in wau.join(dau, "d").collect()
+    }
+    assert got == want
