@@ -237,7 +237,9 @@ def q_rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 (the ``embedding_quantize`` codes — integer scores, exactly
     comparable). Each doc scores sum of 1e9 DIV (60 + rank) over the
     rankers that retrieved it; top-5 fused per query. Output is
-    integer-only.
+    integer-only. Sibling of ``hybrid_rrf_search`` (dense + lexical
+    over documents); this one fuses exact vs QUANTIZED rankers over
+    the same modality — the compression-loss readout.
 
     Scale plan: both rankers are broadcast-queries x corpus scans; the
     fusion is a full-outer join of two k x |queries| row lists — tiny.
