@@ -646,3 +646,66 @@ def test_rfm_ntile_windows_never_span_data_rows(spark, sf_dir):
     # the declared query must never fall back to a raw global ntile
     full = plans.physical_plan(q.QUERIES["rfm_segments"](spark, sf_dir))
     assert "ntile" not in full, full
+
+
+def test_frequent_triples_keyed_joins_and_take_ordered(spark, sf_dir):
+    # triple enumeration must join on the basket key (never a
+    # cartesian over parts — work is sum C(basket,3), not |parts|^3);
+    # the only nested-loop join allowed is the 1-row totals dim; the
+    # global top-15 plans as TakeOrderedAndProject.
+    df = q.QUERIES["frequent_triples"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rolling_actives_fanout_is_generator_not_range_join(spark, sf_dir):
+    # the trailing-7-day fan-out must be a map-side explode of a
+    # 7-element sequence (Generate), never a theta/range join; the
+    # only nested-loop join is the 1-row bounds broadcast.
+    df = q.QUERIES["rolling_active_users_7d"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Generate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_key_skew_report_take_ordered_window_after_limit(spark, sf_dir):
+    # heavy-hitter selection is TakeOrderedAndProject; the cumulative
+    # window runs AFTER the 10-row take (appears later in the plan
+    # text), never over all keys.
+    df = q.QUERIES["key_skew_report"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" in plan, plan
+    assert "TakeOrderedAndProject" in plan.split("Window")[-1], plan
+
+
+def test_bloom_probe_join_is_broadcast(spark, sf_dir):
+    # the probe-cells -> bit-set membership join must be a broadcast
+    # hash join (the bit set is bounded by m = 16384 positions); lane
+    # and scalar fan-ins are bounded-row nested-loop broadcasts only.
+    df = q.QUERIES["bloom_filter_fp_audit"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_vote_label_joins_broadcast(spark, sf_dir):
+    # neighbor-label and truth-label dims must broadcast onto the
+    # k x |queries| top-k rows; every window is query_id-partitioned.
+    df = q.QUERIES["knn_label_vote"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_daily_checksums_single_exchange(spark, sf_dir):
+    # one map-side hash projection + one day-keyed agg: exactly one
+    # shuffle in the whole plan, with map-side partial aggregation.
+    df = q.QUERIES["daily_table_checksums"](spark, sf_dir)
+    assert plans.count_exchanges(df) == 1, plans.physical_plan(df)
+    assert "partial" in plans.physical_plan(df).lower()
