@@ -96,6 +96,7 @@ HEADLINE = [
     "haar_hourly_pyramid",
     "bloom_filter_fp_audit",
     "daily_table_checksums",
+    "skyline_parts",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

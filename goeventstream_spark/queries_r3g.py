@@ -349,3 +349,73 @@ def q_daily_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("h").cast("long").alias("max_h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (Pareto front) via bounded-domain suffix minima
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skyline_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    per_size AS (SELECT p_size, min(cents) AS m FROM p GROUP BY 1),
+    best AS (
+      SELECT p_size, m AS m_eq,
+             min(m) OVER (ORDER BY p_size DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m_above
+      FROM per_size
+    )
+    SELECT p.p_partkey AS partkey, p.p_size AS size, p.cents AS cents
+    FROM p JOIN best USING (p_size)
+    WHERE (best.m_above IS NULL OR best.m_above > p.cents)
+      AND best.m_eq >= p.cents
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto front) of parts: keep every part not
+    DOMINATED by another — dominated means some part has size >= and
+    price <= with at least one strict. Equivalently a part survives
+    iff no strictly-larger size offers an equal-or-lower price AND its
+    own size class offers nothing cheaper (ties in both dims don't
+    dominate, so equal-price minima within a size all survive).
+
+    Scale plan: the naive skyline is an O(n^2) self-join; this plans
+    as one hash agg to the per-size minimum (bounded: the dominance
+    test only ever needs the best price per size), a suffix-min window
+    over the DISTINCT SIZE DOMAIN (50 rows — O(domain), not O(rows)),
+    and a broadcast join back to the parts. Exact integer cents
+    end-to-end.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("cents"),
+    )
+    per_size = part.groupBy("p_size").agg(F.min("cents").alias("m"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("p_size")).rowsBetween(W.unboundedPreceding, -1)
+    best = per_size.select(
+        "p_size",
+        F.col("m").alias("m_eq"),
+        F.min("m").over(w).alias("m_above"),
+    )
+    return (
+        part.join(F.broadcast(best), "p_size")
+        .where(
+            (F.col("m_above").isNull() | (F.col("m_above") > F.col("cents")))
+            & (F.col("m_eq") >= F.col("cents"))
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_size").alias("size"),
+            "cents",
+        )
+    )
