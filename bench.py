@@ -97,6 +97,7 @@ HEADLINE = [
     "bloom_filter_fp_audit",
     "daily_table_checksums",
     "skyline_parts",
+    "leakage_safe_split",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

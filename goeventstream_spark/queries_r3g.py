@@ -419,3 +419,91 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val split (split by near-dup cluster, not by doc)
+# ---------------------------------------------------------------------------
+
+
+def _leakage_sql() -> str:
+    from goeventstream_spark.queries_llm import _JPAIRS_CTE
+
+    return f"""
+    WITH RECURSIVE {_JPAIRS_CTE},
+    assign AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    tagged AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))
+                         ::BIGINT % 10 = 0
+                  THEN 'val' ELSE 'train' END AS split
+      FROM assign
+    ),
+    straddle AS (
+      SELECT CAST(count(*) AS BIGINT) AS straddling_clusters FROM (
+        SELECT cluster_id FROM tagged
+        GROUP BY cluster_id HAVING count(DISTINCT split) > 1
+      )
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           straddling_clusters
+    FROM tagged CROSS JOIN straddle
+    GROUP BY split, straddling_clusters
+    """
+
+
+@query("leakage_safe_split", _leakage_sql())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: documents are split by the md5 of
+    their NEAR-DUP CLUSTER id (the exact-Jaccard connected components
+    of ``dedup_clusters``), never by doc id — so near-duplicates can
+    never straddle the boundary and leak evaluation data into
+    training. Reports per-split doc/cluster counts plus an executable
+    straddle audit (count of clusters seen in both splits — proved 0
+    by running the check, not by assumption).
+
+    Scale plan: clustering is the ``dedup.dedup_clusters``
+    min-label propagation (at 100 TB the pair source swaps to the LSH
+    candidate path); the split tag is one map-side hash of the cluster
+    label, and both report and audit are small aggregations keyed on
+    cluster/split.
+    """
+    from goeventstream_spark.operators import dedup as dd
+    from goeventstream_spark.operators import text as tx  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(dd.ngram_jaccard_pairs(docs), all_docs=docs)
+    tagged = clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            == 0,
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    straddle = (
+        tagged.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count("*").cast("long").alias("straddling_clusters"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+    )
