@@ -660,3 +660,43 @@ def test_trend_slope_degenerate_inputs_null_not_crash(spark):
     rows = analytics.trend_slopes(ev).collect()
     assert len(rows) == 1
     assert rows[0].slope_per_hour is None
+
+
+def test_pandas_grouped_agg_udaf_matches_builtin_median(spark, sf_dir):
+    """Series-to-scalar (grouped-agg) pandas UDAF — the one Arrow UDF
+    flavor the rest of the repo doesn't exercise (scalar pandas_udf,
+    mapInPandas, applyInPandas, UDTF are all covered elsewhere): an
+    exact integer low-median per event_type, pinned equal to the
+    builtin percentile. Documented slow path: use builtins in real
+    queries; this pins that the UDAF *surface* works and agrees."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from goeventstream_spark.sources import load_table
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def lo_median(v):
+        # exact discrete low median of integer cents (no interpolation)
+        s = v.sort_values(ignore_index=True)
+        return int(s.iloc[(len(s) - 1) // 2])
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    got = {
+        (r.event_type, r.med): None
+        for r in ev.groupBy("event_type").agg(lo_median("cents").alias("med")).collect()
+    }
+    want = {
+        (r.event_type, r.med): None
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(cents))"
+                "[CAST((count(*) - 1) DIV 2 AS INT)]"
+            ).alias("med")
+        )
+        .collect()
+    }
+    assert got == want
