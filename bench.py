@@ -98,6 +98,8 @@ HEADLINE = [
     "daily_table_checksums",
     "skyline_parts",
     "leakage_safe_split",
+    "cep_clean_conversions",
+    "similar_day_pairs",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",
@@ -178,6 +180,7 @@ def main() -> None:
     import goeventstream_spark.queries_r3e  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3f  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3g  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3h  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
