@@ -100,6 +100,8 @@ HEADLINE = [
     "leakage_safe_split",
     "cep_clean_conversions",
     "similar_day_pairs",
+    "fd_violation_audit",
+    "equi_depth_boundaries",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",
@@ -181,6 +183,7 @@ def main() -> None:
     import goeventstream_spark.queries_r3f  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3g  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3h  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3i  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
