@@ -102,6 +102,8 @@ HEADLINE = [
     "similar_day_pairs",
     "fd_violation_audit",
     "equi_depth_boundaries",
+    "shingle_containment_pairs",
+    "hourly_peaks",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",
@@ -184,6 +186,7 @@ def main() -> None:
     import goeventstream_spark.queries_r3g  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3h  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3i  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3j  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
