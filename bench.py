@@ -104,6 +104,8 @@ HEADLINE = [
     "equi_depth_boundaries",
     "shingle_containment_pairs",
     "hourly_peaks",
+    "kaplan_meier_by_entry_type",
+    "revenue_share_hierarchy",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",
@@ -187,6 +189,7 @@ def main() -> None:
     import goeventstream_spark.queries_r3h  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3i  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3j  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3k  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
