@@ -210,10 +210,15 @@ def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer is the one dim that grows with the data — no forced
     # broadcast; Catalyst/AQE picks broadcast while it fits and falls
     # back to a shuffle join beyond the threshold.
+    # Materialize once: rev feeds three consumers (itself, the region
+    # totals, the global total) and without a checkpoint each branch
+    # re-runs the whole star join (exchange reuse does not fire across
+    # these shapes). The relation is |regions x nations| rows — tiny.
     rev = (
         o.join(dim, o.o_custkey == dim.c_custkey)
         .groupBy("region", "nation")
         .agg(F.sum("c").cast("long").alias("cents"))
+        .localCheckpoint(eager=False)
     )
     reg = rev.groupBy("region").agg(F.sum("cents").cast("long").alias("r_cents"))
     glob = rev.agg(F.sum("cents").cast("long").alias("g_cents"))

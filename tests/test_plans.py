@@ -713,3 +713,42 @@ def test_daily_checksums_single_exchange(spark, sf_dir):
     df = q.QUERIES["daily_table_checksums"](spark, sf_dir)
     assert plans.count_exchanges(df) == 1, plans.physical_plan(df)
     assert "partial" in plans.physical_plan(df).lower()
+
+
+def test_cep_single_window_single_exchange(spark, sf_dir):
+    # the whole negation-pattern match is ONE user-keyed window pass
+    # (two conditional running maxes share the frame) + the per-user
+    # agg on the same partitioning: exactly one shuffle.
+    df = q.QUERIES["cep_clean_conversions"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert plans.count_exchanges(df) == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_similar_day_pairs_hod_keyed_take_ordered(spark, sf_dir):
+    # the pair join must key on hour-of-day (hash join), never a
+    # cartesian over days; top-10 is TakeOrderedAndProject; the only
+    # nested-loop joins are the bounded 24-row hour spine fan-ins.
+    df = q.QUERIES["similar_day_pairs"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_fd_audit_is_pure_aggregation(spark, sf_dir):
+    # FD discovery is agg-only: no join of any kind anywhere in the
+    # plan — each candidate is an independent two-level hash agg.
+    df = q.QUERIES["fd_violation_audit"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_revenue_hierarchy_single_fact_scan(spark, sf_dir):
+    # the fact (orders) must be scanned/joined ONCE — the region and
+    # global totals re-aggregate the checkpointed (region, nation)
+    # rollup instead of re-running the star join per consumer.
+    df = q.QUERIES["revenue_share_hierarchy"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") <= 4, plan
