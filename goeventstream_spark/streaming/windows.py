@@ -128,8 +128,13 @@ def rolling_active_firsts(events: DataFrame, watermark: str = "0 seconds") -> Da
 
     Day boundaries are the same epoch-integer math as the batch query.
     With the default 0s watermark and in-order replay the dedup is
-    exact; at scale, raise the watermark to the real lateness bound so
-    the dedup state is evicted as event time advances.
+    exact. State-eviction contract at scale: plain ``dropDuplicates``
+    keys that exclude the event-time column are NEVER evicted —
+    swap to ``dropDuplicatesWithinWatermark(["day", "user_id"])`` with
+    a watermark of one day plus the real lateness bound, which is
+    exactly equivalent here (any duplicate of a (day, user) pair
+    arrives within a day-boundary of its first occurrence) and keeps
+    state bounded to the watermark window.
     """
     dedup = (
         events.withWatermark("ts", watermark)
