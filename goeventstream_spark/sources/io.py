@@ -234,3 +234,67 @@ def compact_parquet(
     else:
         df.repartition(int(n)).write.mode("overwrite").parquet(dst_path)
     return int(n)
+
+
+def write_idempotent(
+    df: DataFrame, base_path: str, batch_id: str
+) -> dict:
+    """Idempotent batch publish — the exactly-once pattern a
+    ``foreachBatch`` streaming sink (or a retried batch job) needs on
+    a plain-file lake: the batch lands under
+    ``base_path/batch_id=<id>/`` via write-to-temp + atomic directory
+    rename, and a ``_manifest.json`` (row count + order-independent
+    content checksum over every column) marks the commit. A re-run
+    with the same batch_id sees the manifest and returns it WITHOUT
+    rewriting — duplicate delivery becomes a no-op, which is what
+    turns at-least-once retries into exactly-once output.
+
+    The checksum is the BIGINT sum of a 48-bit md5 slice of each row's
+    concatenated columns — commutative, so it is independent of
+    partitioning and task order (the same primitive as
+    ``daily_table_checksums``). Returns the manifest dict.
+    """
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    final_dir = os.path.join(base_path, f"batch_id={batch_id}")
+    manifest_path = os.path.join(final_dir, "_manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            return json.load(fh)
+
+    row_h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    stats = df.agg(
+        F.count("*").alias("n_rows"), F.sum(row_h).alias("checksum")
+    ).collect()[0]
+
+    tmp_dir = os.path.join(base_path, f"_tmp_batch_{batch_id}")
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    df.write.mode("overwrite").parquet(tmp_dir)
+    manifest = {
+        "batch_id": batch_id,
+        "n_rows": int(stats["n_rows"]),
+        "checksum": int(stats["checksum"] or 0),
+        "columns": list(df.columns),
+    }
+    with open(os.path.join(tmp_dir, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    if os.path.exists(final_dir):
+        # a concurrent/previous attempt published first — keep it
+        shutil.rmtree(tmp_dir)
+        with open(manifest_path) as fh:
+            return json.load(fh)
+    os.rename(tmp_dir, final_dir)
+    return manifest

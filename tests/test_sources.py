@@ -375,3 +375,39 @@ def test_storage_report_matches_duckdb_parquet_metadata(spark, sf_dir):
         ).fetchall()
     }
     assert got == want
+
+
+def test_write_idempotent_publish_and_replay_noop(spark, sf_dir, tmp_path):
+    """Idempotent publish: first call writes batch dir + manifest;
+    a duplicate delivery of the same batch_id returns the SAME
+    manifest without rewriting (exactly-once output from
+    at-least-once retries); a different batch_id publishes fresh."""
+    import json
+    import os
+
+    from goeventstream_spark.sources.io import write_idempotent
+    from goeventstream_spark.sources import load_table
+
+    base = str(tmp_path / "sink")
+    os.makedirs(base)
+    df = load_table(spark, sf_dir, "region")
+
+    m1 = write_idempotent(df, base, "b1")
+    assert m1["n_rows"] == df.count()
+    final = os.path.join(base, "batch_id=b1")
+    files1 = sorted(os.listdir(final))
+    mtime1 = os.path.getmtime(os.path.join(final, "_manifest.json"))
+
+    m2 = write_idempotent(df, base, "b1")  # duplicate delivery
+    assert m2 == m1
+    assert sorted(os.listdir(final)) == files1
+    assert os.path.getmtime(os.path.join(final, "_manifest.json")) == mtime1
+
+    m3 = write_idempotent(df, base, "b2")
+    assert m3["checksum"] == m1["checksum"]  # same content, same fingerprint
+    assert os.path.isdir(os.path.join(base, "batch_id=b2"))
+
+    back = spark.read.parquet(final)
+    assert back.count() == m1["n_rows"]
+    with open(os.path.join(final, "_manifest.json")) as fh:
+        assert json.load(fh)["batch_id"] == "b1"
