@@ -106,6 +106,7 @@ HEADLINE = [
     "hourly_peaks",
     "kaplan_meier_by_entry_type",
     "revenue_share_hierarchy",
+    "srm_check",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

@@ -237,3 +237,57 @@ def q_revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch (SRM) check for the deterministic A/B split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "srm_check",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM u
+    )
+    SELECT n0, n1,
+           CAST(abs(n0 - n1) AS BIGINT) AS abs_diff,
+           CAST(1000 * (n0 - n1) * (n0 - n1) // (n0 + n1) AS BIGINT)
+             AS chi2_milli
+    FROM g
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check for the ``cuped_adjusted_lift``
+    experiment's deterministic 50/50 split: per-variant distinct-user
+    counts and the exact chi-square statistic against the expected
+    even split — chi2 = (n0-n1)^2/(n0+n1) in milli fixed-point (the
+    guardrail every experimentation platform runs before trusting a
+    readout; chi2_milli > 3841 is the 5% red flag).
+
+    Scale plan: one distinct-user agg (map-side combined) + a 1-row
+    arithmetic projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", (F.col("user_id") % 2).alias("variant")).distinct()
+    g = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    return g.select(
+        "n0",
+        "n1",
+        F.abs(F.col("n0") - F.col("n1")).cast("long").alias("abs_diff"),
+        F.expr(
+            "CAST(1000 * (n0 - n1) * (n0 - n1) DIV (n0 + n1) AS BIGINT)"
+        ).alias("chi2_milli"),
+    )
