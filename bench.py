@@ -107,6 +107,7 @@ HEADLINE = [
     "kaplan_meier_by_entry_type",
     "revenue_share_hierarchy",
     "srm_check",
+    "er_sorted_neighborhood_pairs",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",
@@ -191,6 +192,7 @@ def main() -> None:
     import goeventstream_spark.queries_r3i  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3j  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3k  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3l  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
