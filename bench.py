@@ -108,6 +108,8 @@ HEADLINE = [
     "revenue_share_hierarchy",
     "srm_check",
     "er_sorted_neighborhood_pairs",
+    "vocab_drift_topk",
+    "linenumber_gap_audit",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

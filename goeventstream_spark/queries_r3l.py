@@ -88,3 +88,169 @@ def q_er_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("lev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary drift between corpus halves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_drift_topk",
+    """
+    WITH med AS (
+      SELECT CAST((min(doc_id) + max(doc_id)) // 2 AS BIGINT) AS mid
+      FROM documents
+    ),
+    toks AS (
+      SELECT CASE WHEN doc_id <= mid THEN 0 ELSE 1 END AS half,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents CROSS JOIN med
+    ),
+    tc AS (
+      SELECT half, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT half, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+    wide AS (
+      SELECT tok,
+             CAST(coalesce(sum(CASE WHEN tc.half = 0 THEN 1000000 * c // n END), 0)
+                  AS BIGINT) AS ppm_0,
+             CAST(coalesce(sum(CASE WHEN tc.half = 1 THEN 1000000 * c // n END), 0)
+                  AS BIGINT) AS ppm_1,
+             CAST(sum(c) AS BIGINT) AS total_c
+      FROM tc JOIN tot ON tc.half = tot.half
+      GROUP BY tok
+    )
+    SELECT tok, ppm_0, ppm_1,
+           CAST(abs(ppm_1 - ppm_0) AS BIGINT) AS drift_ppm
+    FROM wide WHERE total_c >= 20
+    ORDER BY drift_ppm DESC, tok LIMIT 20
+    """,
+)
+def q_vocab_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift report: the 20 tokens whose relative frequency
+    (exact ppm of each half's token mass) moved most between the first
+    and second half of the corpus (split at the doc_id midpoint — the
+    stand-in for a time axis) — the cheap distribution-shift monitor a
+    training pipeline runs between crawl snapshots before trusting a
+    data mix. A minimum-support filter (>= 20 occurrences) keeps
+    one-off tokens from dominating the ranking.
+
+    Scale plan: one (half, token) hash agg over the exploded tokens
+    (map-side combined), a 2-row totals dim joined back broadcast, a
+    token-keyed pivot agg, and a TakeOrderedAndProject top-20.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.agg(
+        F.expr("CAST((min(doc_id) + max(doc_id)) DIV 2 AS BIGINT)").alias("mid")
+    )
+    toks = (
+        docs.crossJoin(F.broadcast(med))
+        .select(
+            F.when(F.col("doc_id") <= F.col("mid"), 0).otherwise(1).alias("half"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    tc = toks.groupBy("half", "tok").agg(F.count("*").cast("long").alias("c"))
+    tot = tc.groupBy("half").agg(F.sum("c").cast("long").alias("n"))
+    wide = (
+        tc.join(F.broadcast(tot), "half")
+        .groupBy("tok")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN half = 0 THEN 1000000 * c DIV n END")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ppm_0"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN half = 1 THEN 1000000 * c DIV n END")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ppm_1"),
+            F.sum("c").cast("long").alias("total_c"),
+        )
+    )
+    return (
+        wide.where(F.col("total_c") >= 20)
+        .select(
+            "tok",
+            "ppm_0",
+            "ppm_1",
+            F.abs(F.col("ppm_1") - F.col("ppm_0")).cast("long").alias("drift_ppm"),
+        )
+        .orderBy(F.desc("drift_ppm"), "tok")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-number completeness audit (dense-sequence invariant)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "linenumber_gap_audit",
+    """
+    WITH g AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(min(l_linenumber) AS BIGINT) AS min_ln,
+             CAST(max(l_linenumber) AS BIGINT) AS max_ln,
+             CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_distinct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN min_ln = 1 AND max_ln = n_lines
+                          AND n_distinct = n_lines
+                         THEN 0 ELSE 1 END) AS BIGINT) AS broken_orders,
+           CAST(sum(CASE WHEN n_distinct < n_lines THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_linenumbers,
+           CAST(sum(CASE WHEN min_ln <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bad_starts,
+           CAST(sum(CASE WHEN max_ln <> n_lines THEN 1 ELSE 0 END) AS BIGINT)
+             AS gapped
+    FROM g
+    """,
+)
+def q_linenumber_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-sequence invariant audit: every order's line numbers must
+    be exactly 1..count with no duplicates or gaps (min=1, max=count,
+    all distinct — the three checks jointly imply density). The
+    contract check for any child-sequence column (CDC line items,
+    message parts, chunk indices) after merges and reprocessing.
+
+    Scale plan: one orderkey-keyed agg (map-side combined) + a 1-row
+    rollup; no windows, no sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.min("l_linenumber").cast("long").alias("min_ln"),
+        F.max("l_linenumber").cast("long").alias("max_ln"),
+        F.count_distinct("l_linenumber").cast("long").alias("n_distinct"),
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(
+            F.when(
+                (F.col("min_ln") == 1)
+                & (F.col("max_ln") == F.col("n_lines"))
+                & (F.col("n_distinct") == F.col("n_lines")),
+                0,
+            ).otherwise(1)
+        )
+        .cast("long")
+        .alias("broken_orders"),
+        F.sum(F.when(F.col("n_distinct") < F.col("n_lines"), 1).otherwise(0))
+        .cast("long")
+        .alias("dup_linenumbers"),
+        F.sum(F.when(F.col("min_ln") != 1, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_starts"),
+        F.sum(F.when(F.col("max_ln") != F.col("n_lines"), 1).otherwise(0))
+        .cast("long")
+        .alias("gapped"),
+    )
