@@ -233,10 +233,14 @@ def q_bloom_filter_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
 
     members = cust.select(F.col("c_custkey").cast("string").alias("key"))
+    # Materialize once: the bit set feeds both the membership join and
+    # the bits_set count, and without a checkpoint each consumer
+    # re-runs the member scan + distinct. Bounded at m = 16384 rows.
     bits = (
         members.crossJoin(F.broadcast(lanes))
         .select(pos_expr("key").alias("pos"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     probes = cust.select(
         (F.col("c_custkey") + 100000000).cast("string").alias("pkey")

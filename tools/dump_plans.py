@@ -38,6 +38,10 @@ FLAGSHIPS = [
     "rfm_segments",
     "bootstrap_revenue_ci",
     "bigram_lm_fluency_topk",
+    "cep_clean_conversions",
+    "rolling_active_users_7d",
+    "bloom_filter_fp_audit",
+    "skyline_parts",
 ]
 
 
