@@ -416,3 +416,42 @@ def test_streaming_wau_matches_batch_rolling_actives(spark, sf_dir, chunked_even
         for r in wau.join(dau, "d").collect()
     }
     assert got == want
+
+
+def test_streaming_ingest_dedup_matches_batch_exact_dedup(spark, sf_dir, tmp_path_factory):
+    """Streaming dedup-on-ingest == batch exact_dedup: a chunked
+    documents stream deduplicated on the content hash (watermarked
+    dropDuplicates, first arrival wins) keeps exactly one doc per
+    content hash, and with id-ordered arrival the kept ids equal the
+    batch min-id winners — the exactly-once ingestion-dedup step of a
+    training-data pipeline, streaming-native."""
+    from goeventstream_spark.operators.dedup import exact_dedup, normalized_text
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id")
+    rows = docs.collect()
+    flat = str(tmp_path_factory.mktemp("docs_stream"))
+    chunk = (len(rows) + 3) // 4
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(flat, f"c{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat + "/c*")
+    )
+    hashed = stream.select(
+        "doc_id", F.md5(normalized_text("text")).alias("content_hash")
+    ).dropDuplicates(["content_hash"])
+    _run_stream(hashed, "dedup_ingest", "append")
+    got = {
+        (r.content_hash, r.doc_id): None
+        for r in spark.sql("SELECT * FROM dedup_ingest").collect()
+    }
+    want = {
+        (r.content_hash, r.keep_doc_id): None
+        for r in exact_dedup(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert got == want
