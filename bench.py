@@ -110,6 +110,7 @@ HEADLINE = [
     "er_sorted_neighborhood_pairs",
     "vocab_drift_topk",
     "linenumber_gap_audit",
+    "dedup_savings_by_source",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

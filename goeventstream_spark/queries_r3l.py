@@ -254,3 +254,75 @@ def q_linenumber_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gapped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup storage-savings report per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_savings_by_source",
+    """
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_hash
+      FROM documents
+    ),
+    keep AS (
+      SELECT content_hash, min(doc_id) AS keep_doc_id FROM h GROUP BY 1
+    )
+    SELECT h.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id <> k.keep_doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_docs,
+           CAST(sum(h.n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN h.doc_id <> k.keep_doc_id THEN h.n_chars ELSE 0 END)
+                AS BIGINT) AS chars_dropped,
+           CAST(1000000 * sum(CASE WHEN h.doc_id <> k.keep_doc_id
+                                   THEN h.n_chars ELSE 0 END)
+                // sum(h.n_chars) AS BIGINT) AS savings_ppm
+    FROM h JOIN keep k USING (content_hash)
+    GROUP BY h.source
+    """,
+)
+def q_dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-savings report for exact dedup, per source: how many
+    docs and how many characters each source would shed if only the
+    min-id winner per content hash survives (same normalization and
+    winner rule as ``exact_dedup``) — the sizing readout that decides
+    whether the dedup pass pays for itself at 100 TB.
+
+    Scale plan: one hash projection, one (content_hash) agg for the
+    winners, one hash-keyed join back, one source-keyed rollup — all
+    map-side-combinable, no windows.
+    """
+    from goeventstream_spark.operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(normalized_text("text")).alias("content_hash"),
+    )
+    keep = h.groupBy("content_hash").agg(F.min("doc_id").alias("keep_doc_id"))
+    dropped = F.when(F.col("doc_id") != F.col("keep_doc_id"), 1).otherwise(0)
+    dropped_chars = F.when(
+        F.col("doc_id") != F.col("keep_doc_id"), F.col("n_chars")
+    ).otherwise(0)
+    return (
+        h.join(keep, "content_hash")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(dropped).cast("long").alias("dropped_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(dropped_chars).cast("long").alias("chars_dropped"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN doc_id <> keep_doc_id "
+                "THEN n_chars ELSE 0 END) DIV sum(n_chars) AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+    )
