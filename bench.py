@@ -111,6 +111,9 @@ HEADLINE = [
     "vocab_drift_topk",
     "linenumber_gap_audit",
     "dedup_savings_by_source",
+    "simhash_eval_report",
+    "copurchase_assortativity",
+    "burstiness_by_type",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",
@@ -196,6 +199,7 @@ def main() -> None:
     import goeventstream_spark.queries_r3j  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3k  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3l  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3m  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

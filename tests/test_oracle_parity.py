@@ -21,6 +21,7 @@ import goeventstream_spark.queries_r3i  # noqa: F401  (registers into q.QUERIES)
 import goeventstream_spark.queries_r3j  # noqa: F401  (registers into q.QUERIES)
 import goeventstream_spark.queries_r3k  # noqa: F401  (registers into q.QUERIES)
 import goeventstream_spark.queries_r3l  # noqa: F401  (registers into q.QUERIES)
+import goeventstream_spark.queries_r3m  # noqa: F401  (registers into q.QUERIES)
 from goeventstream_spark import queries as q
 from tests.oracle import assert_frames_match, run_oracle
 
