@@ -114,6 +114,7 @@ HEADLINE = [
     "simhash_eval_report",
     "copurchase_assortativity",
     "burstiness_by_type",
+    "nation_personalized_pagerank",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

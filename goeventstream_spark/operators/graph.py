@@ -192,3 +192,68 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
         .unionAll(tris.select(F.col("w").alias("node")))
     )
     return members.groupBy("node").agg(F.count("*").alias("tri_cnt"))
+
+
+def personalized_pagerank_fixed(
+    edges: DataFrame, seeds: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Personalized PageRank (teleport restricted to a seed set),
+    exact fixed-point integer arithmetic — same recurrence as
+    ``pagerank_fixed_point`` except the teleport term lands only on
+    seeds:
+
+      s0(v)    = SCALE DIV n_seeds  if v in seeds else 0
+      s_k+1(v) = [v in seeds] * (SCALE*15) DIV (100*n_seeds)
+                 + (85 * SUM_in((s_k(src) * wn) DIV 1e6)) DIV 100
+
+    ``seeds`` is a 1-column (node) DataFrame, assumed tiny
+    (broadcast). Same scale anatomy as the global variant: one
+    aggregated edge relation, broadcast-sized iteration joins, scalars
+    via 1-row cross joins, no collect.
+    """
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = edges.join(out_w, "src").select(
+        "src", "dst", F.expr(f"(w * {W_SCALE}) DIV out_w").alias("wn")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_marked = nodes.join(
+        F.broadcast(seeds.select(F.col("node"), F.lit(1).alias("is_seed"))),
+        "node",
+        "left",
+    ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    ns_df = seed_marked.agg(F.sum("is_seed").cast("long").alias("ns"))
+    ranks = seed_marked.crossJoin(F.broadcast(ns_df)).select(
+        "node",
+        "is_seed",
+        F.expr(f"CASE WHEN is_seed = 1 THEN {SCALE} DIV ns ELSE 0 END").alias(
+            "rank"
+        ),
+    )
+    for _ in range(iterations):
+        contrib = (
+            norm.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .select("dst", F.expr(f"(rank * wn) DIV {W_SCALE}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            seed_marked.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .crossJoin(F.broadcast(ns_df))
+            .select(
+                "node",
+                "is_seed",
+                F.expr(
+                    f"is_seed * (({SCALE} * 15) DIV (100 * ns))"
+                    f" + (85 * coalesce(in_sum, 0)) DIV 100"
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")

@@ -298,3 +298,110 @@ def q_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("n_events"),
         fano.alias("fano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from a seed region
+# ---------------------------------------------------------------------------
+
+
+def _ppr_sql() -> str:
+    from goeventstream_spark.operators import graph as gr
+
+    it = """
+    c{i} AS (
+      SELECT dst, CAST(sum((r.rank * norm.wn) // {W}) AS BIGINT) AS in_sum
+      FROM norm JOIN r{p} r ON norm.src = r.node GROUP BY dst
+    ),
+    r{i} AS (
+      SELECT sm.node, sm.is_seed,
+             sm.is_seed * (({S} * 15) // (100 * ns))
+               + (85 * COALESCE(in_sum, 0)) // 100 AS rank
+      FROM sm LEFT JOIN c{i} ON sm.node = c{i}.dst, nn
+    )"""
+    its = ",".join(
+        it.format(i=i, p=i - 1, W=gr.W_SCALE, S=gr.SCALE) for i in range(1, 4)
+    )
+    return f"""
+    WITH e AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+    norm AS (
+      SELECT e.src, e.dst, (CAST(e.w AS BIGINT) * {gr.W_SCALE}) // ow.out_w AS wn
+      FROM e JOIN ow ON e.src = ow.src
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    seeds AS (
+      SELECT n.n_nationkey AS node FROM nation n
+      JOIN region rg ON n.n_regionkey = rg.r_regionkey
+      WHERE rg.r_name = 'ASIA'
+    ),
+    sm AS (
+      SELECT nodes.node,
+             CASE WHEN seeds.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+      FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node
+    ),
+    nn AS (SELECT CAST(sum(is_seed) AS BIGINT) AS ns FROM sm),
+    r0 AS (
+      SELECT node, is_seed,
+             CASE WHEN is_seed = 1 THEN {gr.SCALE} // ns ELSE 0 END AS rank
+      FROM sm, nn
+    ),
+    {its}
+    SELECT n.n_name, CAST(r3.rank AS BIGINT) AS rank
+    FROM r3 JOIN nation n ON r3.node = n.n_nationkey
+    """
+
+
+@query("nation_personalized_pagerank", _ppr_sql())
+def q_nation_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the supplier-nation -> customer-
+    nation trade graph, teleporting only to ASIA nations — "trade
+    influence as seen FROM Asia", the seeded variant of
+    ``nation_pagerank`` used for related-item and
+    local-neighborhood ranking. Same exact int64 fixed-point
+    recurrences, 3 unrolled iterations, seed-restricted teleport.
+
+    Scale plan: identical to the global variant (one heavy edge
+    aggregation, then broadcast-sized iteration joins); the seed set
+    rides as a broadcast 1-column dim.
+    """
+    from goeventstream_spark.operators import graph as gr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    edges = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    seeds = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("node"))
+    )
+    ranks = gr.personalized_pagerank_fixed(edges, seeds, iterations=3)
+    return ranks.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        ranks.node == F.col("n_nationkey"),
+    ).select("n_name", F.col("rank").cast("long").alias("rank"))
