@@ -115,6 +115,8 @@ HEADLINE = [
     "copurchase_assortativity",
     "burstiness_by_type",
     "nation_personalized_pagerank",
+    "fair_topk_docs",
+    "dedup_cluster_size_histogram",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

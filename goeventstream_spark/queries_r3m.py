@@ -405,3 +405,112 @@ def q_nation_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFram
         F.broadcast(nation.select("n_nationkey", "n_name")),
         ranks.node == F.col("n_nationkey"),
     ).select("n_name", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Fair (diversity-capped) top-k and dedup cluster-size histogram
+# ---------------------------------------------------------------------------
+
+
+def _fair_topk_sql() -> str:
+    from goeventstream_spark.queries_llm import _QUAL_CTE, _WORDS
+
+    return f"""
+    WITH {_WORDS},
+    {_QUAL_CTE}
+    SELECT doc_id, source, quality_score, src_rank FROM (
+      SELECT d.doc_id, d.source, q.quality_score,
+             CAST(row_number() OVER (PARTITION BY d.source
+                                     ORDER BY q.quality_score DESC, d.doc_id)
+                  AS BIGINT) AS src_rank
+      FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+    ) WHERE src_rank <= 3
+    ORDER BY quality_score DESC, doc_id LIMIT 12
+    """
+
+
+@query("fair_topk_docs", _fair_topk_sql())
+def q_fair_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped (fair) top-k: the 12 highest-quality documents
+    subject to AT MOST 3 per source — the result-diversification rule
+    every search/curation surface applies so one prolific source
+    cannot monopolize the head of the ranking.
+
+    Scale plan: the per-source cap is a source-partitioned rank window
+    (parallel across sources) filtered to 3 survivors per source —
+    at most 3x|sources| rows — and the global top-12 over that tiny
+    relation is TakeOrderedAndProject. Never a global rank over the
+    corpus.
+    """
+    from goeventstream_spark.operators import text as tx
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = tx.quality_score(docs).select("doc_id", "quality_score")
+    w = W.partitionBy("source").orderBy(F.desc("quality_score"), "doc_id")
+    capped = (
+        docs.select("doc_id", "source")
+        .join(qual, "doc_id")
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("src_rank") <= 3)
+    )
+    return capped.select(
+        "doc_id", "source", "quality_score", "src_rank"
+    ).orderBy(F.desc("quality_score"), "doc_id").limit(12)
+
+
+def _cluster_hist_sql() -> str:
+    from goeventstream_spark.queries_llm import _JPAIRS_CTE
+
+    return f"""
+    WITH RECURSIVE {_JPAIRS_CTE},
+    assign AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    csizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS size FROM assign GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(max(size) AS BIGINT) AS max_size
+            FROM assign, (SELECT max(size) AS size FROM csizes))
+    SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(1000000 * max_size // n_docs AS BIGINT) AS giant_share_ppm
+    FROM csizes CROSS JOIN tot
+    GROUP BY size, max_size, n_docs
+    """
+
+
+@query("dedup_cluster_size_histogram", _cluster_hist_sql())
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution (how many components of each
+    size) plus the giant-component share of all docs in ppm — the
+    health check that catches a collapsed dedup graph (one giant
+    cluster swallowing the corpus means the threshold is too loose)
+    before representatives are dropped.
+
+    Scale plan: clustering is the existing propagation operator; the
+    histogram is two tiny aggs keyed on cluster id then size; the
+    giant share rides as a broadcast 1-row stat.
+    """
+    from goeventstream_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(dd.ngram_jaccard_pairs(docs), all_docs=docs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    tot = sizes.agg(
+        F.sum("size").cast("long").alias("n_docs"),
+        F.max("size").cast("long").alias("max_size"),
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("size").cast("long").alias("size"),
+            "n_clusters",
+            F.expr("CAST(1000000 * max_size DIV n_docs AS BIGINT)").alias(
+                "giant_share_ppm"
+            ),
+        )
+    )
