@@ -754,3 +754,21 @@ def test_revenue_hierarchy_single_fact_scan(spark, sf_dir):
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") <= 4, plan
+
+
+def test_no_rowwise_python_udf_anywhere(spark, sf_dir):
+    """Repo-wide anti-pattern gate: NO registered query may plan a
+    row-at-a-time Python UDF (BatchEvalPython). Python is allowed only
+    through Arrow (ArrowEvalPython / mapInPandas / applyInPandas — the
+    vectorized slow path the docs declare); a row-wise UDF sneaking
+    into any of the ~276 declared queries is a 10-100x hot-path
+    regression at 100 TB, caught here at plan time."""
+    offenders = []
+    for name in sorted(q.QUERIES):
+        try:
+            plan = plans.physical_plan(q.QUERIES[name](spark, sf_dir))
+        except Exception as exc:  # pragma: no cover - surface the name
+            raise AssertionError(f"{name}: plan generation failed: {exc}")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-wise Python UDFs in: {offenders}"
