@@ -117,6 +117,7 @@ HEADLINE = [
     "nation_personalized_pagerank",
     "fair_topk_docs",
     "dedup_cluster_size_histogram",
+    "nation_harmonic_centrality",
     # round 3
     "multimodal_png_decode",
     "lsh_band_signatures",

@@ -514,3 +514,115 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 3-hop-bounded harmonic centrality over the sparse trade graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_harmonic_centrality",
+    """
+    WITH e0 AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    sparse AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM e0
+      ) WHERE rn <= 2
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM sparse UNION ALL SELECT dst FROM sparse
+      )
+    ),
+    reach AS (
+      WITH RECURSIVE r(s, node, hop) AS (
+        SELECT node AS s, node, 0 AS hop FROM nodes
+        UNION ALL
+        SELECT r.s, sparse.dst AS node, r.hop + 1 AS hop
+        FROM r JOIN sparse ON sparse.src = r.node
+        WHERE r.hop < 3
+      )
+      SELECT s, node, CAST(min(hop) AS BIGINT) AS d FROM r GROUP BY 1, 2
+    )
+    SELECT n.n_name,
+           CAST(sum(1000000 // d) AS BIGINT) AS harmonic_ppm,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM reach JOIN nation n ON reach.s = n.n_nationkey
+    WHERE d > 0
+    GROUP BY n.n_name
+    """,
+)
+def q_nation_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop-bounded harmonic centrality over each nation's top-2
+    heaviest trade lanes: sum over reachable others of 1e6/hops (exact
+    integer floors) — the centrality that, unlike closeness, handles
+    disconnected graphs gracefully; bounded depth makes it the
+    streaming-refreshable variant (same sparse graph and depth bound
+    as ``trade_reach_hops``, extended from one seed to ALL sources).
+
+    Scale plan: the heavy stage is the one edge aggregation; the
+    all-sources expansion unrolls 3 joins over the broadcast-sized
+    sparse graph (<= 2 successors/node), so path rows are bounded by
+    |nodes| * 2^3; min-hop and the harmonic sum are two tiny aggs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    from pyspark.sql import Window as W
+
+    e0 = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wsp = W.partitionBy("src").orderBy(F.desc("w"), "dst")
+    sparse = (
+        e0.withColumn("rn", F.row_number().over(wsp))
+        .where(F.col("rn") <= 2)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        sparse.select(F.col("src").alias("node"))
+        .unionAll(sparse.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    paths = nodes.select(
+        F.col("node").alias("s"), "node", F.lit(0).alias("hop")
+    )
+    cur = paths
+    for hop in (1, 2, 3):
+        cur = (
+            cur.join(F.broadcast(sparse), cur.node == sparse.src)
+            .select("s", F.col("dst").alias("node"), F.lit(hop).alias("hop"))
+        )
+        paths = paths.unionAll(cur)
+    mind = paths.groupBy("s", "node").agg(F.min("hop").cast("long").alias("d"))
+    return (
+        mind.where(F.col("d") > 0)
+        .groupBy("s")
+        .agg(
+            F.sum(F.expr("1000000 DIV d")).cast("long").alias("harmonic_ppm"),
+            F.count("*").cast("long").alias("n_reached"),
+        )
+        .join(F.broadcast(nation), F.col("s") == F.col("n_nationkey"))
+        .select("n_name", "harmonic_ppm", "n_reached")
+    )
