@@ -131,7 +131,6 @@ HEADLINE = [
     "bpe_merge_candidates",
     "multimodal_wav_decode",
     "incremental_minhash_dedup",
-    "key_skew_report",
     "curate_corpus_semantic",
     "interval_align_activity_band",
     "temperature_mix_summary",
@@ -150,7 +149,6 @@ HEADLINE = [
     "survival_table",
     "trend_slopes_by_type",
     "pearson_qty_price",
-    "benford_price_audit",
     "gini_by_segment",
     "ab_test_chi_square",
     "weighted_median_price",
@@ -220,8 +218,11 @@ def main() -> None:
     # shared host shows multi-x ambient-load spikes (measured: the same
     # query 1.2s vs 12.7s minutes apart) — min-of-3 is the honest
     # steady-state plan cost under both effects.
+    # dict.fromkeys: the HEADLINE list accreted two duplicate entries
+    # across rounds; each name must be measured exactly once.
+    names = list(dict.fromkeys(sys.argv[1:] or HEADLINE))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = q.QUERIES[name]
         best = float("inf")
         for _rep in range(3):
@@ -231,17 +232,27 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # Durable copy: the driver captures stdout, but round 3's captured
+    # artifact was truncated mid-JSON — also write the full line to a
+    # file so the bench result is always recoverable from the repo.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None and not sys.argv[1:]:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -515,9 +515,12 @@ def dedup_clusters(
 
     Scale discipline: ``localCheckpoint`` truncates lineage each round
     so the plan does not grow with iterations (on a cluster, swap for
-    reliable ``checkpoint``); convergence detection is one scalar agg —
-    labels are monotone non-increasing, so sum(label) strictly decreases
-    until the fixpoint.
+    reliable ``checkpoint``); convergence detection rides the round's
+    own shuffle — each vertex carries its previous label through the
+    min-aggregation (``max(_prev)`` is exact: exactly one labels row
+    per id contributes a non-null ``_prev``), so "did anything change"
+    is a filter-count over the already-checkpointed round output. One
+    shuffle + one action per round, no extra join, any id type.
 
     If ``all_docs`` is given, docs in no pair appear as singleton
     clusters (cluster_id = own id).
@@ -526,34 +529,41 @@ def dedup_clusters(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     edges = sym.localCheckpoint(eager=True)
+    # Fused first round: from identity labels, round 1 would yield
+    # lbl = min(id, min(neighbors)) — compute that directly in the
+    # same shuffle that deduplicates vertices, saving one iteration.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(F.col("src").alias("id"), F.least("src", "_mn").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    lbl_type = dict(labels.dtypes)["lbl"]
     for _ in range(max_iters):
         msgs = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "lbl")
+        ).select(
+            F.col("dst").alias("id"),
+            "lbl",
+            F.lit(None).cast(lbl_type).alias("_prev"),
+        )
         # Lazy checkpoint: the convergence count below is the action
         # that materializes it — one job per round instead of two.
-        prev = labels
-        labels = (
-            labels.union(msgs)
+        # The previous label rides the same shuffle as the min-agg
+        # (each id has exactly one labels row, so max(_prev) recovers
+        # it exactly), making the changed-count a filter over the
+        # checkpointed round output instead of a join against the
+        # previous round. Works for any id/label type, unlike a
+        # sum(label) probe (NULL for strings).
+        agged = (
+            labels.withColumn("_prev", F.col("lbl"))
+            .union(msgs)
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.max("_prev").alias("_prev"))
             .localCheckpoint(eager=False)
         )
-        # Convergence = zero labels changed this round. Counting
-        # changed rows (join on the id-partitioned label relations) is
-        # id-type agnostic — a sum(label) probe silently returns NULL
-        # for string ids and would break after one round.
-        changed = (
-            labels.join(prev.withColumnRenamed("lbl", "_prev"), "id")
-            .where(~F.col("lbl").eqNullSafe(F.col("_prev")))
-            .count()
-        )
+        changed = agged.where(~F.col("lbl").eqNullSafe(F.col("_prev"))).count()
+        labels = agged.select("id", "lbl")
         if changed == 0:
             break
     clusters = labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
