@@ -294,6 +294,51 @@ def q_recency_weighted_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def er_part_fuzzy_pairs(part: DataFrame) -> DataFrame:
+    """Blocked fuzzy candidate pairs for part entity resolution:
+    compound block (p_size, width-4 name-length bucket), bounded
+    Levenshtein <= 3. Exact recall: lev <= 3 forces |dlen| <= 3, so a
+    matching pair spans at most one bucket boundary; the longer-name
+    side replicates into {bucket, bucket-1} and the length-ordered
+    join (partkey tiebreak) emits each unordered pair exactly once.
+    Split out of q_er_golden_parts so tests can pin the equi-join
+    keys (the clustering step checkpoints pairs, hiding this join
+    from the final plan)."""
+    blk = F.floor(F.length("p_name") / F.lit(4))
+    a = part.select(
+        F.col("p_partkey").alias("pk_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_size").alias("size_a"),
+        F.length("p_name").alias("len_a"),
+        blk.alias("blk_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("pk_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_size").alias("size_b"),
+        F.length("p_name").alias("len_b"),
+        F.explode(F.array(blk, blk - 1)).alias("blk_b"),
+    )
+    length_ordered = (F.col("len_a") < F.col("len_b")) | (
+        (F.col("len_a") == F.col("len_b")) & (F.col("pk_a") < F.col("pk_b"))
+    )
+    bounded = F.levenshtein(F.col("name_a"), F.col("name_b"), 3)
+    return (
+        a.join(
+            b,
+            (F.col("size_a") == F.col("size_b"))
+            & (F.col("blk_a") == F.col("blk_b"))
+            & length_ordered
+            & (F.col("len_b") - F.col("len_a") <= 3),
+        )
+        .where(bounded >= 0)
+        .select(
+            F.least("pk_a", "pk_b").alias("part_a"),
+            F.greatest("pk_a", "pk_b").alias("part_b"),
+        )
+    )
+
+
 @query(
     "er_golden_parts",
     """
@@ -329,17 +374,28 @@ def q_recency_weighted_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_er_golden_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end: blocked fuzzy candidate pairs
-    (p_size block, bounded Levenshtein <= 3 — the fuzzy_part_pairs
-    discipline), transitive closure via min-label propagation (the
-    fuzzy match graph is DENSE — avg degree ~25 — so diameters are
-    tiny and propagation converges in 2-3 rounds, measured 3x faster
-    than the O(log n) star contraction, which is the right tool only
-    for adversarially long chains), then survivorship into one golden
-    record
-    per entity: canonical id/name from the minimum-id member, merged
-    best price, and a brand-conflict count. The pair step never leaves
-    its block and survivorship is one aggregation over (entity, member)
-    rows. Measured negative result: a char-histogram count-filter
+    (compound block (p_size, name-length bucket), bounded
+    Levenshtein <= 3), transitive closure via min-label propagation
+    (the fuzzy match graph is DENSE — avg degree ~25 — so diameters
+    are tiny and propagation converges in 2-3 rounds, measured 3x
+    faster than the O(log n) star contraction, which is the right tool
+    only for adversarially long chains), then survivorship into one
+    golden record per entity: canonical id/name from the minimum-id
+    member, merged best price, and a brand-conflict count.
+
+    Blocking recall is EXACT: Levenshtein <= 3 forces
+    |len(a) - len(b)| <= 3, so with width-4 length buckets a matching
+    pair spans at most one bucket boundary; the shorter-name side
+    keeps its own bucket and the longer-name side is replicated into
+    {bucket, bucket-1}, so every qualifying pair meets in exactly one
+    (p_size, bucket) block (length-ordered join + partkey tiebreak
+    prevents double emission). p_size alone has ~50 distinct values —
+    per-block size grows linearly with the corpus and the within-block
+    theta join is O(n^2/50); the length dimension multiplies block
+    cardinality and keeps the equi-join keys (both in the shuffle key,
+    pinned in tests/test_plans.py) carrying the real partitioning.
+    Survivorship is one aggregation over (entity, member) rows.
+    Measured negative result: a char-histogram count-filter
     (L1/2 <= lev lower bound) prepended to the bounded levenshtein ran
     3x SLOWER at sf0.1 — the zip_with/aggregate HOF evaluates
     interpreted per pair while the builtin bounded levenshtein stays
@@ -349,24 +405,7 @@ def q_er_golden_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_size", "p_brand", "p_retailprice"
     )
-    a, b = part.alias("a"), part.alias("b")
-    len_band = (
-        F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 3
-    )
-    bounded = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & len_band,
-        )
-        .where(bounded >= 0)
-        .select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
-        )
-    )
+    pairs = er_part_fuzzy_pairs(part)
     clusters = dedup.dedup_clusters(
         pairs,
         all_docs=part.select("p_partkey"),

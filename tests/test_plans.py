@@ -518,11 +518,30 @@ def test_hybrid_rrf_query_side_is_broadcast(spark, sf_dir):
 
 
 def test_er_golden_pair_join_blocked_not_cartesian(spark, sf_dir):
-    # the fuzzy pair step must be an equi-join on the block key
-    # (p_size), never a cartesian/theta-only product.
-    df = q.QUERIES["er_golden_parts"](spark, sf_dir)
-    plan = plans.physical_plan(df)
+    # the fuzzy pair step must be an equi-join on the COMPOUND block
+    # key (p_size, name-length bucket) — p_size alone has ~50 distinct
+    # values, so its blocks grow linearly with the corpus and the
+    # within-block theta join turns O(n^2/50) at scale. Both key
+    # columns must appear in the hash-join key list, and never a
+    # cartesian/theta-only product.
+    from goeventstream_spark.queries_r3b import er_part_fuzzy_pairs
+    from goeventstream_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size", "p_brand", "p_retailprice"
+    )
+    plan = plans.physical_plan(er_part_fuzzy_pairs(part))
     assert "CartesianProduct" not in plan, plan
+    import re
+
+    joins = re.findall(
+        r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\], \[([^\]]*)\]",
+        plan,
+    )
+    assert any(
+        "size_a" in left and "blk_a" in left and "size_b" in right and "blk_b" in right
+        for left, right in joins
+    ), plan
 
 
 def test_ivf_fixed_probe_join_shapes(spark, sf_dir):
