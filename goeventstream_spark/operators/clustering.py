@@ -126,6 +126,44 @@ def kmeans_fixed_point(
     )
 
 
+def ivf_cell_assign(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``emb`` plus a ``cell`` column: the deterministic fixed-point
+    IVF cell id (nearest final centroid of `kmeans_fit` on the integer
+    grid, ties to lowest centroid id). This is THE scale-true blocking
+    key for pairwise embedding work (near-dup, kNN graph): unlike a
+    raw metadata label — whose cardinality is small and fixed, so
+    blocks grow linearly with the corpus — k grows with the corpus and
+    bounds per-cell size by construction.
+
+    One training run (k x dims driver-held ints, corpus-size
+    independent), then the assignment is a pure literal-broadcast map
+    pass over ``emb`` — no join, no shuffle, and fully replayable in
+    SQL (same trajectory as ivf_fixed_search's a3 CTE)."""
+    vectors = quantize_vectors(emb, id_col=id_col, vec_col=vec_col, scale=scale)
+    _, cents = kmeans_fit(vectors, k=k, iters=iters)
+    v = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
+    )
+    best = F.least(
+        *[
+            F.struct(
+                _sqdist(v, c).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, c in enumerate(cents)
+        ]
+    )
+    return emb.withColumn("cell", best.getField("cid"))
+
+
 def ivf_fixed_search(
     emb: DataFrame,
     k: int = 4,

@@ -112,9 +112,16 @@ def _arrow_pair_scores(joined: DataFrame) -> DataFrame:
     )
 
 
-def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, block_col: str = "label", dims: int | None = 64) -> DataFrame:
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | list[str] = "label",
+    dims: int | None = 64,
+) -> DataFrame:
     """Near-duplicate vector pairs above a cosine threshold, blocked by
-    ``block_col`` so pair generation is per-block instead of global n².
+    ``block_col`` (a column name or a list — e.g. ``["cell", "label"]``
+    for IVF-cell x label compound blocking) so pair generation is
+    per-block instead of global n².
 
     Execution (third measured shape, fastest): one shuffle on the block
     key, then an Arrow-batched ``applyInPandas`` computes every
@@ -138,8 +145,10 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, block_col: str =
     gate. sqrt and divide are correctly-rounded singletons everywhere.
 
     At 100 TB the block key becomes an IVF centroid / LSH bucket id
-    (both implemented below); block sizes are bounded by construction,
-    so per-task memory is O(block² · dims) with a known cap.
+    (``clustering.ivf_cell_assign`` / ``lsh_bucket`` below — the
+    declared embedding_near_dup query composes cell x label); block
+    sizes are bounded by construction, so per-task memory is
+    O(block² · dims) with a known cap.
     """
 
     def block_pairs(pdf):  # self-contained: executors may lack repo sys.path
@@ -176,9 +185,10 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, block_col: str =
             {"vec_a": ids[ii][keep], "vec_b": ids[jj][keep], "cos_sim": cos[keep]}
         )
 
+    block_cols = [block_col] if isinstance(block_col, str) else list(block_col)
     return (
-        emb.select("vec_id", block_col, "embedding")
-        .groupBy(block_col)
+        emb.select("vec_id", *block_cols, "embedding")
+        .groupBy(*block_cols)
         .applyInPandas(block_pairs, "vec_a long, vec_b long, cos_sim double")
     )
 
@@ -845,24 +855,31 @@ def label_centroid_scores(emb: DataFrame, dims: int = 64, scale: int = 1_000_000
     )
 
 
-def knn_graph_within_label(emb: DataFrame, k: int = 3) -> DataFrame:
-    """k-nearest-neighbor graph construction, blocked by label: for
-    EVERY vector, its top-k most-similar same-label neighbors — the
-    backbone relation for graph clustering, connected-component
-    semantic dedup, and kNN-classification passes.
+def knn_graph_within_label(
+    emb: DataFrame, k: int = 3, block_cols: list[str] | None = None
+) -> DataFrame:
+    """k-nearest-neighbor graph construction, blocked by
+    ``block_cols`` (default ``["label"]``): for EVERY vector, its
+    top-k most-similar neighbors sharing the block key — the backbone
+    relation for graph clustering, connected-component semantic dedup,
+    and kNN-classification passes.
 
-    Block-bounded all-pairs (never global n²): the label equi-join
+    Block-bounded all-pairs (never global n²): the block equi-join
     bounds per-vector candidates to its block, pairs score through
     the Arrow cosine (exact fold contract), and the per-vector top-k
-    is a bounded-heap window inside the block partition. At 100 TB
-    the block key is an IVF cell / LSH bucket, exactly like
-    embedding_near_dup.
+    is a bounded-heap window inside the block partition. A raw
+    metadata label alone has fixed cardinality, so label blocks grow
+    linearly with the corpus; the declared query composes it with the
+    deterministic IVF cell (``clustering.ivf_cell_assign``), whose
+    cardinality grows with the corpus and bounds block size by
+    construction.
     """
+    cols = list(block_cols) if block_cols else ["label"]
     a = emb.select(
-        F.col("label"), F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        *cols, F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    b = emb.select(F.col("label"), F.col("vec_id"), F.col("embedding"))
-    joined = a.join(b, "label").where(F.col("query_id") != F.col("vec_id"))
+    b = emb.select(*cols, F.col("vec_id"), F.col("embedding"))
+    joined = a.join(b, cols).where(F.col("query_id") != F.col("vec_id"))
     scored = _arrow_pair_scores(joined)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(

@@ -446,20 +446,44 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_near_dup",
-    """
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+def _embedding_near_dup_sql() -> str:
+    from goeventstream_spark.queries_r3b import KQ_CELL_CTES
+
+    return f"""
+    WITH {KQ_CELL_CTES},
+    ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT vec_a, vec_b, cos_sim FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
+      JOIN a3 ca ON ca.vec_id = a.vec_id
+      JOIN a3 cb ON cb.vec_id = b.vec_id AND cb.cluster_id = ca.cluster_id
     ) WHERE cos_sim >= 0.35
-    """,
-)
+    """
+
+
+@query("embedding_near_dup", _embedding_near_dup_sql())
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_dup(_emb(spark, sf_dir), threshold=0.35)
+    """Near-duplicate embedding pairs above cosine 0.35, blocked on the
+    compound (IVF cell, label) key. A raw label has fixed cardinality —
+    its blocks grow linearly with the corpus and per-block all-pairs is
+    quadratic at scale — so the declared blocking composes the
+    deterministic fixed-point IVF cell (clustering.ivf_cell_assign,
+    k=4, 2 Lloyd iterations; cell count grows with the corpus and
+    bounds block size by construction). The oracle replays the
+    identical integer-grid k-means trajectory, so the blocking is
+    hash-exact; pairs straddling cells are dropped by BOTH engines —
+    the documented ANN approximation (property-pinned as a subset of
+    the label-blocked output in tests)."""
+    from goeventstream_spark.operators import clustering
+
+    emb_cell = clustering.ivf_cell_assign(
+        _emb(spark, sf_dir), k=4, iters=2, scale=1000
+    )
+    return similarity.embedding_near_dup(
+        emb_cell, threshold=0.35, block_col=["cell", "label"]
+    )
 
 
 def _plane_literal(p: int, dims: int = 64) -> str:

@@ -179,6 +179,33 @@ def _kq_iter(i: int, prev_c: str) -> str:
     )"""
 
 
+# Shared oracle fragment: deterministic IVF cell per vector — fixed-point
+# k-means (k=4, 2 Lloyd iterations, grid scale 1000) then assignment of
+# every vector to the FINAL centroids (ties to lowest cid). Mirrors
+# clustering.ivf_cell_assign exactly; `a3(vec_id, cluster_id)` is the
+# cell relation downstream oracles join on. Uses CTE names e/c0/c1/c2/a*,
+# so composing queries must pick other names for their own CTEs.
+KQ_CELL_CTES = f"""e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+      FROM e ORDER BY vec_id LIMIT 4
+    ),{_kq_iter(1, "c0")},{_kq_iter(2, "c1")},
+    a3 AS (
+      SELECT vec_id, cid AS cluster_id FROM (
+        SELECT e.vec_id, c2.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_kq_dist("e.v", "c2.v")},
+                                           c2.cid) AS rk
+        FROM e, c2
+      ) WHERE rk = 1
+    )"""
+
+
 @query(
     "kmeans_fixed_point",
     f"""

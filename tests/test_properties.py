@@ -925,3 +925,38 @@ def test_delta_join_equals_full_recompute(left, right):
         (r.k, r.lid, r.rid) for r in ldf.join(rdf, ["k"]).collect()
     )
     assert got == want
+
+
+def test_cell_blocked_pairs_subset_of_label_blocked(spark, sf_dir):
+    """The declared (IVF cell x label) blocking for embedding_near_dup
+    and knn_graph_within_label is an ANN approximation of label-only
+    blocking: every emitted pair/edge must also exist under the exact
+    label-blocked computation, with the identical cosine."""
+    from goeventstream_spark.operators import clustering, similarity
+    from goeventstream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_cell = clustering.ivf_cell_assign(emb, k=4, iters=2, scale=1000)
+
+    # label-blocked exact pair scores (threshold -1.0 keeps every pair)
+    label_pairs = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in similarity.embedding_near_dup(
+            emb, threshold=-1.0, block_col="label"
+        ).collect()
+    }
+
+    composed = similarity.embedding_near_dup(
+        emb_cell, threshold=0.35, block_col=["cell", "label"]
+    ).collect()
+    assert composed, "fixture should produce at least one near-dup pair"
+    for r in composed:
+        assert label_pairs[(r.vec_a, r.vec_b)] == r.cos_sim
+
+    edges = similarity.knn_graph_within_label(
+        emb_cell, k=3, block_cols=["cell", "label"]
+    ).collect()
+    assert edges, "fixture should produce kNN edges"
+    for r in edges:
+        key = (min(r.query_id, r.vec_id), max(r.query_id, r.vec_id))
+        assert label_pairs[key] == r.cos_sim
