@@ -207,9 +207,12 @@ def personalized_pagerank_fixed(
                  + (85 * SUM_in((s_k(src) * wn) DIV 1e6)) DIV 100
 
     ``seeds`` is a 1-column (node) DataFrame, assumed tiny
-    (broadcast). Same scale anatomy as the global variant: one
-    aggregated edge relation, broadcast-sized iteration joins, scalars
-    via 1-row cross joins, no collect.
+    (broadcast). At least one seed must intersect the graph's nodes —
+    ns = 0 would divide by zero — so the seed count is guarded with an
+    executable raise_error instead of producing NULL ranks silently.
+    Same scale anatomy as the global variant: one aggregated edge
+    relation, broadcast-sized iteration joins, scalars via 1-row cross
+    joins, no collect.
     """
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     norm = edges.join(out_w, "src").select(
@@ -225,7 +228,18 @@ def personalized_pagerank_fixed(
         "node",
         "left",
     ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
-    ns_df = seed_marked.agg(F.sum("is_seed").cast("long").alias("ns"))
+    ns_df = seed_marked.agg(F.sum("is_seed").cast("long").alias("ns")).select(
+        F.when(
+            F.col("ns") > 0, F.col("ns")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "personalized_pagerank_fixed: seed set is empty or "
+                    "disjoint from the graph's nodes (ns = 0)"
+                )
+            ).cast("long")
+        ).alias("ns")
+    )
     ranks = seed_marked.crossJoin(F.broadcast(ns_df)).select(
         "node",
         "is_seed",

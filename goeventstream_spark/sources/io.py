@@ -253,6 +253,13 @@ def write_idempotent(
     concatenated columns — commutative, so it is independent of
     partitioning and task order (the same primitive as
     ``daily_table_checksums``). Returns the manifest dict.
+
+    Scope: LOCAL-FILESYSTEM publish only — the commit relies on POSIX
+    atomic directory rename, which object stores (S3/GCS) and HDFS do
+    not provide with these semantics; there, use the store's
+    conditional-put / a table format's commit protocol instead.
+    Concurrent publishers of the same batch_id race safely: the loser's
+    rename fails and it adopts the winner's manifest.
     """
     import json
     import os
@@ -296,5 +303,12 @@ def write_idempotent(
         shutil.rmtree(tmp_dir)
         with open(manifest_path) as fh:
             return json.load(fh)
-    os.rename(tmp_dir, final_dir)
+    try:
+        os.rename(tmp_dir, final_dir)
+    except OSError:
+        # TOCTOU loser: a concurrent publisher created final_dir between
+        # the existence check and the rename — keep the winner.
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        with open(manifest_path) as fh:
+            return json.load(fh)
     return manifest

@@ -101,6 +101,38 @@ def mg_compress(counts: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _committed_index_versions(index_dir: str) -> list[int]:
+    """Batch ids of fully-committed (has _SUCCESS) index versions under
+    ``index_dir/v=<batch_id>/``. Local-filesystem scope, like
+    sources.io.write_idempotent; on an object store swap the listing
+    for the store's manifest API."""
+    import os
+
+    out = []
+    try:
+        names = os.listdir(index_dir)
+    except FileNotFoundError:
+        return out
+    for name in names:
+        if name.startswith("v="):
+            try:
+                v = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if os.path.exists(os.path.join(index_dir, name, "_SUCCESS")):
+                out.append(v)
+    return sorted(out)
+
+
+def read_heavy_hitter_index(spark, index_dir: str) -> DataFrame:
+    """The latest committed MG summary (bucket, word, mg_count) — the
+    candidate set for exact heavy-hitter verification."""
+    versions = _committed_index_versions(index_dir)
+    if not versions:
+        return spark.createDataFrame([], SUMMARY_SCHEMA)
+    return spark.read.parquet(f"{index_dir}/v={versions[-1]}")
+
+
 def streaming_heavy_hitter_index(
     docs_stream: DataFrame,
     index_dir: str,
@@ -110,11 +142,25 @@ def streaming_heavy_hitter_index(
     n_buckets: int = 32,
 ):
     """Maintain the per-bucket MG summary index over a document stream;
-    returns the StreamingQuery. Candidates = the index contents; exact
-    heavy hitters = candidates semi-joined to an exact count pass, as
-    in batch `sketches.heavy_hitters` (test pins the equality)."""
+    returns the StreamingQuery. Candidates = the index contents (read
+    with :func:`read_heavy_hitter_index`); exact heavy hitters =
+    candidates semi-joined to an exact count pass, as in batch
+    `sketches.heavy_hitters` (test pins the equality).
+
+    Exactly-once under replay: each micro-batch writes its merged,
+    compressed summary to a NEW versioned directory
+    ``index_dir/v=<batch_id>`` after reading only the latest COMMITTED
+    version with id < batch_id. A batch replayed after a crash (before
+    the stream checkpoint committed) re-reads the same predecessor and
+    deterministically rewrites its own version — never double-merging;
+    a crash mid-write leaves an uncommitted (no ``_SUCCESS``) directory
+    that readers and successors ignore. State stays bounded: each
+    version is <= n_buckets * k counters and older committed versions
+    are pruned down to the predecessor."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch_df.sparkSession
         batch_counts = (
             batch_df.select(F.explode(F.split(text_col, " ")).alias("word"))
@@ -122,18 +168,24 @@ def streaming_heavy_hitter_index(
             .agg(F.count("*").alias("mg_count"))
             .withColumn("bucket", word_bucket(F.col("word"), n_buckets))
         )
-        try:
-            prev = spark.read.parquet(index_dir)
-        except Exception:  # first batch: no index yet
+        committed = [v for v in _committed_index_versions(index_dir) if v < batch_id]
+        if committed:
+            prev = spark.read.parquet(f"{index_dir}/v={committed[-1]}")
+        else:
             prev = spark.createDataFrame([], SUMMARY_SCHEMA)
         merged = (
             prev.unionByName(batch_counts.select("bucket", "word", "mg_count"))
             .groupBy("bucket", "word")
             .agg(F.sum("mg_count").alias("mg_count"))
         )
-        # pin BEFORE overwriting the files the lineage still reads
-        out = mg_compress(merged, k).localCheckpoint(eager=True)
-        out.write.mode("overwrite").parquet(index_dir)
+        # reads v=<predecessor>, writes v=<batch_id>: never overwrites
+        # files its own lineage is reading, so no checkpoint pin needed.
+        mg_compress(merged, k).write.mode("overwrite").parquet(
+            f"{index_dir}/v={batch_id}"
+        )
+        # keep only the predecessor (replay safety net); prune the rest
+        for v in committed[:-1]:
+            shutil.rmtree(f"{index_dir}/v={v}", ignore_errors=True)
 
     return (
         docs_stream.writeStream.foreachBatch(_merge)

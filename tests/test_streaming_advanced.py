@@ -668,6 +668,7 @@ def test_streaming_heavy_hitters_superset_and_exact(spark, sf_dir, tmp_path):
     heavy_hitters output exactly."""
     from goeventstream_spark.operators import sketches
     from goeventstream_spark.streaming.sketches import (
+        read_heavy_hitter_index,
         streaming_heavy_hitter_index,
     )
 
@@ -699,10 +700,33 @@ def test_streaming_heavy_hitters_superset_and_exact(spark, sf_dir, tmp_path):
     }
     cand = {
         r.word
-        for r in spark.read.parquet(str(tmp_path / "hh_index")).collect()
+        for r in read_heavy_hitter_index(spark, str(tmp_path / "hh_index")).collect()
     }
     must_have = {w for w, c in true_counts.items() if c * 65 > n}
     assert must_have <= cand, sorted(must_have - cand)[:5]
+
+    # replay idempotency: re-running the whole stream from a FRESH
+    # checkpoint over the SAME index dir (every batch id replayed on
+    # top of existing versions) must reproduce the identical summary —
+    # each batch reads only committed versions < its own id, never its
+    # own stale output, so no count is merged twice.
+    first = {
+        (r.bucket, r.word, r.mg_count)
+        for r in read_heavy_hitter_index(spark, str(tmp_path / "hh_index")).collect()
+    }
+    q2 = streaming_heavy_hitter_index(
+        stream,
+        index_dir=str(tmp_path / "hh_index"),
+        checkpoint_dir=str(tmp_path / "hh_ckpt2"),
+        k=64,
+        n_buckets=32,
+    )
+    q2.awaitTermination(180)
+    replayed = {
+        (r.bucket, r.word, r.mg_count)
+        for r in read_heavy_hitter_index(spark, str(tmp_path / "hh_index")).collect()
+    }
+    assert replayed == first
 
     # candidates + exact verify == the batch operator's output
     want = {
