@@ -1034,9 +1034,12 @@ def q_curate_corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (similarity.pq_index): 8 uint8
     codes per 64-dim vector, codebooks trained on a bounded
-    deterministic sample. Rows-only by design (KMeans codebooks are
-    not SQL-expressible); encode determinism + reconstruction
-    distortion pinned in test_scale_patterns."""
+    deterministic sample. Rows-only by design (sampled float-Lloyd
+    codebooks are not SQL-expressible); the PQ mechanism itself is
+    hash-oracled end-to-end by the fixed-point twin pq_fixed_adc_topk,
+    and this float encoder's argmin algebra is replayed independently
+    in test_scale_patterns (test_pq_float_pipeline_algebra_pinned),
+    plus encode determinism + reconstruction distortion pins."""
     codes, _ = similarity.pq_index(_emb(spark, sf_dir))
     return codes.select("vec_id", F.concat_ws(",", F.col("codes")).alias("code_str"))
 
@@ -1045,8 +1048,12 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k (similarity.pq_adc_topk): per-query
     distance tables + O(subspaces) lookups per candidate over the
-    32x-compressed codes. Rows-only by design; recall floor vs exact
-    cosine pinned in test_scale_patterns."""
+    32x-compressed codes. Rows-only by design (float codebooks); the
+    mechanism is hash-oracled by the fixed-point twin pq_fixed_adc_topk,
+    and this float pipeline's shortlist+re-rank algebra is replayed
+    independently in test_scale_patterns
+    (test_pq_float_pipeline_algebra_pinned) plus a recall floor vs
+    exact cosine."""
     emb = _emb(spark, sf_dir)
     qs = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")

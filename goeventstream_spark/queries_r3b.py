@@ -1553,8 +1553,12 @@ def q_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("lineitem_storage_report")  # rows-only: the oracle needs a file
 # path (parquet_metadata), which the driver's view-based harness cannot
-# express — the EXACT byte-level equality vs DuckDB's parquet_metadata()
-# is pinned in tests/test_sources.py instead.
+# express — verified impossible, not assumed: DuckDB's parquet_metadata
+# "only accepts constant parameters" (Binder Error on a scalar-subquery
+# path recovered from duckdb_views()), so no static SQL over the
+# pre-registered views can reach the footers. The EXACT byte-level
+# equality vs DuckDB's parquet_metadata() is pinned in
+# tests/test_sources.py instead.
 def q_lineitem_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-layout audit of the fact table from parquet FOOTERS
     only: per-column chunk counts, value counts, exact compressed /

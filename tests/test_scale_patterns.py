@@ -613,3 +613,64 @@ def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, sf_dir, tmp_p
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_pq_float_pipeline_algebra_pinned(spark, sf_dir):
+    """The float PQ path (rows-only by design: sampled float Lloyd
+    codebooks are not SQL-expressible — the MECHANISM is hash-oracled
+    end-to-end by the fixed-point twins kmeans_fixed_point /
+    ivf_fixed_topk / pq_fixed_adc_topk) gets its algebra pinned here
+    against an independent numpy replay:
+    (a) every emitted code is an argmin of the subvector against the
+        returned codebook (<= min + eps, tie-tolerant), and
+    (b) every pq_adc_topk result row survives an independently
+        recomputed ADC shortlist of the same size — the two-stage
+        shortlist+re-rank pipeline, not just a recall floor."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.similarity import pq_adc_topk, pq_index
+    from goeventstream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+
+    # (a) encode argmin invariant, default geometry (8 x 16)
+    codes_df, books = pq_index(emb)
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    sub = B[0].shape[1]
+    for r in codes_df.collect():
+        v = vecs[r.vec_id]
+        v = v / np.linalg.norm(v)
+        for s, code in enumerate(r.codes):
+            d2 = ((B[s] - v[s * sub:(s + 1) * sub]) ** 2).sum(axis=1)
+            assert d2[code] <= d2.min() + 1e-9, (r.vec_id, s)
+
+    # (b) search geometry (8 x 256): replay the ADC shortlist per query
+    # and require every returned neighbor to be inside it.
+    n_codes, rerank, k = 256, 50, 5
+    codes_df, books = pq_index(emb, 8, n_codes)
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    sub = B[0].shape[1]
+    codes = {r.vec_id: list(r.codes) for r in codes_df.collect()}
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = pq_adc_topk(emb, qs, k=k, n_codes=n_codes, rerank=rerank).collect()
+    assert {r.query_id for r in got} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        q = vecs[qid] / np.linalg.norm(vecs[qid])
+        adc = []
+        for vid, c in codes.items():
+            if vid == qid:
+                continue
+            d = 0.0
+            for s in range(8):
+                d += ((q[s * sub:(s + 1) * sub] - B[s][c[s]]) ** 2).sum()
+            adc.append((d, vid))
+        shortlist = {vid for _, vid in sorted(adc)[:rerank]}
+        for r in got:
+            if r.query_id == qid:
+                assert r.vec_id in shortlist, (qid, r.vec_id)
+        assert sum(1 for r in got if r.query_id == qid) == k
