@@ -14,14 +14,20 @@ live-ingest analogue for the Spark engine:
   done declaratively, emitting poll rows ready for
   ``streaming.game_server``.
 
-Divergence, documented: the reference answers each POST inline with
-the GameResponse. A streaming engine decouples ingest from delivery —
-the bridge ACKs with the assigned sync_id (HTTP 202) and the envelope
-for that sync_id comes out of game_server's sink. A production
-deployment would put a broker (Kafka) where the bridge's in-memory
-queue is; the bridge replays from the start of its buffer on socket
-reconnect (at-least-once), which is exactly the guarantee a broker
-would give, minus durability the sandbox cannot host.
+Inline response fidelity (main.go:84-91): the reference answers each
+POST in the same HTTP exchange with the GameResponse
+``{T, Events, States, ProxyId}``. With ``inline_timeout_s`` set, the
+bridge holds each POST open until :func:`serve_inline`'s foreachBatch
+sink delivers that sync_id's envelope from ``game_server``, then
+replies HTTP 200 with the envelope body — so an UNMODIFIED reference
+client polls this engine and receives byte-correct responses. If the
+engine does not produce the envelope within the deadline (e.g. the
+stream is down), the bridge falls back to the decoupled contract: an
+HTTP 202 ACK carrying the assigned sync_id, whose envelope still exits
+via the sink. Without ``inline_timeout_s`` the bridge always ACKs 202
+— the broker-shaped deployment (ingest decoupled from delivery; the
+in-memory queue stands where Kafka would, replaying from the start of
+its buffer on socket reconnect = at-least-once).
 """
 
 from __future__ import annotations
@@ -70,12 +76,17 @@ class HttpWireBridge:
     when present, overrides the server clock (test determinism; the
     reference uses time.Now() — main.go:71)."""
 
-    def __init__(self, host: str = "127.0.0.1") -> None:
+    def __init__(
+        self, host: str = "127.0.0.1", inline_timeout_s: float | None = None
+    ) -> None:
         self.host = host
         self._lines: list[bytes] = []
         self._lock = threading.Condition()
         self._stop = False
         self._seq = 0
+        self._inline_timeout = inline_timeout_s
+        self._responses: dict[int, str] = {}
+        self._rsp_cond = threading.Condition()
         bridge = self
 
         class _Handler(BaseHTTPRequestHandler):
@@ -97,14 +108,31 @@ class HttpWireBridge:
                     ).encode("utf-8")
                     bridge._lines.append(line)
                     bridge._lock.notify_all()
-                ack = json.dumps({"SyncId": sid}).encode("utf-8")
-                self.send_response(202)
+                payload, status = None, 202
+                if bridge._inline_timeout is not None:
+                    # reference inline contract: hold the exchange open
+                    # until the engine's envelope for THIS sync arrives
+                    deadline = time.monotonic() + bridge._inline_timeout
+                    with bridge._rsp_cond:
+                        while (
+                            sid not in bridge._responses and not bridge._stop
+                        ):
+                            left = deadline - time.monotonic()
+                            if left <= 0:
+                                break
+                            bridge._rsp_cond.wait(timeout=min(left, 0.2))
+                        rsp = bridge._responses.pop(sid, None)
+                    if rsp is not None:
+                        payload, status = rsp.encode("utf-8"), 200
+                if payload is None:  # decoupled ACK (or inline timeout)
+                    payload = json.dumps({"SyncId": sid}).encode("utf-8")
+                self.send_response(status)
                 self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(ack)))
+                self.send_header("Content-Length", str(len(payload)))
                 # CORS preflight parity with main.go:50-56
                 self.send_header("Access-Control-Allow-Origin", "*")
                 self.end_headers()
-                self.wfile.write(ack)
+                self.wfile.write(payload)
 
             def do_OPTIONS(self) -> None:  # noqa: N802
                 self.send_response(204)
@@ -156,10 +184,21 @@ class HttpWireBridge:
             finally:
                 conn.close()
 
+    def deliver(self, sync_id: int, response: str) -> None:
+        """Hand a game_server envelope back to the waiting POST for
+        ``sync_id`` (called by :func:`serve_inline`'s foreachBatch
+        sink). Envelopes for already-answered/timed-out syncs are kept
+        until bridge stop — harmless, bounded by request count."""
+        with self._rsp_cond:
+            self._responses[int(sync_id)] = response
+            self._rsp_cond.notify_all()
+
     def stop(self) -> None:
         self._stop = True
         with self._lock:
             self._lock.notify_all()
+        with self._rsp_cond:
+            self._rsp_cond.notify_all()
         self._http.shutdown()
         self._http.server_close()
         try:
@@ -186,6 +225,31 @@ class HttpWireBridge:
         )
         with urllib.request.urlopen(req, timeout=10) as rsp:
             return json.loads(rsp.read())["SyncId"]
+
+    def post_sync(
+        self, game: str, client_id: str, last_known: int,
+        events=None, state=None, now_ms: int | None = None, timeout: float = 30,
+    ) -> tuple[int, str]:
+        """Reference-shaped client poll (main.go:84-91 contract):
+        returns (http_status, body). Against an inline bridge the body
+        is the raw GameResponse envelope (status 200); on inline
+        timeout it is the 202 ACK."""
+        import urllib.request
+
+        body = {}
+        if events:
+            body["Events"] = [{"Type": t, "Body": b} for t, b in events]
+        if state is not None:
+            body["State"] = state
+        req = urllib.request.Request(
+            f"http://{self.host}:{self.http_port}/{game}/{client_id}/{last_known}",
+            data=json.dumps(body).encode("utf-8"),
+            method="POST",
+            headers={"Content-Type": "application/json"}
+            | ({"X-Sim-Now-Ms": str(now_ms)} if now_ms is not None else {}),
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as rsp:
+            return rsp.status, rsp.read().decode("utf-8")
 
 
 def wire_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
@@ -229,3 +293,37 @@ def wire_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
         ).alias("posted_json"),
         F.when(req["State"].isNotNull(), F.to_json(req["State"])).alias("state_json"),
     )
+
+
+def serve_inline(
+    spark: SparkSession,
+    bridge: HttpWireBridge,
+    trigger_ms: int = 200,
+    checkpoint_dir: str | None = None,
+):
+    """Wire the full reference server loop: bridge -> socket source ->
+    declarative URL/JSON parse -> streaming ``game_server`` ->
+    foreachBatch delivery back into the bridge, which answers each held
+    POST with its envelope (main.go:84-91 inline contract). Returns the
+    StreamingQuery; stop it before stopping the bridge.
+
+    The delivery sink runs driver-side (foreachBatch body) and collects
+    each micro-batch — bounded by the poll rate per trigger, never by
+    corpus size; the heavy lifting (parse, per-game state machine)
+    stays distributed in game_server.
+    """
+    from goeventstream_spark.streaming import game_server
+
+    def _deliver(batch_df: DataFrame, _batch_id: int) -> None:
+        for row in batch_df.select("sync_id", "response").collect():
+            bridge.deliver(row.sync_id, row.response)
+
+    writer = (
+        game_server(wire_stream(spark, bridge.host, bridge.tcp_port))
+        .writeStream.foreachBatch(_deliver)
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -789,3 +789,85 @@ def test_streaming_dsir_distribution_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_reference_client_receives_inline_game_responses(spark):
+    """Inline wire fidelity (main.go:84-91): a scripted client written
+    against the REFERENCE contract — POST a GameRequest, read the
+    GameResponse envelope off the same HTTP exchange, repeat — polls
+    the engine unmodified. Every inline body must be byte-equal to the
+    batch protocol replay of the same traffic; no request may fall
+    back to the 202 ACK path."""
+    import json
+
+    from goeventstream_spark.operators import protocol_replay as pr
+    from goeventstream_spark.sources.http_bridge import (
+        HttpWireBridge,
+        serve_inline,
+    )
+
+    bridge = HttpWireBridge(inline_timeout_s=60).start()
+    q = serve_inline(spark, bridge, trigger_ms=200)
+    base = 1_800_000_000_000
+    sched = []  # (game, sync_id, user, poll_ms, events, state)
+    inline = {}  # sync_id -> (status, body)
+    sid = 0
+
+    def poll(game, user, now, events=None, state=None):
+        nonlocal sid
+        sid += 1  # bridge assigns 1..n in arrival order; polls are serial
+        status, body = bridge.post_sync(
+            game, str(user), 0, events=events, state=state, now_ms=base + now
+        )
+        sched.append((game, sid, user, base + now, events or [], state))
+        inline[sid] = (status, body)
+
+    try:
+        poll("g0", 7, 0, state={"hp": "100"})
+        poll("g1", 7, 10)
+        poll("g0", 8, 60, events=[("move", "n")])
+        poll("g0", 9, 120)
+        poll("g1", 8, 130, events=[("fire", "x")], state={"hp": "90"})
+        for i in range(1, 8):
+            poll("g0", 7, i * 200, events=[("m", str(i))] if i % 3 == 0 else None)
+            poll("g0", 8, i * 200 + 30, state={"hp": str(90 - i)} if i % 4 == 0 else None)
+        poll("g0", 9, 15_000)  # >10 s silent: _d sweep + fresh proxy
+        poll("g1", 7, 70_000)  # >60 s idle: generation restart
+    finally:
+        q.stop()
+        bridge.stop()
+
+    assert all(status == 200 for status, _ in inline.values()), {
+        s: st for s, (st, _) in inline.items() if st != 200
+    }
+
+    syncs = spark.createDataFrame(
+        [(s, u, ms, g) for g, s, u, ms, _e, _st in sched],
+        "sync_id long, user_id long, poll_ms long, game_key string",
+    )
+    posted = spark.createDataFrame(
+        [
+            (s, seq, et, body)
+            for _g, s, _u, _ms, evs, _st in sched
+            for seq, (et, body) in enumerate(evs)
+        ],
+        "sync_id long, event_seq long, event_type string, body string",
+    )
+    states = spark.createDataFrame(
+        [
+            (s, json.dumps(st, separators=(",", ":")))
+            for _g, s, _u, _ms, _e, st in sched
+            if st is not None
+        ],
+        "sync_id long, data string",
+    )
+    want = {
+        r.sync_id: r.response
+        for r in pr.game_response(syncs, posted, states, game_col="game_key").collect()
+    }
+    mismatches = [
+        (s, inline[s][1], want[s])
+        for s in sorted(want)
+        if inline[s][1] != want[s]
+    ]
+    assert not mismatches, mismatches[:3]
