@@ -871,3 +871,116 @@ def test_reference_client_receives_inline_game_responses(spark):
         if inline[s][1] != want[s]
     ]
     assert not mismatches, mismatches[:3]
+
+
+def test_game_server_state_scale_1000_games_rocksdb(spark):
+    """Streaming state-scale proof: 1000 games x 2 users x 2
+    generations (a 60 s idle gap forces the GC/restart path in every
+    game) under the RocksDB state store provider. Asserts (a) the
+    session really runs RocksDB, (b) per-key state stays bounded — the
+    state operator holds exactly one row per game, NOT per poll or per
+    generation, and (c) all 6000 envelopes are byte-equal to the batch
+    protocol replay."""
+    import json
+
+    from goeventstream_spark.operators import protocol_replay as pr
+
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+
+    from goeventstream_spark.streaming import game_server
+
+    n_games = 1000
+    base = 1_900_000_000_000
+    rounds = [  # (file_idx, [(user, offset_ms, events, state), ...])
+        (0, [(1, 0, None, {"hp": "100"}), (2, 50, None, None)]),
+        (1, [(1, 300, [("m", "1")], None), (2, 350, None, None)]),
+        # >60 s idle: every game GCs and restarts its generation
+        (2, [(1, 70_000, None, None), (2, 70_050, None, {"hp": "5"})]),
+    ]
+    sched = []  # (game, sync_id, user, poll_ms, events, state)
+    for f, polls in rounds:
+        for g in range(n_games):
+            game = f"g{g:04d}"
+            for u, off, evs, st in polls:
+                sid = f * 10_000_000 + g * 10 + u  # time-ordered per game
+                sched.append((game, sid, u, base + off, evs or [], st))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/polls"
+        for f, _ in rounds:
+            rows = [
+                (
+                    g, s, u, ms,
+                    json.dumps([[t, b] for t, b in evs]) if evs else None,
+                    json.dumps(st, separators=(",", ":")) if st is not None else None,
+                )
+                for g, s, u, ms, evs, st in sched
+                if s // 10_000_000 == f
+            ]
+            spark.createDataFrame(
+                rows,
+                "game string, sync_id long, user_id long, poll_ms long,"
+                " posted_json string, state_json string",
+            ).coalesce(1).write.mode("append").parquet(src)
+        # one file per micro-batch, committed in time order
+        stream = (
+            spark.readStream.schema(
+                "game string, sync_id long, user_id long, poll_ms long,"
+                " posted_json string, state_json string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            game_server(stream)
+            .writeStream.format("memory")
+            .queryName("scale_server_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        progress = q.lastProgress
+        assert progress is not None
+        state_rows = progress["stateOperators"][0]["numRowsTotal"]
+        # one state blob per game — not per poll (6000), not per
+        # generation (2000): bounded by live-game count forever
+        assert state_rows == n_games, state_rows
+
+    got = {
+        r.sync_id: r.response
+        for r in spark.sql("SELECT * FROM scale_server_out").collect()
+    }
+    assert len(got) == len(sched)
+
+    syncs = spark.createDataFrame(
+        [(s, u, ms, g) for g, s, u, ms, _e, _st in sched],
+        "sync_id long, user_id long, poll_ms long, game_key string",
+    )
+    posted = spark.createDataFrame(
+        [
+            (s, seq, et, body)
+            for _g, s, _u, _ms, evs, _st in sched
+            for seq, (et, body) in enumerate(evs)
+        ] or [(None, None, None, None)],
+        "sync_id long, event_seq long, event_type string, body string",
+    ).where("sync_id IS NOT NULL")
+    states = spark.createDataFrame(
+        [
+            (s, json.dumps(st, separators=(",", ":")))
+            for _g, s, _u, _ms, _e, st in sched
+            if st is not None
+        ],
+        "sync_id long, data string",
+    )
+    want = {
+        r.sync_id: r.response
+        for r in pr.game_response(syncs, posted, states, game_col="game_key").collect()
+    }
+    mismatches = [(s, got[s], want[s]) for s in sorted(want) if got[s] != want[s]]
+    assert not mismatches, mismatches[:3]
+    spark.catalog.dropTempView("scale_server_out")
