@@ -984,3 +984,22 @@ def test_game_server_state_scale_1000_games_rocksdb(spark):
     mismatches = [(s, got[s], want[s]) for s in sorted(want) if got[s] != want[s]]
     assert not mismatches, mismatches[:3]
     spark.catalog.dropTempView("scale_server_out")
+
+
+def test_inline_bridge_falls_back_to_ack_on_timeout():
+    """With inline_timeout_s set but no engine attached, a POST must
+    degrade to the documented decoupled contract — HTTP 202 with the
+    assigned sync_id — instead of hanging or erroring, and the request
+    must still be queued for the socket source."""
+    from goeventstream_spark.sources.http_bridge import HttpWireBridge
+
+    bridge = HttpWireBridge(inline_timeout_s=0.05).start()
+    try:
+        status, body = bridge.post_sync("g0", "7", 0, now_ms=1)
+        assert status == 202
+        import json
+
+        assert json.loads(body) == {"SyncId": 1}
+        assert len(bridge._lines) == 1  # queued for the stream regardless
+    finally:
+        bridge.stop()
