@@ -674,3 +674,48 @@ def test_pq_float_pipeline_algebra_pinned(spark, sf_dir):
             if r.query_id == qid:
                 assert r.vec_id in shortlist, (qid, r.vec_id)
         assert sum(1 for r in got if r.query_id == qid) == k
+
+
+def test_ivf_float_pipeline_algebra_pinned(spark, sf_dir):
+    """Float IVF (rows-only by design — sampled float-Lloyd centroids;
+    the mechanism is hash-oracled by ivf_fixed_topk) gets its algebra
+    pinned against an independent numpy replay, mirroring the PQ pin:
+    (a) every corpus vector's centroid_id is an argmin over the
+        returned centers (tie-tolerant), and
+    (b) every ivf_topk neighbor actually lives in one of its query's
+        n_probe nearest cells — the probe pruning is real, not
+        incidental."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.similarity import ivf_index, ivf_topk
+    from goeventstream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_centroids, n_probe, k = 16, 4, 5
+    assigned, centers = ivf_index(emb, n_centroids)
+    C = np.asarray(centers, dtype=np.float64)
+
+    vecs, cell = {}, {}
+    for r in assigned.select("vec_id", "embedding", "centroid_id").collect():
+        vecs[r.vec_id] = np.asarray(r.embedding, dtype=np.float64)
+        cell[r.vec_id] = r.centroid_id
+
+    # (a) assignment argmin invariant
+    for vid, v in vecs.items():
+        d2 = ((C - v) ** 2).sum(axis=1)
+        assert d2[cell[vid]] <= d2.min() + 1e-9, vid
+
+    # (b) probe-set membership for every returned neighbor
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    got = ivf_topk(emb, qs, k=k, n_centroids=n_centroids, n_probe=n_probe).collect()
+    assert {r.query_id for r in got} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        d2 = ((C - vecs[qid]) ** 2).sum(axis=1)
+        cutoff = np.sort(d2)[n_probe - 1] + 1e-9
+        probe_cells = {int(c) for c in np.flatnonzero(d2 <= cutoff)}
+        for r in got:
+            if r.query_id == qid:
+                assert cell[r.vec_id] in probe_cells, (qid, r.vec_id)
