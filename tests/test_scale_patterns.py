@@ -719,3 +719,41 @@ def test_ivf_float_pipeline_algebra_pinned(spark, sf_dir):
         for r in got:
             if r.query_id == qid:
                 assert cell[r.vec_id] in probe_cells, (qid, r.vec_id)
+
+
+def test_approx_stats_error_bounds_vs_exact(spark, sf_dir):
+    """approx_stats (the one by-design rows-only sketch query without a
+    replay pin) gets executable error bounds: HLL distinct counts must
+    sit within the published rsd envelope (default 5%, asserted at 4
+    sigma for fixture safety) of the exact count, and the approximate
+    median must be an ACTUAL data value lying between the exact 40th
+    and 60th percentiles — percentile_approx returns a member of the
+    dataset by construction."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_median_qty)
+        for r in li.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        ).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.n_parts, r.p40, r.p60, set(r.qtys))
+        for r in li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.expr("percentile(l_quantity, 0.4)").alias("p40"),
+            F.expr("percentile(l_quantity, 0.6)").alias("p60"),
+            F.collect_set("l_quantity").alias("qtys"),
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (a_parts, a_med) in approx.items():
+        n_parts, p40, p60, qtys = exact[flag]
+        rel_err = abs(a_parts - n_parts) / n_parts
+        assert rel_err <= 4 * 0.05, (flag, a_parts, n_parts)
+        assert p40 <= a_med <= p60, (flag, a_med, p40, p60)
+        assert a_med in qtys, (flag, a_med)
