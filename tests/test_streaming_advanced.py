@@ -1003,3 +1003,59 @@ def test_inline_bridge_falls_back_to_ack_on_timeout():
         assert len(bridge._lines) == 1  # queued for the stream regardless
     finally:
         bridge.stop()
+
+
+def test_inline_bridge_serves_concurrent_clients(spark):
+    """R17 over the wire: two clients poll INLINE simultaneously (both
+    requests in flight at once, distinct games) and each receives its
+    own correct envelope — the per-sync_id delivery must never cross
+    wires under the threaded HTTP server."""
+    import json
+    import threading
+
+    from goeventstream_spark.sources.http_bridge import (
+        HttpWireBridge,
+        serve_inline,
+    )
+
+    bridge = HttpWireBridge(inline_timeout_s=60).start()
+    q = serve_inline(spark, bridge, trigger_ms=200)
+    base = 2_000_000_000_000
+    results = {}
+
+    def client(game, user):
+        status, body = bridge.post_sync(game, str(user), 0, now_ms=base)
+        results[game] = (status, json.loads(body))
+
+    try:
+        threads = [
+            threading.Thread(target=client, args=(f"c{i}", 10 + i))
+            for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=90)
+    finally:
+        q.stop()
+        bridge.stop()
+
+    assert set(results) == {"c0", "c1", "c2", "c3"}
+    assert all(status == 200 for status, _ in results.values()), results
+    # each fresh game allocates proxy "1" from ITS OWN counter and the
+    # envelope equals the batch replay of that single poll — if any
+    # delivery crossed wires, sync_ids/games would mismatch
+    from goeventstream_spark.operators import protocol_replay as pr
+
+    for i in range(4):
+        _status, env = results[f"c{i}"]
+        syncs = spark.createDataFrame(
+            [(1, 10 + i, base, f"c{i}")],
+            "sync_id long, user_id long, poll_ms long, game_key string",
+        )
+        empty = spark.createDataFrame(
+            [], "sync_id long, event_seq long, event_type string, body string"
+        )
+        states = spark.createDataFrame([], "sync_id long, data string")
+        want = pr.game_response(syncs, empty, states, game_col="game_key").collect()[0]
+        assert env == json.loads(want.response), (i, env, want.response)
