@@ -133,6 +133,7 @@ def ivf_cell_assign(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """``emb`` plus a ``cell`` column: the deterministic fixed-point
     IVF cell id (nearest final centroid of `kmeans_fit` on the integer
@@ -145,9 +146,17 @@ def ivf_cell_assign(
     One training run (k x dims driver-held ints, corpus-size
     independent), then the assignment is a pure literal-broadcast map
     pass over ``emb`` — no join, no shuffle, and fully replayable in
-    SQL (same trajectory as ivf_fixed_search's a3 CTE)."""
-    vectors = quantize_vectors(emb, id_col=id_col, vec_col=vec_col, scale=scale)
-    _, cents = kmeans_fit(vectors, k=k, iters=iters)
+    SQL (same trajectory as ivf_fixed_search's a3 CTE). Pass
+    ``centroids`` to skip training entirely — the production shape: a
+    persisted codebook is trained once and every downstream query
+    assigns against it for free (same contract as ivf_fixed_search)."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        vectors = quantize_vectors(
+            emb, id_col=id_col, vec_col=vec_col, scale=scale
+        )
+        _, cents = kmeans_fit(vectors, k=k, iters=iters)
     v = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.floor(x * F.lit(float(scale))).cast("long"),

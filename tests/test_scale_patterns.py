@@ -757,3 +757,33 @@ def test_approx_stats_error_bounds_vs_exact(spark, sf_dir):
         assert rel_err <= 4 * 0.05, (flag, a_parts, n_parts)
         assert p40 <= a_med <= p60, (flag, a_med, p40, p60)
         assert a_med in qtys, (flag, a_med)
+
+
+def test_ivf_cell_assign_precomputed_centroids_skip_training(spark, sf_dir):
+    """The production shape for IVF-cell blocking: a persisted codebook
+    assigns without retraining. Precomputed-centroid assignment must
+    equal the trained run exactly and must plan as a pure map pass —
+    zero exchanges, zero joins."""
+    from goeventstream_spark.operators.clustering import (
+        ivf_cell_assign,
+        kmeans_fit,
+        quantize_vectors,
+    )
+    from goeventstream_spark.plans import physical_plan
+    from goeventstream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = kmeans_fit(quantize_vectors(emb, scale=1000), k=4, iters=2)
+
+    trained = {
+        r.vec_id: r.cell for r in ivf_cell_assign(emb, k=4, iters=2).collect()
+    }
+    reused = {
+        r.vec_id: r.cell
+        for r in ivf_cell_assign(emb, centroids=cents).collect()
+    }
+    assert trained == reused
+
+    plan = physical_plan(ivf_cell_assign(emb, centroids=cents))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
