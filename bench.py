@@ -179,6 +179,8 @@ HEADLINE = [
     "global_value_percentiles",
     "holt_trend_forecast",
     "position_attribution",
+    # round 4
+    "strip_duplicated_spans",
 ]
 
 

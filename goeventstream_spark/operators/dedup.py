@@ -776,6 +776,94 @@ def duplicated_spans(
     )
 
 
+def strip_duplicated_spans(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL half of substring-level dedup (C4 §2.2 discards
+    repeated three-sentence spans; :func:`duplicated_spans` above only
+    FLAGS): strip every token covered by a span that occurs verbatim in
+    at least one other document, and reassemble the surviving tokens in
+    order. Output one row per input doc:
+    (doc_id, clean_text, n_kept, n_stripped).
+
+    Same span anatomy as duplicated_spans (map-side window explode, one
+    shuffle grouping span hashes). Coverage is the union of flagged
+    span ranges (clipped to doc length; overlapping spans count each
+    position once), subtracted from the token stream with a left-anti
+    join on (doc, position); reassembly is one per-doc aggregation
+    (sort_array over (pos, word) structs — deterministic, no window).
+    All built-in expressions, no UDF; every step replays exactly in
+    SQL, so the transform is hash-oracled, not just flag-checked.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    base = docs.select(F.col(id_col), toks.alias("ws")).select(
+        id_col, "ws", F.size("ws").alias("n_toks")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n_toks") - F.lit(window - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    spans = base.select(
+        id_col, "n_toks", F.explode(starts).alias("span_start"), "ws"
+    ).select(
+        id_col,
+        "n_toks",
+        "span_start",
+        F.md5(F.concat_ws(" ", F.slice("ws", F.col("span_start"), window))).alias("h"),
+    )
+    flagged_hashes = (
+        spans.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    # positions covered by any flagged span, deduped (overlaps) —
+    # the join on h reuses the agg's hash partitioning, as above
+    covered = (
+        spans.join(flagged_hashes, "h")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("span_start"),
+                    F.least(
+                        F.col("span_start") + F.lit(window - 1), F.col("n_toks")
+                    ),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = base.select(
+        id_col, F.posexplode("ws").alias("pos0", "w")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "w")
+    kept = (
+        words.join(covered, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+    )
+    return base.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_toks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_stripped"),
+    )
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     k: int = 3,

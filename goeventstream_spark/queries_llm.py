@@ -1095,6 +1095,50 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "strip_duplicated_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, s AS span_start, len(ws) AS n_toks,
+             md5(array_to_string(ws[s : s + 19], ' ')) AS h
+      FROM toks, unnest(generate_series(1, greatest(len(ws) - 19, 1), 10)) AS t(s)
+    ), flagged AS (
+      SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), cover AS (
+      SELECT DISTINCT s.doc_id, p AS pos
+      FROM spans s JOIN flagged USING (h),
+           unnest(generate_series(s.span_start,
+                                  least(s.span_start + 19, s.n_toks))) AS u(p)
+    ), words AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM toks
+    ), kept AS (
+      SELECT w.doc_id,
+             array_to_string(list(w.w ORDER BY w.pos), ' ') AS clean_text,
+             count(*) AS n_kept
+      FROM words w LEFT JOIN cover c ON w.doc_id = c.doc_id AND w.pos = c.pos
+      WHERE c.pos IS NULL
+      GROUP BY w.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.ws) - coalesce(k.n_kept, 0) AS BIGINT) AS n_stripped
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q_strip_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup (dedup.strip_duplicated_spans;
+    C4 §2.2 discards repeated spans — duplicated_spans above only
+    flags): every token covered by a cross-document verbatim 20-token
+    span is stripped and the survivors reassemble in order. Fully
+    hash-oracled including the rebuilt text."""
+    return dedup.strip_duplicated_spans(_docs(spark, sf_dir), window=20, stride=10)
+
+
+@query(
     "token_diversity",
     """
     WITH words AS (
