@@ -33,6 +33,7 @@ from goeventstream_spark import queries_r3j  # noqa: E402,F401  (registers into 
 from goeventstream_spark import queries_r3k  # noqa: E402,F401  (registers into q.QUERIES)
 from goeventstream_spark import queries_r3l  # noqa: E402,F401  (registers into q.QUERIES)
 from goeventstream_spark import queries_r3m  # noqa: E402,F401  (registers into q.QUERIES)
+from goeventstream_spark import queries_r4  # noqa: E402,F401  (registers into q.QUERIES)
 from goeventstream_spark.operators import stream_ops as so  # noqa: E402
 from goeventstream_spark.sources import load_table  # noqa: E402
 

@@ -181,6 +181,7 @@ HEADLINE = [
     "position_attribution",
     # round 4
     "strip_duplicated_spans",
+    "pii_redaction_report",
 ]
 
 
@@ -203,7 +204,8 @@ def main() -> None:
     import goeventstream_spark.queries_r3j  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3k  # noqa: F401  (registers)
     import goeventstream_spark.queries_r3l  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3m  # noqa: F401  (registers)
+    import goeventstream_spark.queries_r3m  # noqa: F401
+    import goeventstream_spark.queries_r4  # noqa: F401  (registers)
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
