@@ -92,7 +92,24 @@ class HttpWireBridge:
         class _Handler(BaseHTTPRequestHandler):
             def do_POST(self) -> None:  # noqa: N802 (stdlib casing)
                 length = int(self.headers.get("Content-Length", 0))
-                raw = self.rfile.read(length) if length else b"{}"
+                raw = self.rfile.read(length) if length else b""
+                # Reference fidelity (main.go:66-68): a body that does
+                # not decode into GameRequest panics — the request has
+                # NO effect and Go's http stack answers 500. json.Decode
+                # accepts a JSON object or null; an empty body is io.EOF
+                # (also panic). Field-TYPE mismatches inside a valid
+                # object are the engine's concern (nulled declaratively
+                # by from_json), not the bridge's.
+                try:
+                    parsed = json.loads(raw.decode("utf-8"))
+                    if parsed is not None and not isinstance(parsed, dict):
+                        raise ValueError("GameRequest must be an object")
+                except (ValueError, UnicodeDecodeError):
+                    self.send_response(500)
+                    self.send_header("Content-Length", "0")
+                    self.send_header("Access-Control-Allow-Origin", "*")
+                    self.end_headers()
+                    return
                 now_hdr = self.headers.get("X-Sim-Now-Ms")
                 now_ms = int(now_hdr) if now_hdr else int(time.time() * 1000)
                 with bridge._lock:
@@ -135,10 +152,13 @@ class HttpWireBridge:
                 self.wfile.write(payload)
 
             def do_OPTIONS(self) -> None:  # noqa: N802
-                self.send_response(204)
+                # 200 with CORS headers, exactly the reference's
+                # early-return preflight path (main.go:50-56)
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
                 self.send_header("Access-Control-Allow-Origin", "*")
-                self.send_header("Access-Control-Allow-Methods", "POST, OPTIONS")
-                self.send_header("Access-Control-Allow-Headers", "*")
+                self.send_header("Access-Control-Allow-Methods", "POST, GET, OPTIONS")
+                self.send_header("Access-Control-Allow-Headers", "Content-Type")
                 self.end_headers()
 
             def log_message(self, *args) -> None:  # silence test output

@@ -1059,3 +1059,49 @@ def test_inline_bridge_serves_concurrent_clients(spark):
         states = spark.createDataFrame([], "sync_id long, data string")
         want = pr.game_response(syncs, empty, states, game_col="game_key").collect()[0]
         assert env == json.loads(want.response), (i, env, want.response)
+
+
+def test_bridge_rejects_malformed_gamerequest_like_reference():
+    """main.go:66-68 fidelity: a body that does not decode into
+    GameRequest panics in the reference — the request has NO effect and
+    the client sees HTTP 500. The bridge must answer 500 and must NOT
+    enqueue the request; a JSON null body (valid for Go's Decode into a
+    struct) and a plain object must still be accepted. OPTIONS answers
+    200 with the reference's exact CORS headers (main.go:50-56)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from goeventstream_spark.sources.http_bridge import HttpWireBridge
+
+    bridge = HttpWireBridge().start()
+    try:
+        url = f"http://{bridge.host}:{bridge.http_port}/g0/7/0"
+
+        def raw_post(data: bytes):
+            req = urllib.request.Request(url, data=data, method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=10) as rsp:
+                    return rsp.status, rsp.read()
+            except urllib.error.HTTPError as e:
+                return e.code, b""
+
+        for bad in (b"{not json", b"", b"[1,2]", b'"str"', b"\xff\xfe"):
+            status, _ = raw_post(bad)
+            assert status == 500, (bad, status)
+        assert bridge._lines == [], "rejected requests must not enqueue"
+
+        status, body = raw_post(b"null")
+        assert status == 202 and json.loads(body)["SyncId"] == 1
+        status, body = raw_post(b"{}")
+        assert status == 202 and json.loads(body)["SyncId"] == 2
+        assert len(bridge._lines) == 2
+
+        req = urllib.request.Request(url, method="OPTIONS")
+        with urllib.request.urlopen(req, timeout=10) as rsp:
+            assert rsp.status == 200
+            assert rsp.headers["Access-Control-Allow-Origin"] == "*"
+            assert rsp.headers["Access-Control-Allow-Methods"] == "POST, GET, OPTIONS"
+            assert rsp.headers["Access-Control-Allow-Headers"] == "Content-Type"
+    finally:
+        bridge.stop()
