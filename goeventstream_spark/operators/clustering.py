@@ -35,11 +35,9 @@ def quantize_vectors(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", scale: int = 1000
 ) -> DataFrame:
     """(id, v): the embedding on the integer grid, floor(x * scale)."""
-    v = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
+    return emb.select(
+        F.col(id_col).alias("vec_id"), _grid_vector(vec_col, scale).alias("v")
     )
-    return emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
 
 
 def _sqdist(v_col, centroid: list[int]):
@@ -50,20 +48,41 @@ def _sqdist(v_col, centroid: list[int]):
     return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-def assign(vectors: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """(vec_id, v, cluster_id): nearest centroid, ties to lowest id.
-    Centroids are literals — the assignment is a pure map pass, no
-    shuffle, no join."""
+def _grid_vector(vec_col: str, scale: int):
+    """The floor(x * scale) integer-grid column — the ONE quantization
+    expression (quantize_vectors / ivf_cell_assign share it so their
+    hash-exact oracle pairing cannot drift)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
+    )
+
+
+def _nearest_cid(v_col, centroids: list[list[int]]):
+    """Column: id of the nearest centroid literal (ties to lowest cid).
+    Shared by assign() and ivf_cell_assign; handles the 1-centroid
+    codebook F.least cannot (it needs >= 2 args)."""
+    if len(centroids) == 1:
+        return F.lit(0).cast("long")
     best = F.least(
         *[
             F.struct(
-                _sqdist(F.col("v"), c).alias("d"),
+                _sqdist(v_col, c).alias("d"),
                 F.lit(cid).cast("long").alias("cid"),
             )
             for cid, c in enumerate(centroids)
         ]
     )
-    return vectors.select("vec_id", "v", best.getField("cid").alias("cluster_id"))
+    return best.getField("cid")
+
+
+def assign(vectors: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, v, cluster_id): nearest centroid, ties to lowest id.
+    Centroids are literals — the assignment is a pure map pass, no
+    shuffle, no join."""
+    return vectors.select(
+        "vec_id", "v", _nearest_cid(F.col("v"), centroids).alias("cluster_id")
+    )
 
 
 def update(assigned: DataFrame, old: list[list[int]]) -> list[list[int]]:
@@ -157,20 +176,9 @@ def ivf_cell_assign(
             emb, id_col=id_col, vec_col=vec_col, scale=scale
         )
         _, cents = kmeans_fit(vectors, k=k, iters=iters)
-    v = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
+    return emb.withColumn(
+        "cell", _nearest_cid(_grid_vector(vec_col, scale), cents)
     )
-    best = F.least(
-        *[
-            F.struct(
-                _sqdist(v, c).alias("d"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, c in enumerate(cents)
-        ]
-    )
-    return emb.withColumn("cell", best.getField("cid"))
 
 
 def ivf_fixed_search(

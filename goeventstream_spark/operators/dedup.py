@@ -707,6 +707,44 @@ def dedup_representatives(
     )
 
 
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, ws, n_toks): the repo-wide space-split + empty-filter token
+    array per document — shared root of the span FLAG and REMOVE halves
+    so their tokenization cannot drift."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    return docs.select(F.col(id_col), toks.alias("ws")).select(
+        id_col, "ws", F.size("ws").alias("n_toks")
+    )
+
+
+def _span_table(base: DataFrame, window: int, stride: int, id_col: str) -> DataFrame:
+    """(id, n_toks, span_start, h): one md5-hashed token window per
+    stride step over a ``_tokenized`` relation, generated map-side."""
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n_toks") - F.lit(window - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    return base.select(
+        id_col, "n_toks", F.explode(starts).alias("span_start"), "ws"
+    ).select(
+        id_col,
+        "n_toks",
+        "span_start",
+        F.md5(F.concat_ws(" ", F.slice("ws", F.col("span_start"), window))).alias("h"),
+    )
+
+
+def _cross_doc_span_hashes(spans: DataFrame, id_col: str) -> DataFrame:
+    """Span hashes occurring verbatim in >= 2 distinct documents."""
+    return (
+        spans.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h")
+    )
+
+
 def duplicated_spans(
     docs: DataFrame,
     window: int = 20,
@@ -735,27 +773,8 @@ def duplicated_spans(
     Output: (doc_id, n_spans, dup_spans, dup_ratio) with dup_ratio an
     exact integer-count division.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.size("ws") - F.lit(window - 1), F.lit(1)),
-        F.lit(stride),
-    )
-    spans = (
-        docs.select(F.col(id_col), toks.alias("ws"))
-        .select(id_col, F.explode(starts).alias("span_start"), "ws")
-        .select(
-            id_col,
-            "span_start",
-            F.md5(F.concat_ws(" ", F.slice("ws", F.col("span_start"), window))).alias("h"),
-        )
-    )
-    cross_doc = (
-        spans.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("h")
-    )
+    spans = _span_table(_tokenized(docs, id_col, text_col), window, stride, id_col)
+    cross_doc = _cross_doc_span_hashes(spans, id_col)
     # ONE pass over spans: a shuffle left join on h (NOT broadcast —
     # the duplicated-hash set is proportional to the amount of
     # boilerplate, unbounded at 100 TB; spans is already
@@ -799,29 +818,9 @@ def strip_duplicated_spans(
     All built-in expressions, no UDF; every step replays exactly in
     SQL, so the transform is hash-oracled, not just flag-checked.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-    base = docs.select(F.col(id_col), toks.alias("ws")).select(
-        id_col, "ws", F.size("ws").alias("n_toks")
-    )
-    starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.col("n_toks") - F.lit(window - 1), F.lit(1)),
-        F.lit(stride),
-    )
-    spans = base.select(
-        id_col, "n_toks", F.explode(starts).alias("span_start"), "ws"
-    ).select(
-        id_col,
-        "n_toks",
-        "span_start",
-        F.md5(F.concat_ws(" ", F.slice("ws", F.col("span_start"), window))).alias("h"),
-    )
-    flagged_hashes = (
-        spans.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("h")
-    )
+    base = _tokenized(docs, id_col, text_col)
+    spans = _span_table(base, window, stride, id_col)
+    flagged_hashes = _cross_doc_span_hashes(spans, id_col)
     # positions covered by any flagged span, deduped (overlaps) —
     # the join on h reuses the agg's hash partitioning, as above
     covered = (

@@ -447,7 +447,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dup_sql() -> str:
-    from goeventstream_spark.queries_r3b import KQ_CELL_CTES
+    from goeventstream_spark.kq_sql import KQ_CELL_CTES
 
     return f"""
     WITH {KQ_CELL_CTES},

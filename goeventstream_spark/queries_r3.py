@@ -651,7 +651,7 @@ def q_temperature_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_graph_sql() -> str:
-    from goeventstream_spark.queries_r3b import KQ_CELL_CTES
+    from goeventstream_spark.kq_sql import KQ_CELL_CTES
 
     return f"""
     WITH {KQ_CELL_CTES},

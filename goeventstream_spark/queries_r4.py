@@ -42,8 +42,7 @@ def _redact_cte(kind: str, pat: str, src: str) -> str:
     same counting identity pii_redact uses), then replace."""
     return (
         f"SELECT doc_id, len(regexp_split_to_array(t, '{pat}')) - 1 AS n_{kind},"
-        f" regexp_replace(t, '{pat}', '[{kind.upper()}]', 'g') AS t,"
-        f" n_prev FROM {src}"
+        f" regexp_replace(t, '{pat}', '[{kind.upper()}]', 'g') AS t FROM {src}"
     )
 
 
@@ -51,12 +50,12 @@ def _redact_cte(kind: str, pat: str, src: str) -> str:
     "pii_redaction_report",
     f"""
     WITH synth AS (
-      SELECT c_custkey AS doc_id, {_SYNTH_SQL} AS t, 0 AS n_prev
+      SELECT c_custkey AS doc_id, {_SYNTH_SQL} AS t
       FROM customer
     ),
     s1 AS ({_redact_cte("email", _EMAIL, "synth")}),
-    s2 AS ({_redact_cte("phone", _PHONE, "(SELECT doc_id, t, n_email AS n_prev FROM s1)")}),
-    s3 AS ({_redact_cte("ipv4", _IPV4, "(SELECT s2.doc_id, s2.t, s2.n_phone AS n_prev FROM s2)")})
+    s2 AS ({_redact_cte("phone", _PHONE, "s1")}),
+    s3 AS ({_redact_cte("ipv4", _IPV4, "s2")})
     SELECT s3.doc_id, s3.t AS redacted_text,
            CAST(s1.n_email AS BIGINT) AS n_email,
            CAST(s2.n_phone AS BIGINT) AS n_phone,

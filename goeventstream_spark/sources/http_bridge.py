@@ -69,6 +69,44 @@ GAME_REQUEST_SCHEMA = StructType(
 )
 
 
+def _decodes_as_game_request(raw: bytes) -> bool:
+    """Would Go's ``json.NewDecoder(body).Decode(&GameRequest)`` succeed
+    (main.go:63-68)? Decode reads the first JSON value and ignores
+    trailing bytes; empty body is io.EOF (error); the value must be an
+    object or null; Events must unmarshal into []Event (list of
+    objects, string Type/Body/Origin, integer T) and State into
+    map[string]string — any type mismatch errors in Go."""
+    try:
+        text = raw.decode("utf-8")
+        parsed, _end = json.JSONDecoder().raw_decode(text.lstrip())
+    except (ValueError, UnicodeDecodeError):
+        return False
+    if parsed is None:
+        return True
+    if not isinstance(parsed, dict):
+        return False
+    events = parsed.get("Events")
+    if events is not None:
+        if not isinstance(events, list):
+            return False
+        for e in events:
+            if not isinstance(e, dict):
+                return False
+            for k in ("Type", "Body", "Origin"):
+                if k in e and e[k] is not None and not isinstance(e[k], str):
+                    return False
+            t = e.get("T")
+            if t is not None and (isinstance(t, bool) or not isinstance(t, int)):
+                return False
+    state = parsed.get("State")
+    if state is not None:
+        if not isinstance(state, dict):
+            return False
+        if any(v is not None and not isinstance(v, str) for v in state.values()):
+            return False
+    return True
+
+
 class HttpWireBridge:
     """Accepts the reference wire protocol over HTTP and re-emits each
     request as one JSON line ``{"sync_id", "now_ms", "path", "body"}``
@@ -95,16 +133,17 @@ class HttpWireBridge:
                 raw = self.rfile.read(length) if length else b""
                 # Reference fidelity (main.go:66-68): a body that does
                 # not decode into GameRequest panics — the request has
-                # NO effect and Go's http stack answers 500. json.Decode
-                # accepts a JSON object or null; an empty body is io.EOF
-                # (also panic). Field-TYPE mismatches inside a valid
-                # object are the engine's concern (nulled declaratively
-                # by from_json), not the bridge's.
-                try:
-                    parsed = json.loads(raw.decode("utf-8"))
-                    if parsed is not None and not isinstance(parsed, dict):
-                        raise ValueError("GameRequest must be an object")
-                except (ValueError, UnicodeDecodeError):
+                # NO effect and Go's http stack answers 500. Mirror
+                # Go's json.Decoder.Decode: read the FIRST JSON value
+                # (trailing bytes are not validated), require it to
+                # unmarshal into the GameRequest struct — object or
+                # null at the top, Events a list of objects with
+                # string Type/Body/Origin and integer T, State a map
+                # of string values. (Divergence, documented: Go also
+                # matches field names case-insensitively; the engine's
+                # from_json schema is canonical-case only, so the
+                # bridge validates the canonical casing.)
+                if not _decodes_as_game_request(raw):
                     self.send_response(500)
                     self.send_header("Content-Length", "0")
                     self.send_header("Access-Control-Allow-Origin", "*")

@@ -286,9 +286,15 @@ def write_idempotent(
         F.count("*").alias("n_rows"), F.sum(row_h).alias("checksum")
     ).collect()[0]
 
-    tmp_dir = os.path.join(base_path, f"_tmp_batch_{batch_id}")
-    if os.path.exists(tmp_dir):
-        shutil.rmtree(tmp_dir)
+    # attempt-private staging dir (mkdtemp): concurrent publishers of
+    # the same batch_id must never share a tmp path — a shared
+    # _tmp_batch_<id> lets one attempt rmtree/rename the other's
+    # half-written files. Underscore prefix keeps Spark readers from
+    # globbing abandoned staging dirs.
+    import tempfile
+
+    os.makedirs(base_path, exist_ok=True)
+    tmp_dir = tempfile.mkdtemp(prefix=f"_tmp_batch_{batch_id}_", dir=base_path)
     df.write.mode("overwrite").parquet(tmp_dir)
     manifest = {
         "batch_id": batch_id,

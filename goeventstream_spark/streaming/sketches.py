@@ -150,25 +150,36 @@ def streaming_heavy_hitter_index(
     Exactly-once under replay: each micro-batch writes its merged,
     compressed summary to a NEW versioned directory
     ``index_dir/v=<batch_id>`` after reading only the latest COMMITTED
-    version with id < batch_id. A batch replayed after a crash (before
-    the stream checkpoint committed) re-reads the same predecessor and
-    deterministically rewrites its own version — never double-merging;
-    a crash mid-write leaves an uncommitted (no ``_SUCCESS``) directory
-    that readers and successors ignore. State stays bounded: each
-    version is <= n_buckets * k counters and older committed versions
-    are pruned down to the predecessor."""
+    version with id < batch_id. A batch replayed after a crash is a
+    no-op if its own version already committed (the recompute is
+    deterministic, so the directory already holds the exact output —
+    and skipping never deletes a ``_SUCCESS`` a concurrent reader may
+    be mid-read on); if it crashed mid-write, the uncommitted (no
+    ``_SUCCESS``) directory is invisible to readers/successors and is
+    simply rewritten from the same committed predecessor — never
+    double-merging either way. State stays bounded: each version is
+    <= n_buckets * k counters and older committed versions are pruned
+    down to the predecessor."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
         spark = batch_df.sparkSession
+        all_committed = _committed_index_versions(index_dir)
+        if batch_id in all_committed:
+            # replayed batch whose version already COMMITTED (crash fell
+            # between the parquet _SUCCESS and the stream checkpoint):
+            # the recompute is deterministic, so the existing directory
+            # already holds exactly what we would rewrite — skip, never
+            # deleting a _SUCCESS a concurrent reader may be using.
+            return
         batch_counts = (
             batch_df.select(F.explode(F.split(text_col, " ")).alias("word"))
             .groupBy("word")
             .agg(F.count("*").alias("mg_count"))
             .withColumn("bucket", word_bucket(F.col("word"), n_buckets))
         )
-        committed = [v for v in _committed_index_versions(index_dir) if v < batch_id]
+        committed = [v for v in all_committed if v < batch_id]
         if committed:
             prev = spark.read.parquet(f"{index_dir}/v={committed[-1]}")
         else:

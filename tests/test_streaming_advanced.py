@@ -1086,7 +1086,16 @@ def test_bridge_rejects_malformed_gamerequest_like_reference():
             except urllib.error.HTTPError as e:
                 return e.code, b""
 
-        for bad in (b"{not json", b"", b"[1,2]", b'"str"', b"\xff\xfe"):
+        bad_bodies = (
+            b"{not json", b"", b"[1,2]", b'"str"', b"\xff\xfe",
+            b'{"Events": 5}',                      # []Event <- number
+            b'{"Events": [3]}',                    # Event <- number
+            b'{"Events": [{"Type": 5}]}',          # string <- number
+            b'{"Events": [{"T": 1.5}]}',           # int64 <- fraction
+            b'{"State": [1]}',                     # map <- array
+            b'{"State": {"hp": 9}}',               # string <- number
+        )
+        for bad in bad_bodies:
             status, _ = raw_post(bad)
             assert status == 500, (bad, status)
         assert bridge._lines == [], "rejected requests must not enqueue"
@@ -1095,7 +1104,10 @@ def test_bridge_rejects_malformed_gamerequest_like_reference():
         assert status == 202 and json.loads(body)["SyncId"] == 1
         status, body = raw_post(b"{}")
         assert status == 202 and json.loads(body)["SyncId"] == 2
-        assert len(bridge._lines) == 2
+        # Go's Decode reads the FIRST value; trailing bytes not validated
+        status, body = raw_post(b'{"State": {"hp": "9"}} trailing garbage')
+        assert status == 202 and json.loads(body)["SyncId"] == 3
+        assert len(bridge._lines) == 3
 
         req = urllib.request.Request(url, method="OPTIONS")
         with urllib.request.urlopen(req, timeout=10) as rsp:

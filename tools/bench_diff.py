@@ -26,9 +26,9 @@ def main() -> int:
     common = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in common)
     t_new = sum(new[q] for q in common)
+    ratio = f"{t_new / t_old:.2f}x" if t_old > 0 else "n/a"
     print(
-        f"{len(common)} common queries: {t_old:.1f}s -> {t_new:.1f}s "
-        f"({t_new / t_old:.2f}x)"
+        f"{len(common)} common queries: {t_old:.1f}s -> {t_new:.1f}s ({ratio})"
     )
     added = sorted(set(new) - set(old))
     if added:
@@ -41,8 +41,8 @@ def main() -> int:
         # ignore sub-100ms jitter: a 0.04 -> 0.07 s flip is noise
         if new[q] > old[q] * factor and new[q] - old[q] > 0.1:
             bad.append(q)
-            print(f"  REGRESSION {q}: {old[q]:.2f}s -> {new[q]:.2f}s "
-                  f"({new[q] / old[q]:.2f}x)")
+            fx = f"{new[q] / old[q]:.2f}x" if old[q] > 0 else "from 0"
+            print(f"  REGRESSION {q}: {old[q]:.2f}s -> {new[q]:.2f}s ({fx})")
     improved = [q for q in common if old[q] > new[q] * factor and old[q] - new[q] > 0.1]
     for q in sorted(improved, key=lambda q: old[q] - new[q], reverse=True)[:10]:
         print(f"  improved {q}: {old[q]:.2f}s -> {new[q]:.2f}s")
