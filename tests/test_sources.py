@@ -411,3 +411,45 @@ def test_write_idempotent_publish_and_replay_noop(spark, sf_dir, tmp_path):
     assert back.count() == m1["n_rows"]
     with open(os.path.join(final, "_manifest.json")) as fh:
         assert json.load(fh)["batch_id"] == "b1"
+
+
+def test_write_idempotent_concurrent_publishers_one_winner(spark, sf_dir, tmp_path):
+    """Two publishers racing on the SAME batch_id: exactly one commit
+    wins, both calls return the winner's manifest, and the published
+    directory is complete and readable — regardless of interleaving.
+    (Each attempt stages in a private mkdtemp dir; a shared staging
+    path would let one attempt clobber the other's half-written
+    files.)"""
+    import json
+    import os
+    import threading
+
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.sources.io import write_idempotent
+
+    base = str(tmp_path / "sink")
+    os.makedirs(base)
+    df = load_table(spark, sf_dir, "region")
+    results, errors = [None, None], [None, None]
+
+    def publish(slot):
+        try:
+            results[slot] = write_idempotent(df, base, "race")
+        except Exception as e:  # noqa: BLE001 - assert no exception below
+            errors[slot] = e
+
+    threads = [threading.Thread(target=publish, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert errors == [None, None], errors
+    assert results[0] == results[1]  # both adopted the single winner
+
+    final = os.path.join(base, "batch_id=race")
+    with open(os.path.join(final, "_manifest.json")) as fh:
+        assert json.load(fh) == results[0]
+    assert spark.read.parquet(final).count() == df.count()
+    # no torn second copy of the batch anywhere
+    batches = [d for d in os.listdir(base) if d.startswith("batch_id=")]
+    assert batches == ["batch_id=race"]
