@@ -17,22 +17,18 @@ import traceback
 # sys.path, not the repo root, so add the root explicitly.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import goeventstream_spark.queries_llm  # noqa: F401
-import goeventstream_spark.queries_ext  # noqa: F401
-import goeventstream_spark.queries_r2  # noqa: F401
-import goeventstream_spark.queries_r3  # noqa: F401
-import goeventstream_spark.queries_r3b  # noqa: F401
-import goeventstream_spark.queries_r3c  # noqa: F401  (registers into q.QUERIES)
-import goeventstream_spark.queries_r3d  # noqa: F401  (registers into q.QUERIES)
-import goeventstream_spark.queries_r3e  # noqa: F401  (registers into q.QUERIES)
-import goeventstream_spark.queries_r3f  # noqa: F401  (registers into q.QUERIES)
-import goeventstream_spark.queries_r3g  # noqa: F401  (registers into q.QUERIES)
-import goeventstream_spark.queries_r3h  # noqa: F401  (registers into q.QUERIES)
-import goeventstream_spark.queries_r3i  # noqa: F401  (registers into q.QUERIES)
-import goeventstream_spark.queries_r3j  # noqa: F401  (registers into q.QUERIES)
-import goeventstream_spark.queries_r3k  # noqa: F401  (registers into q.QUERIES)
-import goeventstream_spark.queries_r3l  # noqa: F401  (registers into q.QUERIES)
-import goeventstream_spark.queries_r3m  # noqa: F401  (registers into q.QUERIES)
+# Auto-import every queries_* module so a newly added registration
+# module can never be silently missing from the sweep (round 4: a
+# hand-maintained import list dropped queries_r4 and the sweep quietly
+# ran 278/279).
+import importlib
+import pkgutil
+
+import goeventstream_spark
+
+for _m in pkgutil.iter_modules(goeventstream_spark.__path__):
+    if _m.name.startswith("queries"):
+        importlib.import_module(f"goeventstream_spark.{_m.name}")
 from goeventstream_spark import queries as q
 from goeventstream_spark.session import get_spark
 from tests.oracle import assert_frames_match, run_oracle
