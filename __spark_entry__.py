@@ -17,23 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from goeventstream_spark import queries as q  # noqa: E402
-from goeventstream_spark import queries_llm  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_ext  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r2  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3b  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3c  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3d  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3e  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3f  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3g  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3h  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3i  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3j  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3k  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3l  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r3m  # noqa: E402,F401  (registers into q.QUERIES)
-from goeventstream_spark import queries_r4  # noqa: E402,F401  (registers into q.QUERIES)
+# Auto-import every queries_* registration module (a hand-maintained
+# list silently dropped one in round 4; pkgutil iteration makes that
+# impossible).
+import importlib  # noqa: E402
+import pkgutil  # noqa: E402
+
+import goeventstream_spark  # noqa: E402
+
+for _m in pkgutil.iter_modules(goeventstream_spark.__path__):
+    if _m.name.startswith("queries"):
+        importlib.import_module(f"goeventstream_spark.{_m.name}")
 from goeventstream_spark.operators import stream_ops as so  # noqa: E402
 from goeventstream_spark.sources import load_table  # noqa: E402
 

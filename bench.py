@@ -189,23 +189,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from goeventstream_spark import get_spark
     from goeventstream_spark import queries as q
-    import goeventstream_spark.queries_llm  # noqa: F401  (registers)
-    import goeventstream_spark.queries_ext  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r2  # noqa: F401
-    import goeventstream_spark.queries_r3  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3b  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3c  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3d  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3e  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3f  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3g  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3h  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3i  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3j  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3k  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3l  # noqa: F401  (registers)
-    import goeventstream_spark.queries_r3m  # noqa: F401
-    import goeventstream_spark.queries_r4  # noqa: F401  (registers)
+    # Auto-import every queries_* registration module (see
+    # tools/parity_sweep.py for why a hand-maintained list is unsafe).
+    import importlib
+    import pkgutil
+
+    import goeventstream_spark
+
+    for _m in pkgutil.iter_modules(goeventstream_spark.__path__):
+        if _m.name.startswith("queries"):
+            importlib.import_module(f"goeventstream_spark.{_m.name}")
 
     spark = get_spark(app_name="goeventstream_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
