@@ -301,15 +301,7 @@ def pq_fixed_adc_topk(
             vectors.select(
                 F.lit(s).alias("sub"),
                 sl(F.col("v"), s).alias("sv"),
-                F.least(
-                    *[
-                        F.struct(
-                            _sqdist(sl(F.col("v"), s), c).alias("d"),
-                            F.lit(cid).cast("long").alias("cid"),
-                        )
-                        for cid, c in enumerate(cents[s])
-                    ]
-                ).getField("cid").alias("cluster_id"),
+                _nearest_cid(sl(F.col("v"), s), cents[s]).alias("cluster_id"),
             )
             for s in range(n_sub)
         ]
@@ -328,16 +320,9 @@ def pq_fixed_adc_topk(
         cents = new_cents
     code_cols = []
     for s in range(n_sub):
-        best = F.least(
-            *[
-                F.struct(
-                    _sqdist(sl(F.col("v"), s), c).alias("d"),
-                    F.lit(cid).cast("long").alias("cid"),
-                )
-                for cid, c in enumerate(cents[s])
-            ]
+        code_cols.append(
+            _nearest_cid(sl(F.col("v"), s), cents[s]).alias(f"code_{s}")
         )
-        code_cols.append(best.getField("cid").alias(f"code_{s}"))
     codes = vectors.select("vec_id", *code_cols)
     queries = vectors.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
