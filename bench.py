@@ -182,6 +182,9 @@ HEADLINE = [
     # round 4
     "strip_duplicated_spans",
     "pii_redaction_report",
+    # round 5
+    "url_canonical_dedup",
+    "hashed_linear_quality",
 ]
 
 

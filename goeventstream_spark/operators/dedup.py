@@ -342,6 +342,195 @@ def prefix_filter_jaccard_join(
     )
 
 
+def edit_distance_qgram_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    q: int = 3,
+    block_cols: tuple[str, ...] = (),
+    expand: str = "all",
+) -> DataFrame:
+    """EXACT bounded-edit-distance self-join via q-gram prefix
+    filtering over DISTINCT strings — candidate volume scales with
+    gram-collision counts among distinct values, never with
+    block-size**2 (the scale-true replacement for fixed-cardinality
+    blocking: at 100x the corpus a fixed block's pairs grow 10^4x,
+    while gram posting lists grow ~linearly and the distinct
+    projection absorbs duplicate-heavy corpora entirely).
+
+    Returns ordered pairs ``(id_a, id_b)`` with ``id_a < id_b``,
+    ``levenshtein(text_a, text_b) <= max_dist`` and, if ``block_cols``
+    is given, equality on every block column (exact-match predicates
+    the caller's semantics already require, e.g. ``p_size``).
+
+    Anatomy — three stages, each shuffle-bounded by a DATA-dependent
+    quantity:
+
+    1. DISTINCT PROJECTION: rows collapse to (text, blocks) groups
+       with a representative id (the group min) — one hash-agg
+       shuffle. Similarity work then runs on distinct values only;
+       for all-unique corpora this is a passthrough, for
+       duplicate-heavy ones (real product/entity tables) it removes
+       the dominant quadratic term outright.
+    2. PREFIX-FILTERED CANDIDATES over the groups, exact by two
+       public results:
+       - COUNT BOUND (Gravano et al., "Approximate String Joins in a
+         Database (Almost) for Free", VLDB'01): one edit operation
+         destroys at most ``q`` q-grams, so ``ed(a,b) <= k`` forces a
+         bag-intersection of at least ``T = max(|Ga|,|Gb|) - k*q``
+         q-grams (``|G| = len - q + 1``).
+       - PREFIX FILTER (Chaudhuri et al. ICDE'06 / Xiao et al.
+         WWW'08): under any global total order on grams, two bags
+         sharing >= T elements must collide within their first
+         ``|G| - T + 1`` elements — at most ``k*q + 1`` grams PER
+         STRING with the T above: a CONSTANT. Joining distinct-gram
+         prefixes of size k*q+1 is a superset of the bag-prefix join
+         (a gram inside the first k*q+1 bag elements is among the
+         first <= k*q+1 distinct values in the same order), so recall
+         stays exactly 1. Grams are ranked rare-first by global
+         document frequency (ties by gram — one canonical order), so
+         hot grams sit OUTSIDE almost every prefix; the tiny df
+         relation (one row per distinct gram) broadcasts, and the
+         rank shuffle is AQE-skew-splittable, unlike a
+         window-over-gram.
+       The bound is vacuous only when BOTH strings are short
+       (``max(len) < q + k*q``: two length-4 strings at ed 2 can
+       share zero 3-grams) — those pairs come from an all-pairs
+       fallback restricted to the short stratum; the gram join
+       requires ``greatest(len_a, len_b) >= q + k*q`` so the two
+       candidate sets are provably disjoint. Every candidate is then
+       verified with the builtin bounded ``levenshtein(a, b, k)``
+       (codegen'd, early-exit), so precision is exact too.
+    3. EXPANSION back to id pairs, output-bound:
+       - ``expand="all"``: every qualifying id pair — within-group
+         (ed = 0) pairs plus the cross product of matched groups'
+         members. Equals the naive theta join row-for-row (pinned in
+         tests/test_operators.py).
+       - ``expand="spanning"``: a reduced edge set with the SAME
+         connected components — star edges member->representative
+         plus one representative edge per matched group pair. For
+         transitive-closure consumers (entity resolution, near-dup
+         clustering) this is the right contract: O(rows + matched
+         groups) edges instead of sum-of-group-size-products, while
+         min-label propagation yields identical cluster ids (the
+         min id reachable is a component property)."""
+    if expand not in ("all", "spanning"):
+        raise ValueError(f"expand must be 'all' or 'spanning', got {expand!r}")
+    kq = max_dist * q
+    blocks = list(block_cols)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_len"),
+        *blocks,
+    )
+    # stage 1: distinct (text, blocks) groups; _rep = min id is unique
+    # per group (ids are unique, group id-sets are disjoint)
+    grp = base.groupBy("_txt", "_len", *blocks).agg(F.min("_id").alias("_rep"))
+    grams = grp.where(F.col("_len") >= q).select(
+        "_rep",
+        "_txt",
+        "_len",
+        *blocks,
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, length(_txt) - {q} + 1),"
+                f" i -> substring(_txt, i, {q})))"
+            )
+        ).alias("gram"),
+    )
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("_rep").orderBy("df", "gram")
+    pref = (
+        grams.join(gram_df, "gram")
+        .withColumn("pos", F.row_number().over(w_rank))
+        .where(F.col("pos") <= kq + 1)
+        .select("_rep", "_txt", "_len", "gram", *blocks)
+    )
+    a = pref.select(
+        F.col("_rep").alias("rep_a"),
+        F.col("_txt").alias("txt_a"),
+        F.col("_len").alias("len_a"),
+        F.col("gram").alias("gram_a"),
+        *[F.col(c).alias(f"{c}_a") for c in blocks],
+    )
+    b = pref.select(
+        F.col("_rep").alias("rep_b"),
+        F.col("_txt").alias("txt_b"),
+        F.col("_len").alias("len_b"),
+        F.col("gram").alias("gram_b"),
+        *[F.col(c).alias(f"{c}_b") for c in blocks],
+    )
+    block_eq = [F.col(f"{c}_a") == F.col(f"{c}_b") for c in blocks]
+    # texts are distinct per block, so txt ordering dedups emission
+    cond = (
+        (F.col("gram_a") == F.col("gram_b"))
+        & (F.col("txt_a") < F.col("txt_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        # disjointness with the short-stratum fallback: the count
+        # bound is only valid (T >= 1) on this side of the split
+        & (F.greatest("len_a", "len_b") >= q + kq)
+    )
+    for eq in block_eq:
+        cond = cond & eq
+    # verify BEFORE the pair-dedup: bounded levenshtein early-exits on
+    # the (majority) non-matches, so distinct sees only true pairs
+    long_pairs = (
+        a.join(b, cond)
+        .where(F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_dist) >= 0)
+        .select("rep_a", "rep_b")
+        .distinct()
+    )
+    shorts = grp.where(F.col("_len") < q + kq)
+    sa = shorts.select(
+        F.col("_rep").alias("rep_a"),
+        F.col("_txt").alias("txt_a"),
+        *[F.col(c).alias(f"{c}_a") for c in blocks],
+    )
+    sb = shorts.select(
+        F.col("_rep").alias("rep_b"),
+        F.col("_txt").alias("txt_b"),
+        *[F.col(c).alias(f"{c}_b") for c in blocks],
+    )
+    scond = F.col("txt_a") < F.col("txt_b")
+    for eq in block_eq:
+        scond = scond & eq
+    short_pairs = (
+        sa.join(sb, scond)
+        .where(F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_dist) >= 0)
+        .select("rep_a", "rep_b")
+    )
+    rep_pairs = long_pairs.unionByName(short_pairs)
+    members = base.join(
+        grp.select("_txt", *blocks, "_rep"), ["_txt", *blocks]
+    ).select("_id", "_rep")
+    if expand == "spanning":
+        intra = members.where(F.col("_id") != F.col("_rep")).select(
+            F.col("_rep").alias("id_a"), F.col("_id").alias("id_b")
+        )
+        inter = rep_pairs.select(
+            F.least("rep_a", "rep_b").alias("id_a"),
+            F.greatest("rep_a", "rep_b").alias("id_b"),
+        )
+        return intra.unionByName(inter)
+    m1 = members.select(F.col("_id").alias("ia"), F.col("_rep").alias("rep_a"))
+    m2 = members.select(F.col("_id").alias("ib"), F.col("_rep").alias("rep_b"))
+    intra = m1.join(
+        m2,
+        (F.col("rep_a") == F.col("rep_b")) & (F.col("ia") < F.col("ib")),
+    ).select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    inter = (
+        rep_pairs.join(m1, "rep_a")
+        .join(m2, "rep_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+        )
+    )
+    return intra.unionByName(inter)
+
+
 def ngram_jaccard_pairs(docs: DataFrame, k: int = DEFAULT_SHINGLE_K, threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted index: explode
     distinct shingles, self-join on shingle to count intersections,
@@ -521,6 +710,12 @@ def dedup_clusters(
     per id contributes a non-null ``_prev``), so "did anything change"
     is a filter-count over the already-checkpointed round output. One
     shuffle + one action per round, no extra join, any id type.
+
+    ``max_iters`` budgets the rounds AFTER the fused first round: the
+    vertex-dedup shuffle below already computes round 1's
+    ``min(id, min(neighbors))`` labels, so the function performs up to
+    ``max_iters + 1`` propagation rounds in total and ``max_iters=0``
+    yields one full round, not identity labels.
 
     If ``all_docs`` is given, docs in no pair appear as singleton
     clusters (cluster_id = own id).

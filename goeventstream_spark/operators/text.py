@@ -589,3 +589,88 @@ def collocations_topk(
     top = scored.orderBy(F.col("lift").desc(), F.col("bigram")).limit(top_k)
     win = Window.orderBy(F.col("lift").desc(), F.col("bigram"))
     return top.withColumn("rk", F.row_number().over(win).cast("long"))
+
+
+def url_canonicalize(url: F.Column) -> F.Column:
+    """RFC 3986 §6-style URL normalization as one builtin-expression
+    Column — the crawl pipeline's canonical-URL key: strip the
+    fragment, lowercase scheme+authority (path/query case preserved —
+    paths are case-sensitive), drop default ports (:443 for https,
+    :80 for http), drop the www. prefix, collapse trailing path
+    slashes (root stays '/'), drop utm_* tracking params, and sort
+    the surviving query params for an order-independent key.
+
+    Everything is regexp/string builtins except the param
+    filter+sort, an array HOF over the handful of '&'-separated
+    tokens one URL carries — per-row constant work, no shuffle, no
+    UDF. DuckDB replays the identical algebra (list_filter/list_sort;
+    replacement syntax $1 vs \\1 differs, outputs do not), so
+    canonical URLs are hash-exact cross-engine."""
+    u1 = F.regexp_replace(url, r"#.*$", "")
+    auth = F.regexp_extract(u1, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)
+    rest = u1.substr(F.length(auth) + 1, F.length(u1))
+    cauth = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(auth), r"^(https://[^:]*):443$", "$1"),
+            r"^(http://[^:]*):80$",
+            "$1",
+        ),
+        r"://www\.",
+        "://",
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    qs = F.when(
+        F.instr(rest, "?") > 0, rest.substr(F.length(path) + 2, F.length(rest))
+    ).otherwise(F.lit(""))
+    stripped = F.regexp_replace(path, r"/+$", "")
+    cpath = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        cauth,
+        cpath,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+    )
+
+
+def hashed_linear_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document hashed linear classifier sums: token weight =
+    (first 6 hex digits of md5(token) as int) % 2001 - 1000, an
+    integer in [-1000, 1000] standing in for a trained fastText-style
+    weight vector via the hashing trick — identical plumbing, plan
+    shape, and scale anatomy, deterministic cross-engine.
+
+    Returns one row per document: all passthrough columns of ``docs``
+    except ``text_col``, plus ``sw`` (BIGINT weight sum) and ``n``
+    (BIGINT token count). Scores stay in integer space so every
+    downstream ratio can be ONE double division; mean weight sw/n is
+    the model logit and sw >= 0 the keep decision (sigmoid monotone).
+
+    One explode + one map-side-combinable integer aggregation keyed by
+    document — the weight is computed inline from the token, so there
+    is no vocabulary relation and no join, which is why hashed
+    features are the scale path in the first place."""
+    passthrough = [c for c in docs.columns if c != text_col]
+    words = docs.select(
+        *passthrough,
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    wt = (
+        F.conv(F.substring(F.md5("word"), 1, 6), 16, 10).cast("long") % 2001
+        - 1000
+    )
+    other = [c for c in passthrough if c != id_col]
+    return words.select(*passthrough, wt.alias("wt")).groupBy(id_col).agg(
+        *[F.min(c).alias(c) for c in other],
+        F.sum("wt").alias("sw"),
+        F.count("*").cast("long").alias("n"),
+    )

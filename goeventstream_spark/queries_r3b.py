@@ -259,48 +259,40 @@ def q_recency_weighted_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def er_part_fuzzy_pairs(part: DataFrame) -> DataFrame:
-    """Blocked fuzzy candidate pairs for part entity resolution:
-    compound block (p_size, width-4 name-length bucket), bounded
-    Levenshtein <= 3. Exact recall: lev <= 3 forces |dlen| <= 3, so a
-    matching pair spans at most one bucket boundary; the longer-name
-    side replicates into {bucket, bucket-1} and the length-ordered
-    join (partkey tiebreak) emits each unordered pair exactly once.
-    Split out of q_er_golden_parts so tests can pin the equi-join
-    keys (the clustering step checkpoints pairs, hiding this join
-    from the final plan)."""
-    blk = F.floor(F.length("p_name") / F.lit(4))
-    a = part.select(
-        F.col("p_partkey").alias("pk_a"),
-        F.col("p_name").alias("name_a"),
-        F.col("p_size").alias("size_a"),
-        F.length("p_name").alias("len_a"),
-        blk.alias("blk_a"),
-    )
-    b = part.select(
-        F.col("p_partkey").alias("pk_b"),
-        F.col("p_name").alias("name_b"),
-        F.col("p_size").alias("size_b"),
-        F.length("p_name").alias("len_b"),
-        F.explode(F.array(blk, blk - 1)).alias("blk_b"),
-    )
-    length_ordered = (F.col("len_a") < F.col("len_b")) | (
-        (F.col("len_a") == F.col("len_b")) & (F.col("pk_a") < F.col("pk_b"))
-    )
-    bounded = F.levenshtein(F.col("name_a"), F.col("name_b"), 3)
-    return (
-        a.join(
-            b,
-            (F.col("size_a") == F.col("size_b"))
-            & (F.col("blk_a") == F.col("blk_b"))
-            & length_ordered
-            & (F.col("len_b") - F.col("len_a") <= 3),
-        )
-        .where(bounded >= 0)
-        .select(
-            F.least("pk_a", "pk_b").alias("part_a"),
-            F.greatest("pk_a", "pk_b").alias("part_b"),
-        )
-    )
+    """Fuzzy match edges for part entity resolution: exact
+    Levenshtein <= 3 self-join via q-gram prefix filtering over
+    DISTINCT names (`dedup.edit_distance_qgram_join`), with the
+    query's own ``p_size`` equality as the exact-match block column,
+    expanded as SPANNING edges (member->group-representative stars +
+    one edge per matched name pair) — the same connected components as
+    the full pair list with O(rows + matched names) edges instead of
+    sum-of-group-size-products (the full expansion is ~251k pairs at
+    sf0.1 because duplicate names form large ed=0 cliques; the
+    clustering consumer only needs connectivity).
+
+    Candidate volume scales with q-gram posting-list collisions among
+    DISTINCT names — data-dependent quantities that grow ~linearly
+    with the corpus — never with block-size² (the round-4 compound
+    (p_size, length bucket) block had data-INdependent cardinality, so
+    100× corpus meant 10⁴× pairs per block). Recall is exactly 1 by
+    the Gravano VLDB'01 count bound + prefix-filter theorem (proof in
+    the operator docstring); precision is exactly 1 via the builtin
+    bounded levenshtein verify; all-pairs-vs-naive-theta equality and
+    the short-string stratum are pinned in tests/test_operators.py.
+    Split out of q_er_golden_parts so tests can pin the prefix join's
+    equi-keys (the clustering step checkpoints pairs, hiding this
+    join from the final plan)."""
+    from goeventstream_spark.operators import dedup
+
+    return dedup.edit_distance_qgram_join(
+        part,
+        id_col="p_partkey",
+        text_col="p_name",
+        max_dist=3,
+        q=3,
+        block_cols=("p_size",),
+        expand="spanning",
+    ).select(F.col("id_a").alias("part_a"), F.col("id_b").alias("part_b"))
 
 
 @query(
@@ -337,27 +329,26 @@ def er_part_fuzzy_pairs(part: DataFrame) -> DataFrame:
     """,
 )
 def q_er_golden_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution end-to-end: blocked fuzzy candidate pairs
-    (compound block (p_size, name-length bucket), bounded
-    Levenshtein <= 3), transitive closure via min-label propagation
-    (the fuzzy match graph is DENSE — avg degree ~25 — so diameters
-    are tiny and propagation converges in 2-3 rounds, measured 3x
-    faster than the O(log n) star contraction, which is the right tool
-    only for adversarially long chains), then survivorship into one
-    golden record per entity: canonical id/name from the minimum-id
-    member, merged best price, and a brand-conflict count.
+    """Entity resolution end-to-end: fuzzy candidate pairs (exact
+    Levenshtein <= 3 via q-gram prefix filtering, p_size as the exact
+    block key, spanning-edge expansion), transitive closure via
+    min-label propagation (spanning edges keep components identical
+    while shrinking the edge list ~10× — stars have diameter 2, and
+    the name-level match graph is tiny, so propagation still
+    converges in 2-3 rounds; star contraction remains the tool only
+    for adversarially long chains), then survivorship into one golden
+    record per entity: canonical id/name from the minimum-id member,
+    merged best price, and a brand-conflict count.
 
-    Blocking recall is EXACT: Levenshtein <= 3 forces
-    |len(a) - len(b)| <= 3, so with width-4 length buckets a matching
-    pair spans at most one bucket boundary; the shorter-name side
-    keeps its own bucket and the longer-name side is replicated into
-    {bucket, bucket-1}, so every qualifying pair meets in exactly one
-    (p_size, bucket) block (length-ordered join + partkey tiebreak
-    prevents double emission). p_size alone has ~50 distinct values —
-    per-block size grows linearly with the corpus and the within-block
-    theta join is O(n^2/50); the length dimension multiplies block
-    cardinality and keeps the equi-join keys (both in the shuffle key,
-    pinned in tests/test_plans.py) carrying the real partitioning.
+    Candidate recall is EXACT with data-scalable volume: similarity
+    work runs on DISTINCT (name, size) groups, and the q-gram prefix
+    filter (Gravano et al. VLDB'01 count bound; proof in
+    `dedup.edit_distance_qgram_join`) generates candidates from
+    rare-first gram posting lists, so pair counts track distinct-value
+    gram collisions (~linear in the corpus) instead of any fixed
+    block's n². The prefix join's equi-keys (gram + p_size) are pinned
+    in tests/test_plans.py; all-pairs equality vs the naive theta join
+    is property-pinned in tests/test_operators.py.
     Survivorship is one aggregation over (entity, member) rows.
     Measured negative result: a char-histogram count-filter
     (L1/2 <= lev lower bound) prepended to the bounded levenshtein ran

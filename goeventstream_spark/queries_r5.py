@@ -1,0 +1,194 @@
+"""Round-5 query registrations: web-scale curation steps a crawl-based
+training pipeline runs before text ever reaches dedup — URL
+canonicalization/dedup and a hashed linear quality classifier.
+
+The fixture corpus has no URL column, so `url_canonical_dedup`
+synthesizes deterministic messy URLs from order keys INSIDE the query
+(the queries_r4 PII-synthesis pattern): four variants per canonical
+page — case-mangled authority, default :443 port, www prefix,
+utm_* tracking params, unsorted query params, trailing slash,
+fragments — and runs the production canonicalizer over them; DuckDB
+replays the identical synthesis and string algebra, so the report is
+hash-exact.
+
+Cross-engine determinism notes (the repo-wide rules): every ratio is
+ONE double division (no float accumulation); the classifier works in
+BIGINT weight space and exposes the logit, not a sigmoid (libm exp
+differs between the JVM and DuckDB; the sigmoid is monotone so
+keep/bucket decisions are identical); regexp replacement syntax
+differs ($1 vs \\1) but outputs are equal, which is all the value-hash
+compares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goeventstream_spark.queries import query
+from goeventstream_spark.sources import load_table
+
+# Deterministic messy-URL synthesis: 4 wire variants per (custkey)
+# page, selected by o_orderkey % 4. Valid in BOTH Spark SQL and DuckDB
+# (shared string, like queries_r4._SYNTH_SQL).
+_URL_SYNTH = (
+    "CASE CAST(o_orderkey % 4 AS INT) "
+    "WHEN 0 THEN 'https://shop-' || CAST(o_custkey % 50 AS STRING) || "
+    "'.example.com/u/' || CAST(o_custkey AS STRING) || '?a=1&b=2' "
+    "WHEN 1 THEN 'HTTPS://WWW.SHOP-' || CAST(o_custkey % 50 AS STRING) || "
+    "'.EXAMPLE.COM:443/u/' || CAST(o_custkey AS STRING) || '/?b=2&a=1' "
+    "WHEN 2 THEN 'https://www.shop-' || CAST(o_custkey % 50 AS STRING) || "
+    "'.example.com/u/' || CAST(o_custkey AS STRING) || "
+    "'?utm_source=mail&a=1&b=2#top' "
+    "ELSE 'https://shop-' || CAST(o_custkey % 50 AS STRING) || "
+    "'.example.com:443/u/' || CAST(o_custkey AS STRING) || "
+    "'/?b=2&utm_campaign=x&a=1#frag' END"
+)
+
+
+@query(
+    "url_canonical_dedup",
+    f"""
+    WITH synth AS (
+      SELECT {_URL_SYNTH} AS url FROM orders
+    ),
+    s1 AS (SELECT url, regexp_replace(url, '#.*$', '') AS u1 FROM synth),
+    s2 AS (
+      SELECT *, regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) AS auth,
+             substr(u1, length(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)) + 1) AS rest
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, regexp_replace(regexp_replace(regexp_replace(lower(auth),
+                  '^(https://[^:]*):443$', '\\1'),
+                  '^(http://[^:]*):80$', '\\1'),
+                  '://www\\.', '://') AS cauth,
+             regexp_extract(rest, '^([^?]*)', 1) AS path,
+             CASE WHEN strpos(rest, '?') > 0
+                  THEN substr(rest, length(regexp_extract(rest, '^([^?]*)', 1)) + 2)
+                  ELSE '' END AS qs
+      FROM s2
+    ),
+    s4 AS (
+      SELECT *, CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(path, '/+$', '') END AS cpath,
+             array_to_string(list_sort(list_filter(str_split(qs, '&'),
+                 x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS params
+      FROM s3
+    ),
+    canon AS (
+      SELECT url,
+             cauth || cpath || CASE WHEN params = '' THEN ''
+                                    ELSE '?' || params END AS canonical_url
+      FROM s4
+    )
+    SELECT regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/]*)', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_pages,
+           CAST(sum(CASE WHEN url LIKE '%utm_%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tracking,
+           CAST(count(*) AS DOUBLE) / count(DISTINCT canonical_url) AS dup_ratio
+    FROM canon GROUP BY 1
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host-level dedup report — the crawl
+    frontier's first dedup pass (RFC 3986 §6 normalization): strip
+    fragment, lowercase scheme+authority, drop default ports
+    (:443/:80), drop the www prefix, strip trailing path slashes,
+    drop utm_* tracking params, sort the remaining query params.
+    Grouping the raw crawl by canonical URL collapses wire-level
+    variants of the same page; the report shows per-host fetch
+    inflation (dup_ratio = fetched URLs per distinct page).
+
+    100 TB shape: canonicalization is a pure map pass of builtin
+    string expressions (the only HOF — the param filter/sort — runs
+    on tiny per-URL arrays); the report is one hash aggregation keyed
+    by host with a count-distinct expansion. No joins, no UDFs.
+    """
+    from goeventstream_spark.operators.text import url_canonicalize
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    synth = orders.select(F.expr(_URL_SYNTH).alias("url"))
+    canon = synth.select("url", url_canonicalize(F.col("url")).alias("canonical_url"))
+    return canon.groupBy(
+        F.regexp_extract("canonical_url", r"^[a-z][a-z0-9+.-]*://([^/]*)", 1).alias(
+            "host"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("canonical_url").cast("long").alias("n_pages"),
+        F.sum(F.when(F.col("url").like("%utm_%"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tracking"),
+        (
+            F.count("*").cast("double") / F.countDistinct("canonical_url")
+        ).alias("dup_ratio"),
+    )
+
+
+# 6-hex-digit md5 slice -> BIGINT, DuckDB side (the queries_llm strpos
+# idiom; Spark side uses conv()).
+_HEX6 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(word), {j + 1}, 1)) - 1) * {16 ** (5 - j)}"
+    for j in range(6)
+)
+
+
+@query(
+    "hashed_linear_quality",
+    f"""
+    WITH words AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, source, ({_HEX6}) % 2001 - 1000 AS wt
+      FROM words WHERE word <> ''
+    ),
+    d AS (
+      SELECT doc_id, min(source) AS source, sum(wt) AS sw, count(*) AS n
+      FROM w GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(floor((sw * 5) / (1000.0 * n)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(sw / (1000.0 * n)) AS min_logit,
+           max(sw / (1000.0 * n)) AS max_logit
+    FROM d GROUP BY source, bucket
+    """,
+)
+def q_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier: each token's
+    weight is a deterministic hash of the token itself (6 hex digits
+    of md5 -> integer in [-1000, 1000] — the "hashing trick" standing
+    in for trained weights, same plumbing and plan shape), a
+    document's logit is the mean token weight, and documents bucket
+    into logit deciles per source. keep = logit >= 0 falls out of the
+    bucket sign; the sigmoid is omitted on purpose — it is monotone,
+    so decisions are identical, and libm exp differs across engines.
+
+    Cross-engine exactness: all accumulation happens in BIGINT weight
+    space (order-independent integer sums); each logit is ONE double
+    division, and min/max are order-independent — no float
+    accumulation anywhere.
+
+    100 TB shape: explode -> per-doc integer agg (one shuffle on
+    doc_id, map-side combinable) -> per-(source, bucket) count (one
+    tiny agg). Pure builtin expressions; the weight hash is computed
+    inline — no vocabulary table, no join, which is the point of
+    hashed features at scale."""
+    from goeventstream_spark.operators.text import hashed_linear_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = hashed_linear_scores(docs)
+    return d.groupBy(
+        "source",
+        F.floor((F.col("sw") * 5) / (F.lit(1000.0) * F.col("n")))
+        .cast("long")
+        .alias("bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min(F.col("sw") / (F.lit(1000.0) * F.col("n"))).alias("min_logit"),
+        F.max(F.col("sw") / (F.lit(1000.0) * F.col("n"))).alias("max_logit"),
+    )

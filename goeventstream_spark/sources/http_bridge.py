@@ -131,9 +131,14 @@ class HttpWireBridge:
             def do_POST(self) -> None:  # noqa: N802 (stdlib casing)
                 length = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(length) if length else b""
-                # Reference fidelity (main.go:66-68): a body that does
+                # Reference behavior (main.go:66-68): a body that does
                 # not decode into GameRequest panics — the request has
-                # NO effect and Go's http stack answers 500. Mirror
+                # NO effect. Go's net/http panic recovery then CLOSES
+                # the connection without writing a response (the client
+                # sees a connection error, not a status line); this
+                # bridge's 500-with-empty-body is its chosen HTTP
+                # analogue of that panic-and-close, not a byte-level
+                # match. Mirror
                 # Go's json.Decoder.Decode: read the FIRST JSON value
                 # (trailing bytes are not validated), require it to
                 # unmarshal into the GameRequest struct — object or

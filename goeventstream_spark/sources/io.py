@@ -294,6 +294,14 @@ def write_idempotent(
     import tempfile
 
     os.makedirs(base_path, exist_ok=True)
+    # Sweep staging dirs leaked by attempts of THIS batch_id that
+    # crashed before rename (never another batch's — its publisher may
+    # be mid-write). Safe even against a live concurrent attempt of the
+    # same batch_id: if its rename already won we return its manifest
+    # below, and if we win the race it adopts ours.
+    for name in os.listdir(base_path):
+        if name.startswith(f"_tmp_batch_{batch_id}_"):
+            shutil.rmtree(os.path.join(base_path, name), ignore_errors=True)
     tmp_dir = tempfile.mkdtemp(prefix=f"_tmp_batch_{batch_id}_", dir=base_path)
     df.write.mode("overwrite").parquet(tmp_dir)
     manifest = {
@@ -312,8 +320,14 @@ def write_idempotent(
     try:
         os.rename(tmp_dir, final_dir)
     except OSError:
-        # TOCTOU loser: a concurrent publisher created final_dir between
-        # the existence check and the rename — keep the winner.
+        # Adopt-the-winner ONLY if a concurrent publisher actually
+        # created final_dir between the existence check and the rename;
+        # any other rename failure (EACCES, ENOSPC, EXDEV, ...) is a
+        # real error and must surface as itself, not as a confusing
+        # FileNotFoundError from the manifest open.
+        if not os.path.exists(final_dir):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise
         shutil.rmtree(tmp_dir, ignore_errors=True)
         with open(manifest_path) as fh:
             return json.load(fh)

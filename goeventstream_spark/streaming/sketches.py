@@ -159,7 +159,12 @@ def streaming_heavy_hitter_index(
     simply rewritten from the same committed predecessor — never
     double-merging either way. State stays bounded: each version is
     <= n_buckets * k counters and older committed versions are pruned
-    down to the predecessor."""
+    down to the TWO most recent predecessors — a concurrent
+    `read_heavy_hitter_index` caller that listed versions just before
+    a batch commits therefore always has a full trigger interval of
+    grace before its chosen version can be pruned (pruning only the
+    latest predecessor would let two quick back-to-back commits delete
+    a version mid-read)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
@@ -194,8 +199,11 @@ def streaming_heavy_hitter_index(
         mg_compress(merged, k).write.mode("overwrite").parquet(
             f"{index_dir}/v={batch_id}"
         )
-        # keep only the predecessor (replay safety net); prune the rest
-        for v in committed[:-1]:
+        # keep the two most recent committed predecessors (replay safety
+        # net + one trigger interval of grace for a concurrent reader
+        # that resolved its version just before this commit); prune the
+        # rest.
+        for v in committed[:-2]:
             shutil.rmtree(f"{index_dir}/v={v}", ignore_errors=True)
 
     return (

@@ -700,3 +700,75 @@ def test_pandas_grouped_agg_udaf_matches_builtin_median(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_edit_distance_qgram_join_matches_naive_theta(spark, sf_dir):
+    """dedup.edit_distance_qgram_join (q-gram prefix filter) must equal
+    the naive within-block theta join — exact recall by the Gravano
+    count bound + prefix-filter theorem, exact precision via the
+    bounded-levenshtein verify. Run on the real part table (the
+    er_golden_parts candidate step)."""
+    from goeventstream_spark.operators.dedup import edit_distance_qgram_join
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_size"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_qgram_join(
+            part, "p_partkey", "p_name", max_dist=3, q=3,
+            block_cols=("p_size",),
+        ).collect()
+    }
+    a = part.select(
+        F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"),
+        F.col("p_size").alias("sa"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb"),
+        F.col("p_size").alias("sb"),
+    )
+    want = {
+        (r.ka, r.kb)
+        for r in a.join(
+            b, (F.col("sa") == F.col("sb")) & (F.col("ka") < F.col("kb"))
+        )
+        .where(F.levenshtein(F.col("na"), F.col("nb"), 3) >= 0)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_edit_distance_qgram_join_short_string_fallback(spark):
+    """Strings under q + k*q chars escape the count bound (two
+    length-4 strings at ed<=3 can share zero 3-grams) — the short
+    stratum must still pair exactly, and short/long pairs must come
+    from the gram path exactly once."""
+    from goeventstream_spark.operators.dedup import edit_distance_qgram_join
+
+    rows = [
+        (1, "abcd"),          # short; ed("abcd","axyd")=2, zero shared 3-grams
+        (2, "axyd"),          # short
+        (3, "ab"),            # shorter than q: no grams at all
+        (4, "abc"),           # ed to "ab" is 1
+        (5, "promise wheat almond"),    # long
+        (6, "promise wheat almonds"),   # long, ed 1
+        (7, "promise wheat almond"),    # exact dup of 5
+        (8, "completely different str"),
+        (9, "chocolate"),     # len 9 < 12: short; ed 3+ to everything
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_qgram_join(df, "id", "s", max_dist=3, q=3).collect()
+    }
+    a = df.select(F.col("id").alias("ka"), F.col("s").alias("na"))
+    b = df.select(F.col("id").alias("kb"), F.col("s").alias("nb"))
+    want = {
+        (r.ka, r.kb)
+        for r in a.join(b, F.col("ka") < F.col("kb"))
+        .where(F.levenshtein(F.col("na"), F.col("nb"), 3) >= 0)
+        .collect()
+    }
+    assert (1, 2) in want  # the count-bound-escaping pair is exercised
+    assert got == want

@@ -518,12 +518,12 @@ def test_hybrid_rrf_query_side_is_broadcast(spark, sf_dir):
 
 
 def test_er_golden_pair_join_blocked_not_cartesian(spark, sf_dir):
-    # the fuzzy pair step must be an equi-join on the COMPOUND block
-    # key (p_size, name-length bucket) — p_size alone has ~50 distinct
-    # values, so its blocks grow linearly with the corpus and the
-    # within-block theta join turns O(n^2/50) at scale. Both key
-    # columns must appear in the hash-join key list, and never a
-    # cartesian/theta-only product.
+    # the fuzzy pair step must be an equi-join keyed on the q-gram
+    # (data-scalable posting lists — candidates track gram collisions,
+    # not block-size²) plus the query's exact p_size block; never a
+    # cartesian/theta-only product. The gram must be IN the hash-join
+    # key list: a p_size-only key would silently degrade to the
+    # O(n²/50) within-block shape the round-4 verdict flagged.
     from goeventstream_spark.queries_r3b import er_part_fuzzy_pairs
     from goeventstream_spark.sources.tables import load_table
 
@@ -539,7 +539,8 @@ def test_er_golden_pair_join_blocked_not_cartesian(spark, sf_dir):
         plan,
     )
     assert any(
-        "size_a" in left and "blk_a" in left and "size_b" in right and "blk_b" in right
+        "gram_a" in left and "p_size_a" in left
+        and "gram_b" in right and "p_size_b" in right
         for left, right in joins
     ), plan
 

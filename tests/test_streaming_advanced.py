@@ -1062,9 +1062,12 @@ def test_inline_bridge_serves_concurrent_clients(spark):
 
 
 def test_bridge_rejects_malformed_gamerequest_like_reference():
-    """main.go:66-68 fidelity: a body that does not decode into
+    """main.go:66-68 behavior: a body that does not decode into
     GameRequest panics in the reference — the request has NO effect and
-    the client sees HTTP 500. The bridge must answer 500 and must NOT
+    Go's net/http panic recovery closes the connection without writing
+    a response (the client sees a connection error, not a status). The
+    bridge's chosen HTTP analogue is 500 with an empty body; it must
+    answer 500 and must NOT
     enqueue the request; a JSON null body (valid for Go's Decode into a
     struct) and a plain object must still be accepted. OPTIONS answers
     200 with the reference's exact CORS headers (main.go:50-56)."""
