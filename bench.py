@@ -185,6 +185,7 @@ HEADLINE = [
     # round 5
     "url_canonical_dedup",
     "hashed_linear_quality",
+    "quality_filter_with_exploration",
 ]
 
 

@@ -192,3 +192,78 @@ def q_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("sw") / (F.lit(1000.0) * F.col("n"))).alias("min_logit"),
         F.max(F.col("sw") / (F.lit(1000.0) * F.col("n"))).alias("max_logit"),
     )
+
+
+# 4-hex-digit md5 slice -> BIGINT (DuckDB side); Spark side uses conv().
+_HEX4_DOC = " + ".join(
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), "
+    f"{j + 1}, 1)) - 1) * {16 ** (3 - j)}"
+    for j in range(4)
+)
+
+
+@query(
+    "quality_filter_with_exploration",
+    f"""
+    WITH words AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, source, ({_HEX6}) % 2001 - 1000 AS wt
+      FROM words WHERE word <> ''
+    ),
+    d AS (
+      SELECT doc_id, min(source) AS source, sum(wt) AS sw
+      FROM w GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN sw >= 0 THEN 1 ELSE 0 END AS is_quality,
+             CASE WHEN sw < 0 AND ({_HEX4_DOC}) < 6554 THEN 1 ELSE 0 END
+               AS is_explore
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_quality) AS BIGINT) AS n_quality,
+           CAST(sum(is_explore) AS BIGINT) AS n_explore,
+           CAST(sum(is_quality) + sum(is_explore) AS BIGINT) AS n_keep
+    FROM flags GROUP BY source
+    """,
+)
+def q_quality_filter_with_exploration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gated corpus filter with exploration: keep documents
+    the hashed linear classifier scores positive, PLUS a deterministic
+    ~10% hash sample of the rejects (the standard guard against a
+    quality filter's blind spots — rejected-but-sampled docs are the
+    labeling pool for the classifier's next training round, and the
+    keep set stays reproducible because both gates are pure functions
+    of content and id). The exploration draw is the repo's md5
+    doc-key idiom: 4 hex digits of md5(doc_id) < 6554/65536.
+
+    100 TB shape: the classifier pass is one explode + one integer agg
+    keyed by doc (map-side combinable); gating and sampling are
+    map-only expressions on the doc-level relation; the per-source
+    report is one tiny aggregation. No joins, no UDFs, nothing
+    retained beyond the counters."""
+    from goeventstream_spark.operators.text import hashed_linear_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = hashed_linear_scores(docs)
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    flags = d.select(
+        "source",
+        F.when(F.col("sw") >= 0, 1).otherwise(0).alias("is_quality"),
+        F.when((F.col("sw") < 0) & (draw < 6554), 1)
+        .otherwise(0)
+        .alias("is_explore"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_quality").cast("long").alias("n_quality"),
+        F.sum("is_explore").cast("long").alias("n_explore"),
+        (F.sum("is_quality") + F.sum("is_explore")).cast("long").alias("n_keep"),
+    )
