@@ -792,3 +792,21 @@ def test_no_rowwise_python_udf_anywhere(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-wise Python UDFs in: {offenders}"
+
+
+def test_round5_curation_queries_are_map_plus_agg_only(spark, sf_dir):
+    # url_canonical_dedup, hashed_linear_quality and
+    # quality_filter_with_exploration are pure map passes feeding hash
+    # aggregations — at 100 TB their only shuffles are the (map-side
+    # combinable) aggregation exchanges. No join of any kind may
+    # appear: the classifier's weights are computed inline from the
+    # token (the hashing trick's whole point — no vocabulary relation)
+    # and canonicalization is per-row string algebra.
+    for name in (
+        "url_canonical_dedup",
+        "hashed_linear_quality",
+        "quality_filter_with_exploration",
+    ):
+        plan = plans.physical_plan(q.QUERIES[name](spark, sf_dir))
+        assert "Join" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
