@@ -772,3 +772,38 @@ def test_edit_distance_qgram_join_short_string_fallback(spark):
     }
     assert (1, 2) in want  # the count-bound-escaping pair is exercised
     assert got == want
+
+
+def test_edit_distance_qgram_join_randomized_boundary_mix(spark):
+    """Seeded randomized equivalence on a small-alphabet corpus mixing
+    lengths 2..20 — straddling the q+k*q=12 short/long boundary, with
+    heavy duplicate structure (the distinct-projection path) and many
+    true matches. Must equal brute force exactly for several (k, q)
+    settings, including q=2 (boundary at 8)."""
+    import random
+
+    from goeventstream_spark.operators.dedup import edit_distance_qgram_join
+
+    rng = random.Random(20260815)
+    alpha = "abc"
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randint(2, 20))))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    a = df.select(F.col("id").alias("ka"), F.col("s").alias("na"))
+    b = df.select(F.col("id").alias("kb"), F.col("s").alias("nb"))
+    for k, qg in ((3, 3), (2, 2), (1, 3)):
+        got = {
+            (r.id_a, r.id_b)
+            for r in edit_distance_qgram_join(
+                df, "id", "s", max_dist=k, q=qg
+            ).collect()
+        }
+        want = {
+            (r.ka, r.kb)
+            for r in a.join(b, F.col("ka") < F.col("kb"))
+            .where(F.levenshtein(F.col("na"), F.col("nb"), k) >= 0)
+            .collect()
+        }
+        assert got == want, (k, qg, len(got), len(want))
