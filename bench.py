@@ -186,6 +186,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "hashed_linear_quality",
     "quality_filter_with_exploration",
+    "image_ahash_neardup",
 ]
 
 

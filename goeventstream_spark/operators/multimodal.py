@@ -371,3 +371,112 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_stats, schema)
+
+
+AHASH_SEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("hi", LongType()),
+        StructField("lo", LongType()),
+        StructField("seg_id", LongType()),
+        StructField("seg_val", LongType()),
+    ]
+)
+
+
+def ahash_segments(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of REAL decoded image payloads,
+    emitted in pigeonhole-segment form for exact near-dup joins.
+
+    Per asset: a full CRC-checked PNG decode (functions/png.py), an
+    8x8 nearest-neighbor downsample (sample at r_i = i*h//8,
+    c_j = j*w//8 — the classic aHash resize), then bit (i,j) = 1 iff
+    the sampled pixel >= the 64-sample mean. The mean compare is
+    CROSS-MULTIPLIED integer math (p*64 >= sum), so the hash is exact
+    and engine-independent. The 64 bits travel as two 32-bit BIGINTs
+    (hi, lo) — never a single 64-bit value, whose sign bit would make
+    shift/sum construction engine-dependent — plus three ~22-bit
+    pigeonhole segments: two hashes within hamming distance <= 2 must
+    agree on at least one of 3 segments, so a segment equi-join has
+    exact recall for that radius (same theorem as the SimHash
+    operator, wider segments because gradient-like images collide
+    heavily on 8-bit segments).
+
+    100 TB anatomy: decode + hash is one Arrow-batched map pass (3
+    output rows per asset); the only shuffle downstream is the
+    segment equi-join, whose volume is collision-bounded."""
+    _ship_codec()
+    from goeventstream_spark.functions import png as _png
+
+    # bind through the shipped-by-value module (see _ship_codec): an
+    # import inside the closure would pickle by reference and die with
+    # ModuleNotFoundError on executors launched from a foreign cwd.
+    _dec = _png.decode_png
+
+    def _hash(batches):
+        import pandas as _pd
+
+        out = {"doc_id": [], "hi": [], "lo": [], "seg_id": [], "seg_val": []}
+        for pdf in batches:
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, _ct, px = _dec(bytes(content))
+                sampled = [
+                    px[(i * h // 8) * w + (j * w // 8)]
+                    for i in range(8)
+                    for j in range(8)
+                ]
+                total = sum(sampled)
+                bits = [1 if p * 64 >= total else 0 for p in sampled]
+                hi = sum(b << (31 - pos) for pos, b in enumerate(bits[:32]))
+                lo = sum(b << (31 - pos) for pos, b in enumerate(bits[32:]))
+                for seg_id in range(3):
+                    seg = bits[seg_id * 22 : seg_id * 22 + 22]
+                    seg_val = sum(
+                        b << (21 - k) for k, b in enumerate(seg)
+                    )
+                    out["doc_id"].append(int(doc_id))
+                    out["hi"].append(hi)
+                    out["lo"].append(lo)
+                    out["seg_id"].append(seg_id)
+                    out["seg_val"].append(seg_val)
+            yield _pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return media.mapInPandas(_hash, AHASH_SEG_SCHEMA)
+
+
+def ahash_neardup_pairs(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Exact perceptual near-dup pairs: segment equi-join (recall 1
+    for hamming <= 2 by pigeonhole over the 3 segments), then the
+    exact hamming verify via xor + bit_count on the (hi, lo) halves.
+    Returns (doc_a, doc_b, hamming)."""
+    if max_hamming > 2:
+        raise ValueError(
+            "ahash_neardup_pairs: 3 segments guarantee exact recall "
+            f"only for hamming <= 2, got {max_hamming}"
+        )
+    segs = ahash_segments(media)
+    a = segs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "seg_id",
+        "seg_val",
+    )
+    b = segs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "seg_id",
+        "seg_val",
+    )
+    cand = (
+        a.join(b, ["seg_id", "seg_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -267,3 +267,84 @@ def q_quality_filter_with_exploration(spark: SparkSession, sf_dir: str) -> DataF
         F.sum("is_explore").cast("long").alias("n_explore"),
         (F.sum("is_quality") + F.sum("is_explore")).cast("long").alias("n_keep"),
     )
+
+
+@query(
+    "image_ahash_neardup",
+    """
+    WITH g AS (
+      SELECT doc_id, 4 + doc_id % 29 AS w, 4 + (doc_id // 29) % 29 AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id,
+             (doc_id + 7 * ((i.i * h) // 8) + 3 * ((j.j * w) // 8)) % 251 AS p,
+             (i.i * 8 + j.j) AS pos
+      FROM g, (SELECT unnest(range(8)) AS i) i, (SELECT unnest(range(8)) AS j) j
+    ),
+    tot AS (SELECT doc_id, sum(p) AS sp FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT c.doc_id, c.pos, CASE WHEN c.p * 64 >= t.sp THEN 1 ELSE 0 END AS b
+      FROM cells c JOIN tot t USING (doc_id)
+    ),
+    halves AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN pos < 32
+                  THEN b * (1::BIGINT << CAST(31 - pos AS INT)) ELSE 0 END)
+               AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN pos >= 32
+                  THEN b * (1::BIGINT << CAST(63 - pos AS INT)) ELSE 0 END)
+               AS BIGINT) AS lo
+      FROM bits GROUP BY doc_id
+    ),
+    segs AS (
+      SELECT doc_id, pos // 22 AS seg_id,
+             CAST(sum(b * (1::BIGINT << CAST(21 - (pos % 22) AS INT)))
+               AS BIGINT) AS seg_val
+      FROM bits GROUP BY doc_id, pos // 22
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM segs a JOIN segs b
+        ON a.seg_id = b.seg_id AND a.seg_val = b.seg_val
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo))
+               AS hamming
+      FROM cand c
+      JOIN halves ha ON ha.doc_id = c.doc_a
+      JOIN halves hb ON hb.doc_id = c.doc_b
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE hamming <= 2 GROUP BY 1
+    """,
+)
+def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup via average-hash over REAL decoded
+    pixels: every document's deterministic PNG fixture is fully
+    decoded (CRC-checked chunk walk, inflate, all 5 filters —
+    functions/png.py), aHash'd on an 8x8 nearest-neighbor grid with a
+    cross-multiplied integer mean compare, and paired by pigeonhole
+    segment join (3 ~22-bit segments: exact recall for hamming <= 2).
+    The report is the pair count per hamming distance — the signal an
+    image-dedup pipeline thresholds before dropping visual dups.
+
+    The oracle never runs the codec: it replays the fixture's
+    closed-form pixel algebra (pixel(r,c) = (doc_id + 7r + 3c) % 251)
+    straight into the same integer hash, so hash-equality here proves
+    the REAL decode end-to-end, the same contract as
+    multimodal_png_decode.
+
+    100 TB shape: decode+hash is one Arrow-batched map pass emitting 3
+    segment rows per asset; the only shuffle is the segment equi-join
+    (collision-bounded, the SimHash theorem), then an 3-row aggregate.
+    """
+    from goeventstream_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = mm.ahash_neardup_pairs(mm.as_media_png(docs), max_hamming=2)
+    return pairs.groupBy("hamming").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
