@@ -187,6 +187,7 @@ HEADLINE = [
     "hashed_linear_quality",
     "quality_filter_with_exploration",
     "image_ahash_neardup",
+    "audio_envelope_neardup",
 ]
 
 

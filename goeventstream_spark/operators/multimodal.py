@@ -480,3 +480,94 @@ def ahash_neardup_pairs(media: DataFrame, max_hamming: int = 2) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", ham.cast("long").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+AUDIO_SEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("hv", LongType()),
+        StructField("seg_id", LongType()),
+        StructField("seg_val", LongType()),
+    ]
+)
+
+
+def audio_envelope_segments(media: DataFrame) -> DataFrame:
+    """Energy-envelope fingerprint of REAL decoded audio payloads in
+    pigeonhole-segment form — the audio sibling of :func:`ahash_segments`.
+
+    Per clip: a full WAV decode (functions/wav.py), 32 floor-bucketed
+    frames (sample i lands in frame i*32//n), per-frame energy =
+    integer sum of |sample|, then bit f = 1 iff the frame's energy is
+    >= the clip mean (cross-multiplied: e*32 >= total — exact integer
+    math, engine-independent). The 32-bit signature travels as ONE
+    BIGINT < 2^32 (sign-safe) plus three ~11-bit pigeonhole segments:
+    hamming <= 2 forces agreement on at least one segment, so the
+    segment equi-join has exact recall for that radius.
+
+    100 TB anatomy: decode + fingerprint is one Arrow-batched map pass
+    (3 output rows per clip); the only shuffle downstream is the
+    collision-bounded segment equi-join."""
+    _ship_wav_codec()
+    from goeventstream_spark.functions import wav as _wav
+
+    # bind through the shipped-by-value module — an import inside the
+    # closure would pickle by reference and die on foreign-cwd workers.
+    _dec = _wav.decode_wav
+
+    def _fp(batches):
+        import pandas as _pd
+
+        out = {"doc_id": [], "hv": [], "seg_id": [], "seg_val": []}
+        for pdf in batches:
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                _rate, _ch, samples = _dec(bytes(content))
+                n = len(samples)
+                energy = [0] * 32
+                for i, s in enumerate(samples):
+                    energy[i * 32 // n] += abs(s)
+                total = sum(energy)
+                bits = [1 if e * 32 >= total else 0 for e in energy]
+                hv = sum(b << (31 - pos) for pos, b in enumerate(bits))
+                for seg_id in range(3):
+                    seg = bits[seg_id * 11 : seg_id * 11 + 11]
+                    seg_val = sum(b << (10 - k) for k, b in enumerate(seg))
+                    out["doc_id"].append(int(doc_id))
+                    out["hv"].append(hv)
+                    out["seg_id"].append(seg_id)
+                    out["seg_val"].append(seg_val)
+            yield _pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return media.mapInPandas(_fp, AUDIO_SEG_SCHEMA)
+
+
+def audio_envelope_neardup_pairs(media: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Exact audio near-dup pairs: segment equi-join (recall 1 for
+    hamming <= 2 by pigeonhole over the 3 segments), exact hamming
+    verify via xor + bit_count. Returns (doc_a, doc_b, hamming)."""
+    if max_hamming > 2:
+        raise ValueError(
+            "audio_envelope_neardup_pairs: 3 segments guarantee exact "
+            f"recall only for hamming <= 2, got {max_hamming}"
+        )
+    segs = audio_envelope_segments(media)
+    a = segs.select(
+        F.col("doc_id").alias("doc_a"), F.col("hv").alias("hv_a"),
+        "seg_id", "seg_val",
+    )
+    b = segs.select(
+        F.col("doc_id").alias("doc_b"), F.col("hv").alias("hv_b"),
+        "seg_id", "seg_val",
+    )
+    cand = (
+        a.join(b, ["seg_id", "seg_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hv_a", "hv_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(hv_a ^ hv_b)").cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

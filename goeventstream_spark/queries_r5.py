@@ -348,3 +348,75 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+@query(
+    "audio_envelope_neardup",
+    """
+    WITH g AS (SELECT doc_id, 64 + doc_id % 193 AS n FROM documents),
+    samp AS (SELECT doc_id, n, unnest(range(n)) AS i FROM g),
+    sv AS (
+      SELECT doc_id, abs((doc_id * 31 + i * 17) % 4001 - 2000) AS a,
+             (i * 32) // n AS frame
+      FROM samp
+    ),
+    fr AS (SELECT doc_id, frame, sum(a) AS e FROM sv GROUP BY doc_id, frame),
+    tot AS (SELECT doc_id, sum(e) AS te FROM fr GROUP BY doc_id),
+    bits AS (
+      SELECT f.doc_id, f.frame AS pos,
+             CASE WHEN f.e * 32 >= t.te THEN 1 ELSE 0 END AS b
+      FROM fr f JOIN tot t USING (doc_id)
+    ),
+    segs AS (
+      SELECT doc_id, pos // 11 AS seg_id,
+             CAST(sum(b * (1::BIGINT << CAST(10 - (pos % 11) AS INT)))
+               AS BIGINT) AS seg_val
+      FROM bits GROUP BY doc_id, pos // 11
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(sum(b * (1::BIGINT << CAST(31 - pos AS INT))) AS BIGINT) AS hv
+      FROM bits GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM segs a JOIN segs b
+        ON a.seg_id = b.seg_id AND a.seg_val = b.seg_val
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT bit_count(xor(ha.hv, hb.hv)) AS hamming
+      FROM cand c
+      JOIN h ha ON ha.doc_id = c.doc_a
+      JOIN h hb ON hb.doc_id = c.doc_b
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE hamming <= 2 GROUP BY 1
+    """,
+)
+def q_audio_envelope_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via energy-envelope fingerprints over REAL
+    decoded samples: every document's deterministic 16-bit PCM WAV
+    fixture is fully decoded (functions/wav.py), folded into 32
+    floor-bucketed frames of integer |sample| energy, bit-signed
+    against the clip mean (cross-multiplied — exact integer math), and
+    paired by the 3-segment pigeonhole join (exact recall for hamming
+    <= 2). The report is the pair count per hamming distance — the
+    audio sibling of image_ahash_neardup.
+
+    The oracle replays the fixture's closed-form sample algebra
+    (sample(i) = (doc_id*31 + i*17) % 4001 - 2000) without running the
+    codec, so hash-equality proves the real signed-PCM decode
+    end-to-end.
+
+    100 TB shape: decode + fingerprint is one Arrow-batched map pass
+    (3 segment rows per clip); the only shuffle is the
+    collision-bounded segment equi-join, then a 3-row aggregate."""
+    from goeventstream_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = mm.audio_envelope_neardup_pairs(mm.as_media_wav(docs), max_hamming=2)
+    return pairs.groupBy("hamming").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
