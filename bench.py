@@ -188,6 +188,7 @@ HEADLINE = [
     "quality_filter_with_exploration",
     "image_ahash_neardup",
     "audio_envelope_neardup",
+    "video_scene_changes",
 ]
 
 

@@ -420,3 +420,55 @@ def q_audio_envelope_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+@query(
+    "video_scene_changes",
+    """
+    WITH g AS (SELECT doc_id, 3 + doc_id % 6 AS nf FROM documents),
+    fr AS (SELECT doc_id, nf, unnest(range(nf)) AS f FROM g),
+    px AS (
+      SELECT doc_id, f, r.r AS r, c.c AS c,
+             (doc_id + 31 * ((f * f) % 5) + 7 * r.r + 3 * c.c) % 251 AS p
+      FROM fr, (SELECT unnest(range(8)) AS r) r,
+               (SELECT unnest(range(8)) AS c) c
+    ),
+    d AS (
+      SELECT a.doc_id, a.f, sum(abs(a.p - b.p)) AS delta
+      FROM px a JOIN px b
+        ON a.doc_id = b.doc_id AND a.r = b.r AND a.c = b.c AND b.f = a.f - 1
+      GROUP BY a.doc_id, a.f
+    ),
+    agg AS (
+      SELECT doc_id, sum(delta) AS total_delta, max(delta) AS max_delta,
+             sum(CASE WHEN delta > 6000 THEN 1 ELSE 0 END) AS n_changes
+      FROM d GROUP BY doc_id
+    )
+    SELECT g.doc_id, CAST(g.nf AS BIGINT) AS n_frames,
+           CAST(coalesce(a.total_delta, 0) AS BIGINT) AS total_delta,
+           CAST(coalesce(a.max_delta, 0) AS BIGINT) AS max_frame_delta,
+           CAST(coalesce(a.n_changes, 0) AS BIGINT) AS n_scene_changes
+    FROM g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over multi-frame video assets with REAL
+    per-frame decode: each document's fixture video (a minimal
+    length-prefixed container of 3-8 PNG frames) is demuxed, every
+    frame fully PNG-decoded, and consecutive frames scored by integer
+    L1 pixel delta; deltas above 6000 mark scene cuts (the
+    frame-sampling signal a video curation pipeline keys on). Output
+    is one row per asset: frame count, total/max delta, scene count.
+
+    The oracle replays the fixture's closed-form pixel algebra
+    (pixel(f,r,c) = (doc_id + 31*((f*f)%5) + 7r + 3c) % 251) without
+    demuxing or decoding anything, so hash-equality proves the
+    container walk AND every frame's decode end-to-end — completing
+    the real-decode modality triad (image, audio, video).
+
+    100 TB shape: one Arrow-batched map pass, one row per asset, zero
+    shuffles."""
+    from goeventstream_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mm.video_scene_stats(mm.as_media_video(docs), change_threshold=6000)
