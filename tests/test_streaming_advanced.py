@@ -1120,3 +1120,51 @@ def test_bridge_rejects_malformed_gamerequest_like_reference():
             assert rsp.headers["Access-Control-Allow-Headers"] == "Content-Type"
     finally:
         bridge.stop()
+
+
+def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
+    """Ingest-time classifier gating: documents arrive in 3 micro-
+    batches; each batch is scored and split by the SAME pure
+    per-document gates the batch query uses, so the union of kept
+    partitions must equal the batch keep set exactly (and kept +
+    rejects must partition the corpus)."""
+    from goeventstream_spark.streaming.quality import (
+        quality_gate_flags,
+        streaming_quality_gate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_quality_gate(
+        stream,
+        kept_dir=str(tmp_path / "kept"),
+        rejects_dir=str(tmp_path / "rejects"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    rejects = spark.read.parquet(str(tmp_path / "rejects"))
+    got_kept = {r.doc_id for r in kept.select("doc_id").collect()}
+    want_kept = {
+        r.doc_id
+        for r in quality_gate_flags(docs)
+        .where(F.col("is_quality") | F.col("is_explore"))
+        .collect()
+    }
+    assert got_kept == want_kept and len(got_kept) > 0
+    got_rej = {r.doc_id for r in rejects.select("doc_id").collect()}
+    assert got_rej.isdisjoint(got_kept)
+    assert len(got_rej) + len(got_kept) == docs.count()
+    # every doc exactly once across the two lakes
+    assert kept.count() == len(got_kept)
+    assert rejects.count() == len(got_rej)
