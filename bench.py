@@ -189,6 +189,7 @@ HEADLINE = [
     "image_ahash_neardup",
     "audio_envelope_neardup",
     "video_scene_changes",
+    "image_resize_roundtrip",
 ]
 
 

@@ -472,3 +472,57 @@ def q_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return mm.video_scene_stats(mm.as_media_video(docs), change_threshold=6000)
+
+
+@query(
+    "image_resize_roundtrip",
+    """
+    WITH g AS (
+      SELECT doc_id, 4 + doc_id % 29 AS w, 4 + (doc_id // 29) % 29 AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, w, h, r.r AS r, c.c AS c
+      FROM g, LATERAL (SELECT unnest(range((h // 2))) AS r) r,
+              LATERAL (SELECT unnest(range((w // 2))) AS c) c
+    ),
+    resized AS (
+      SELECT doc_id, w, h,
+             (  (doc_id + 7 * (2 * r)     + 3 * (2 * c))     % 251
+              + (doc_id + 7 * (2 * r)     + 3 * (2 * c + 1)) % 251
+              + (doc_id + 7 * (2 * r + 1) + 3 * (2 * c))     % 251
+              + (doc_id + 7 * (2 * r + 1) + 3 * (2 * c + 1)) % 251
+             ) // 4 AS p
+      FROM cells
+    )
+    SELECT doc_id,
+           CAST(min(w) // 2 AS BIGINT) AS out_width,
+           CAST(min(h) // 2 AS BIGINT) AS out_height,
+           CAST(sum(p) AS BIGINT) AS px_sum
+    FROM resized GROUP BY doc_id
+    """,
+)
+def q_image_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize round trip: full PNG decode, exact-integer
+    2x2 box downsample (output pixel = floor(mean of its box); odd
+    edges dropped), re-encode as PNG, re-decode, and report the
+    re-decoded pixel sum per asset — so oracle equality proves decode
+    -> transform -> ENCODE -> decode, exercising the encoder's filter
+    selection on executor workers, not just arithmetic. This is the
+    'resize' step of the multimodal contract made real (resize_media
+    documents the byte-level stub form).
+
+    The oracle replays the fixture pixel algebra and the box mean in
+    pure integer SQL (floor-division AFTER the integer sum — exact in
+    both engines); it never touches the codec.
+
+    100 TB shape: one Arrow-batched map pass, one row per asset, zero
+    shuffles. out_bytes (compressed size) is available from the
+    operator but excluded here: zlib stream length is not
+    SQL-expressible."""
+    from goeventstream_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mm.resize_image_real(mm.as_media_png(docs)).select(
+        "doc_id", "out_width", "out_height", "px_sum"
+    )
