@@ -106,11 +106,11 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on tiny per-URL arrays); the report is one hash aggregation keyed
     by host with a count-distinct expansion. No joins, no UDFs.
     """
-    from goeventstream_spark.operators.text import url_canonicalize
+    from goeventstream_spark.operators.text import canonicalize_urls
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     synth = orders.select(F.expr(_URL_SYNTH).alias("url"))
-    canon = synth.select("url", url_canonicalize(F.col("url")).alias("canonical_url"))
+    canon = canonicalize_urls(synth, "url", "canonical_url")
     return canon.groupBy(
         F.regexp_extract("canonical_url", r"^[a-z][a-z0-9+.-]*://([^/]*)", 1).alias(
             "host"
