@@ -190,6 +190,7 @@ HEADLINE = [
     "audio_envelope_neardup",
     "video_scene_changes",
     "image_resize_roundtrip",
+    "video_keyframe_sample",
 ]
 
 

@@ -802,3 +802,75 @@ def resize_image_real(media: DataFrame) -> DataFrame:
             out = {k: [] for k in out}
 
     return media.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+KEYFRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_px_sum", LongType()),
+    ]
+)
+
+
+def video_keyframes(media: DataFrame, change_threshold: int = 6000) -> DataFrame:
+    """REAL frame sampling: demux the video container, fully decode
+    every frame, and emit one row per KEYFRAME — frame 0 plus every
+    frame whose integer L1 delta to its predecessor exceeds
+    ``change_threshold`` (the scene-cut rule of
+    :func:`video_scene_stats`). Each emitted row carries the frame's
+    decoded pixel sum, a value only obtainable by actually inflating
+    and reconstructing that frame — so the per-keyframe output is
+    oracle-checkable end-to-end. This is the frame-sample step of the
+    multimodal contract made real (:func:`frame_sample` documents the
+    byte-level stub form); a production pipeline would emit the frame
+    payload itself alongside.
+
+    100 TB anatomy: one Arrow-batched map pass whose output cardinality
+    is data-dependent (scene count, not frame count) — exactly why
+    mapInPandas rather than a scalar UDF; zero shuffles."""
+    _ship_codec()
+    from goeventstream_spark.functions import png as _png
+
+    _dec = _png.decode_png
+
+    def _keyframes(batches):
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _unpack(data):
+            (n,) = _struct.unpack_from(">I", data, 0)
+            off = 4
+            frames = []
+            for _ in range(n):
+                (ln,) = _struct.unpack_from(">I", data, off)
+                off += 4
+                frames.append(data[off : off + ln])
+                off += ln
+            if off != len(data):
+                raise ValueError("video container has trailing bytes")
+            return frames
+
+        out = {"doc_id": [], "frame_idx": [], "frame_px_sum": []}
+        for pdf in batches:
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                pixels = [
+                    _dec(fb)[3] for fb in _unpack(bytes(content))
+                ]
+                for f, px in enumerate(pixels):
+                    if f == 0:
+                        keep = True
+                    else:
+                        delta = sum(
+                            abs(a - b) for a, b in zip(px, pixels[f - 1])
+                        )
+                        keep = delta > change_threshold
+                    if keep:
+                        out["doc_id"].append(int(doc_id))
+                        out["frame_idx"].append(f)
+                        out["frame_px_sum"].append(sum(px))
+            yield _pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return media.mapInPandas(_keyframes, KEYFRAME_SCHEMA)

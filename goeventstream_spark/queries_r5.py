@@ -526,3 +526,44 @@ def q_image_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_image_real(mm.as_media_png(docs)).select(
         "doc_id", "out_width", "out_height", "px_sum"
     )
+
+
+@query(
+    "video_keyframe_sample",
+    """
+    WITH g AS (SELECT doc_id, 3 + doc_id % 6 AS nf FROM documents),
+    fr AS (SELECT doc_id, nf, unnest(range(nf)) AS f FROM g),
+    px AS (
+      SELECT doc_id, f, r.r AS r, c.c AS c,
+             (doc_id + 31 * ((f * f) % 5) + 7 * r.r + 3 * c.c) % 251 AS p
+      FROM fr, (SELECT unnest(range(8)) AS r) r,
+               (SELECT unnest(range(8)) AS c) c
+    ),
+    sums AS (SELECT doc_id, f, sum(p) AS px_sum FROM px GROUP BY doc_id, f),
+    d AS (
+      SELECT a.doc_id, a.f, sum(abs(a.p - b.p)) AS delta
+      FROM px a JOIN px b
+        ON a.doc_id = b.doc_id AND a.r = b.r AND a.c = b.c AND b.f = a.f - 1
+      GROUP BY a.doc_id, a.f
+    )
+    SELECT s.doc_id, CAST(s.f AS BIGINT) AS frame_idx,
+           CAST(s.px_sum AS BIGINT) AS frame_px_sum
+    FROM sums s LEFT JOIN d USING (doc_id, f)
+    WHERE s.f = 0 OR d.delta > 6000
+    """,
+)
+def q_video_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe extraction with REAL per-frame decode: demux each
+    asset's container, decode every frame, keep frame 0 plus every
+    scene cut (L1 delta to the predecessor > 6000), and report each
+    keyframe's decoded pixel sum — the frame-sample step a video
+    curation pipeline feeds to downstream vision models, with
+    data-dependent output cardinality (scenes, not frames). Oracle
+    replays the closed-form pixel algebra; equality proves the demux,
+    every frame's decode, and the cut rule.
+
+    100 TB shape: one Arrow-batched map pass, zero shuffles."""
+    from goeventstream_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return mm.video_keyframes(mm.as_media_video(docs), change_threshold=6000)
