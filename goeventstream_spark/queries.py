@@ -678,13 +678,49 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_stats")  # approximate sketches: no exact oracle (rows-only check)
+@query(
+    "approx_stats",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           quantile_cont(l_quantity, 0.5) AS exact_median_qty,
+           TRUE AS parts_within_rsd,
+           TRUE AS median_within_rank
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL + quantile-sketch surface (approx_count_distinct,
-    percentile_approx): values are approximate by design, so the driver
-    records the weaker rows-only check for this one query."""
+    percentile_approx), declared as a HASH-ORACLED pass: the sketch
+    values themselves are approximate by design, so the query emits
+    the EXACT values (DuckDB replays those) plus within-bound booleans
+    the oracle asserts as TRUE literals. The bounds are the ones the
+    error-bound pytest pins (test_approx_stats_error_bounds_vs_exact):
+    HLL within 4 sigma of its default rsd (4 x 0.05 relative), and the
+    approximate median between the exact 40th and 60th percentiles
+    (percentile_approx's rank error at default accuracy 10000 is 1e-4,
+    so +-0.10 rank is a 1000x safety margin). If a Spark upgrade ever
+    drifts a sketch out of bound, the boolean flips and the driver's
+    value hash flags it — the sketches stay under test cross-engine."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+        F.percentile_approx("l_quantity", 0.5).alias("_approx_median"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_median_qty"),
+        F.expr("percentile(l_quantity, 0.4)").alias("_p40"),
+        F.expr("percentile(l_quantity, 0.6)").alias("_p60"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_median_qty",
+        (
+            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+            <= F.lit(4 * 0.05) * F.col("exact_parts")
+        ).alias("parts_within_rsd"),
+        (
+            (F.col("_approx_median") >= F.col("_p40"))
+            & (F.col("_approx_median") <= F.col("_p60"))
+        ).alias("median_within_rank"),
     )

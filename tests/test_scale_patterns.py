@@ -722,8 +722,9 @@ def test_ivf_float_pipeline_algebra_pinned(spark, sf_dir):
 
 
 def test_approx_stats_error_bounds_vs_exact(spark, sf_dir):
-    """approx_stats (the one by-design rows-only sketch query without a
-    replay pin) gets executable error bounds: HLL distinct counts must
+    """approx_stats' error bounds, asserted directly (the declared query
+    now emits these same bounds as oracle-checked booleans — this test
+    is the independent pin that proves them): HLL distinct counts must
     sit within the published rsd envelope (default 5%, asserted at 4
     sigma for fixture safety) of the exact count, and the approximate
     median must be an ACTUAL data value lying between the exact 40th
