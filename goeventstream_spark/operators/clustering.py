@@ -345,3 +345,130 @@ def pq_fixed_adc_topk(
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
         F.col("rk") <= top_k
     )
+
+
+def ivf_cell_assign_capped(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    cap: int | None = None,
+    cap_frac: float | None = None,
+    max_levels: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """`ivf_cell_assign` with a HOT-CELL guard: any cell whose
+    population exceeds the cap (absolute ``cap`` rows, or ``cap_frac``
+    of the corpus) is deterministically re-clustered with the SAME
+    fixed-point k-means (k sub-cells, ``iters`` Lloyd iterations,
+    init = the k lowest ids within the cell, floored integer means,
+    assignment to the FINAL sub-centroids with ties to the lowest
+    sub-id) — so a skewed corpus that concentrates in one cell cannot
+    re-create the quadratic pair block that cell-blocking exists to
+    prevent. Splitting repeats on still-oversized sub-cells up to
+    ``max_levels`` times: ONE level is not always enough, because a
+    hot cell's k lowest-id seeds can all sit in a tiny satellite
+    cluster inside it, leaving the dense mass in one sub-cell (the
+    adversarial pytest fixture exhibits exactly this). Every level is
+    the same integer-exact trajectory, so the whole assignment stays
+    deterministic and SQL-replayable.
+
+    Output keeps the ``cell`` column (BIGINT); ids are stable and
+    collision-free: an unsplit cell keeps its id, and each split cell
+    (in sorted-id order within its level) consumes k fresh ids from a
+    counter that starts at k. Downstream blocked-pair consumers
+    (similarity.embedding_near_dup, knn_graph_within_label) compose
+    unchanged via ``block_col=["cell", ...]``.
+
+    Scale shape: the base assignment and every per-level rewrite are
+    pure literal-broadcast map passes (zero joins / zero shuffles,
+    the ivf_cell_assign contract); training sub-codebooks is ``iters``
+    bounded aggregations per level over ONLY the hot subset, with
+    driver collects bounded by (#hot-cells x k x dims) ints —
+    corpus-size independent, the IVF codebook contract. All hot cells
+    of a level train in one joint pass (keyed by cell), not a
+    per-cell loop. A degenerate cell of identical vectors can never
+    split; ``max_levels`` bounds the retries."""
+    if (cap is None) == (cap_frac is None):
+        raise ValueError("exactly one of cap / cap_frac is required")
+    from pyspark.sql import Window
+
+    cur = ivf_cell_assign(
+        emb, k=k, iters=iters, scale=scale, id_col=id_col,
+        vec_col=vec_col, centroids=centroids,
+    )
+    v_col = _grid_vector(vec_col, scale)
+    limit: float | None = None
+    next_id = k
+    for _level in range(max_levels):
+        counts = cur.groupBy("cell").count().collect()  # <= #cells rows
+        if limit is None:
+            limit = cap if cap is not None else cap_frac * sum(
+                r["count"] for r in counts
+            )
+        hot = sorted(int(r["cell"]) for r in counts if r["count"] > limit)
+        if not hot:
+            break
+        sub = cur.where(F.col("cell").isin(hot)).select(
+            "cell", F.col(id_col).alias("vec_id"), v_col.alias("v")
+        )
+        # Joint init: the k lowest vec_ids PER hot cell (same seed rule
+        # as kmeans_fit); one bounded collect of (#hot x k) vectors.
+        w_init = Window.partitionBy("cell").orderBy("vec_id")
+        seed_rows = (
+            sub.withColumn("_rk", F.row_number().over(w_init))
+            .where(F.col("_rk") <= k)
+            .collect()
+        )
+        books: dict[int, list[list[int]]] = {h: [] for h in hot}
+        for r in sorted(seed_rows, key=lambda r: (r.cell, r._rk)):
+            books[int(r.cell)].append(list(r.v))
+
+        def _scid(df: DataFrame, bk: dict[int, list[list[int]]]) -> DataFrame:
+            # bk passed explicitly each call: the codebook rebinds every
+            # iteration, so a definition-time default would freeze the
+            # seeds and silently assign iteration 2 against them.
+            return df.withColumn(
+                "scid",
+                F.coalesce(
+                    *[
+                        F.when(F.col("cell") == h, _nearest_cid(F.col("v"), bk[h]))
+                        for h in hot
+                    ]
+                ),
+            )
+
+        for _ in range(iters):
+            # Floored-mean update for ALL hot cells in one aggregation;
+            # key space (#hot x k x dims) is bounded, collected like
+            # `update` — an empty sub-cluster keeps its previous centroid.
+            stats = (
+                _scid(sub, books)
+                .select("cell", "scid", F.posexplode("v").alias("dim", "val"))
+                .groupBy("cell", "scid", "dim")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new = {h: [list(c) for c in b] for h, b in books.items()}
+            for r in stats:
+                new[int(r.cell)][r.scid][r.dim] = r.s // r.n
+            books = new
+
+        # Level rewrite in ONE literal map pass — hot rows re-assign to
+        # their cell's FINAL sub-centroids inline, cold rows keep ids.
+        id_base = {h: next_id + j * k for j, h in enumerate(hot)}
+        next_id += k * len(hot)
+        newcell = F.coalesce(
+            *[
+                F.when(
+                    F.col("cell") == h,
+                    F.lit(id_base[h]) + _nearest_cid(v_col, books[h]),
+                )
+                for h in hot
+            ],
+            F.col("cell"),
+        )
+        cur = cur.withColumn("cell", newcell.cast("long"))
+    return cur

@@ -1164,3 +1164,48 @@ def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-exact cross-engine) stand-in for entropy-based quality
     scoring."""
     return text.token_diversity(_docs(spark, sf_dir))
+
+
+def _embedding_near_dup_capped_sql() -> str:
+    from goeventstream_spark.kq_sql import KQ_CAPPED_CELL_CTES, KQ_CELL_CTES
+
+    return f"""
+    WITH {KQ_CELL_CTES},
+    {KQ_CAPPED_CELL_CTES},
+    ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
+      JOIN kcap ca ON ca.vec_id = a.vec_id
+      JOIN kcap cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+    ) WHERE cos_sim >= 0.35
+    """
+
+
+@query("embedding_near_dup_capped", _embedding_near_dup_capped_sql())
+def q_embedding_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_near_dup with the HOT-CELL-GUARDED blocking key
+    (clustering.ivf_cell_assign_capped): any IVF cell holding more
+    than 26% of the corpus is deterministically re-clustered one level
+    with the same fixed-point k-means before pair generation — the
+    skew guard that keeps a clustered corpus from re-creating the
+    quadratic in-cell block at 100 TB. cap_frac 0.26 provably
+    exercises the split on the fixture at both gate scales (one cell
+    sits above it at sf0.01 AND sf0.1), and the oracle replays the
+    full conditional trajectory in SQL (kq_sql.KQ_CAPPED_CELL_CTES),
+    so the guard itself is hash-pinned cross-engine. The declared
+    query pins max_levels=1 (what the SQL transcribes); the
+    adversarial multi-level path is property-pinned in pytest
+    (test_ivf_capped_splits_adversarial_hot_cell)."""
+    from goeventstream_spark.kq_sql import KQ_CAPPED_FRAC
+    from goeventstream_spark.operators import clustering
+
+    emb_cell = clustering.ivf_cell_assign_capped(
+        _emb(spark, sf_dir), k=4, iters=2, scale=1000,
+        cap_frac=KQ_CAPPED_FRAC, max_levels=1,
+    )
+    return similarity.embedding_near_dup(
+        emb_cell, threshold=0.35, block_col=["cell", "label"]
+    )

@@ -788,3 +788,106 @@ def test_ivf_cell_assign_precomputed_centroids_skip_training(spark, sf_dir):
     plan = physical_plan(ivf_cell_assign(emb, centroids=cents))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_ivf_capped_splits_adversarial_hot_cell(spark):
+    """Hot-cell guard (the 100 TB skew hazard): an adversarial corpus
+    that concentrates 80% of vectors in one dense region puts them all
+    in one IVF cell — whose all-pairs block is quadratic.
+    ivf_cell_assign_capped must deterministically re-cluster that cell
+    one level and provably shrink the max block, while leaving every
+    cold-cell assignment byte-identical to the uncapped run."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.clustering import (
+        ivf_cell_assign,
+        ivf_cell_assign_capped,
+    )
+
+    # Deterministic adversarial fixture: 160/200 vectors in a spread
+    # cluster near (0.8..0.9)^4, 40 in three far-apart cold regions.
+    # Cold vectors take the LOW ids so the lowest-id k-means seeds all
+    # start outside the hot cluster — the whole cluster then collapses
+    # into the single nearest cell (the skew shape the guard targets).
+    def vec(i: int) -> list[float]:
+        if i >= 40:  # hot cluster, spread so a sub-k-means can split it
+            return [0.8 + 0.1 * (((i * (d + 3)) % 17) / 17.0) for d in range(4)]
+        base = [(-0.9, -0.9, -0.9, -0.9), (0.9, -0.9, 0.9, -0.9),
+                (-0.9, 0.9, -0.9, 0.9)][i % 3]
+        return [b + 0.001 * (i // 3) for b in base]
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, label=i % 3, embedding=vec(i)) for i in range(200)]
+    )
+
+    base = ivf_cell_assign(emb, k=4, iters=2)
+    base_sizes = {r.cell: r["count"] for r in base.groupBy("cell").count().collect()}
+    assert max(base_sizes.values()) >= 160  # the adversarial block exists
+
+    cap = 80
+    capped = ivf_cell_assign_capped(emb, k=4, iters=2, cap=cap)
+    capped_sizes = {
+        r.cell: r["count"] for r in capped.groupBy("cell").count().collect()
+    }
+    # (a) the quadratic block is gone: every block is within the cap
+    assert max(capped_sizes.values()) <= cap, capped_sizes
+    # (b) cold cells untouched: same (vec_id, cell) pairs for every
+    # vector whose base cell was under the cap
+    cold = {r.cell for r in base.groupBy("cell").count().collect() if r["count"] <= cap}
+    base_map = {r.vec_id: r.cell for r in base.select("vec_id", "cell").collect()}
+    capped_map = {r.vec_id: r.cell for r in capped.select("vec_id", "cell").collect()}
+    for vid, c in base_map.items():
+        if c in cold:
+            assert capped_map[vid] == c, vid
+        else:
+            assert capped_map[vid] >= 4, vid  # split ids start at k
+    # (c) id encoding is collision-free: split ids are fresh (>= k) and
+    # never collide with a surviving base id
+    split_ids = {c for v, c in capped_map.items() if base_map[v] not in cold}
+    assert split_ids.isdisjoint({c for v, c in capped_map.items() if base_map[v] in cold})
+    assert all(c >= 4 for c in split_ids)
+    # (d) deterministic: an independent second run is identical
+    rerun = {
+        r.vec_id: r.cell
+        for r in ivf_cell_assign_capped(emb, k=4, iters=2, cap=cap)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert rerun == capped_map
+
+
+def test_ivf_capped_noop_and_frac_on_fixture(spark, sf_dir):
+    """On the real (balanced) fixture the guard is a no-op at a loose
+    cap — byte-identical to ivf_cell_assign — and cap_frac triggers a
+    real one-level split of the single cell above the fraction."""
+    from goeventstream_spark.operators.clustering import (
+        ivf_cell_assign,
+        ivf_cell_assign_capped,
+    )
+    from goeventstream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {r.vec_id: r.cell for r in ivf_cell_assign(emb).select("vec_id", "cell").collect()}
+    loose = {
+        r.vec_id: r.cell
+        for r in ivf_cell_assign_capped(emb, cap=10**9).select("vec_id", "cell").collect()
+    }
+    assert loose == base
+
+    frac = {
+        r.vec_id: r.cell
+        for r in ivf_cell_assign_capped(emb, cap_frac=0.26)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    total = len(base)
+    hot = {c for c in set(base.values())
+           if sum(1 for v in base.values() if v == c) > 0.26 * total}
+    assert hot, "fixture regression: expected at least one >26% cell"
+    for vid, c in base.items():
+        assert (frac[vid] == c) if c not in hot else (frac[vid] >= 4), vid
+    # the split shrank the hot block
+    from collections import Counter
+
+    assert max(Counter(frac.values()).values()) < max(Counter(base.values()).values())
