@@ -1163,27 +1163,31 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token") != ""
     )
     freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    # A raw web corpus's distinct vocabulary is NOT bounded (typos,
+    # URLs), so no window may run over the full freq relation: take the
+    # top-100 first (TakeOrderedAndProject — parallel partial top-k,
+    # never a global sort), compute the grand total as a separate 1-row
+    # aggregate broadcast onto it, and only then window over the
+    # 100-row result — the same rank recipe as the TPC-H Q3/Q10 pages.
+    total_df = freq.agg(F.sum("n").cast("long").alias("total"))
+    top = freq.orderBy(F.col("n").desc(), "token").limit(100)
     w_rank = Window.orderBy(F.col("n").desc(), "token")
     ranked = (
-        freq.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        top.crossJoin(F.broadcast(total_df))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("long"))
         .withColumn(
-            "cum", F.sum("n").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .withColumn(
-            "total",
-            F.sum("n").over(
-                Window.orderBy(F.lit(1)).rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
+            "cum",
+            F.sum("n")
+            .over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
         )
     )
-    return ranked.where(F.col("rnk") <= 100).select(
+    return ranked.select(
         "rnk",
         "token",
         "n",
-        F.col("cum").cast("long").alias("cum"),
-        F.col("total").cast("long").alias("total"),
+        "cum",
+        "total",
         (F.col("cum").cast("double") / F.col("total")).alias("coverage"),
     )
 

@@ -776,22 +776,116 @@ def test_revenue_hierarchy_single_fact_scan(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") <= 4, plan
 
 
-def test_no_rowwise_python_udf_anywhere(spark, sf_dir):
-    """Repo-wide anti-pattern gate: NO registered query may plan a
-    row-at-a-time Python UDF (BatchEvalPython). Python is allowed only
-    through Arrow (ArrowEvalPython / mapInPandas / applyInPandas — the
-    vectorized slow path the docs declare); a row-wise UDF sneaking
-    into any of the ~276 declared queries is a 10-100x hot-path
-    regression at 100 TB, caught here at plan time."""
-    offenders = []
+# Queries whose ORDERED UNPARTITIONED windows run over a provably
+# bounded domain — the ONLY class allowed by the repo-wide gate below.
+# A global ordered window's input sorts into a single task, so every
+# entry must justify why its window input cannot scale with the corpus.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # limit-fed: the window input is a TakeOrderedAndProject result
+    "basket_pair_rules": "top-20 pair rows via limit before the window",
+    "bpe_merge_candidates": "top-20 merge candidates via limit",
+    "collocations_topk": "top-20 bigrams via limit",
+    "key_skew_report": "top-10 keys via limit + 1-row broadcast total",
+    "tpch_q3_shipping_priority": "top-10 orders via limit (Q3 rank page)",
+    "tpch_q10_returned_items": "top-20 customers via limit (Q10 rank page)",
+    "vocab_coverage": "top-100 tokens via limit + 1-row broadcast total",
+    # fixed/bucketed domains
+    "decile_lift_table": "10 deciles (+ _pid partial-merge windows)",
+    "lorenz_curve_percentiles": "100 centiles (+ _pid partial merges)",
+    "histogram_quantiles": "fixed histogram bucket count",
+    "hourly_peaks": "24 hour-of-day rows",
+    "seasonal_decompose_hourly": "24 hour-of-day rows",
+    "skyline_parts": "p_size domain (TPC-H: 50 values)",
+    "rfm_segments": "_pid partial-merge window (#partitions rows)",
+    "equi_depth_boundaries": "_pid partial-merge window",
+    "er_sorted_neighborhood_pairs": "_pid partial-merge window",
+    "global_value_percentiles": "_pid partial-merge window",
+    "quantile_normalize_orders": "_pid partial-merge window",
+    # calendar-bounded domains (one row per day/month)
+    "daily_user_accounting": "one row per calendar day",
+    "max_concurrent_sessions": "one row per calendar day",
+    "revenue_mom_growth": "one row per calendar month",
+    "survival_table": "one row per churn day",
+    # distinct-VALUE blocks (the gini_by_segment hardening): the window
+    # scans distinct measure values, never raw rows
+    "ab_test_mann_whitney": "distinct per-unit activity counts",
+    "pareto_user_concentration": "distinct per-user activity counts",
+    "kaplan_meier_sessions": "distinct session durations (seconds)",
+    "source_drift_ks": "distinct document lengths",
+    # reference-protocol replay: the poll log of ONE game generation is
+    # sequential by protocol semantics (T = LastSentT+1 is a chain)
+    "protocol_deliveries": "single-game poll chain (reference semantics)",
+    "sync_backlog_stats": "single-game poll chain (reference semantics)",
+}
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    groups, depth, cur = [], 0, None
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                cur = None
+                continue
+        if cur is not None:
+            cur += ch
+    return groups
+
+
+def _ordered_unpartitioned_windows(plan: str) -> bool:
+    """True if any Window node orders WITHOUT partitioning (node shape
+    `Window [exprs], [orderSpec]` — two bracket groups with ASC/DESC in
+    the last; partitioned nodes have three, partition-only windows have
+    an order-free second group)."""
+    for line in plan.splitlines():
+        ls = line.strip()
+        idx = ls.find("- Window ")
+        if idx < 0:
+            continue
+        groups = _top_level_bracket_groups(ls[idx + 2 :])
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            return True
+    return False
+
+
+def test_repo_wide_plan_gates(spark, sf_dir):
+    """Repo-wide anti-pattern gates, one plan pass over EVERY
+    registered query:
+
+    (a) NO row-at-a-time Python UDF (BatchEvalPython). Python is
+        allowed only through Arrow (ArrowEvalPython / mapInPandas /
+        applyInPandas); a row-wise UDF in any declared query is a
+        10-100x hot-path regression at 100 TB.
+    (b) NO ordered unpartitioned window outside the audited
+        bounded-domain whitelist. A global ordered window sorts its
+        whole input into a single task — over a data-scaling relation
+        (raw rows, users, a web corpus's vocabulary) that is the
+        classic 100 TB scale-killer. Every whitelisted query documents
+        why its window domain is bounded; new queries must either
+        partition their windows, pre-limit (TakeOrderedAndProject),
+        reduce to a bounded value-block relation first, or join the
+        whitelist with a justification."""
+    rowwise, unlisted = [], []
     for name in sorted(q.QUERIES):
         try:
             plan = plans.physical_plan(q.QUERIES[name](spark, sf_dir))
         except Exception as exc:  # pragma: no cover - surface the name
             raise AssertionError(f"{name}: plan generation failed: {exc}")
         if "BatchEvalPython" in plan:
-            offenders.append(name)
-    assert not offenders, f"row-wise Python UDFs in: {offenders}"
+            rowwise.append(name)
+        if _ordered_unpartitioned_windows(plan) and name not in _BOUNDED_GLOBAL_WINDOWS:
+            unlisted.append(name)
+    assert not rowwise, f"row-wise Python UDFs in: {rowwise}"
+    assert not unlisted, (
+        f"ordered unpartitioned windows outside the bounded-domain "
+        f"whitelist: {unlisted}"
+    )
 
 
 def test_round5_curation_queries_are_map_plus_agg_only(spark, sf_dir):
