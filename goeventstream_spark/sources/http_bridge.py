@@ -36,6 +36,7 @@ import json
 import socket
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,7 +116,10 @@ class HttpWireBridge:
     reference uses time.Now() — main.go:71)."""
 
     def __init__(
-        self, host: str = "127.0.0.1", inline_timeout_s: float | None = None
+        self,
+        host: str = "127.0.0.1",
+        inline_timeout_s: float | None = None,
+        pool_workers: int = 32,
     ) -> None:
         self.host = host
         self._lines: list[bytes] = []
@@ -125,6 +129,11 @@ class HttpWireBridge:
         self._inline_timeout = inline_timeout_s
         self._responses: dict[int, str] = {}
         self._rsp_cond = threading.Condition()
+        # Pending inline polls: sync_id -> (hijacked socket, deadline).
+        # A held-open POST costs a dict entry + an OS socket, NOT a
+        # thread — the single dispatcher thread answers every one, so
+        # 10k concurrent pollers and 10 use the same thread budget.
+        self._pending: dict[int, tuple[socket.socket, float]] = {}
         bridge = self
 
         class _Handler(BaseHTTPRequestHandler):
@@ -152,6 +161,7 @@ class HttpWireBridge:
                     self.send_response(500)
                     self.send_header("Content-Length", "0")
                     self.send_header("Access-Control-Allow-Origin", "*")
+                    self.send_header("Connection", "close")
                     self.end_headers()
                     return
                 now_hdr = self.headers.get("X-Sim-Now-Ms")
@@ -169,29 +179,32 @@ class HttpWireBridge:
                     ).encode("utf-8")
                     bridge._lines.append(line)
                     bridge._lock.notify_all()
-                payload, status = None, 202
                 if bridge._inline_timeout is not None:
-                    # reference inline contract: hold the exchange open
-                    # until the engine's envelope for THIS sync arrives
-                    deadline = time.monotonic() + bridge._inline_timeout
-                    with bridge._rsp_cond:
-                        while (
-                            sid not in bridge._responses and not bridge._stop
-                        ):
-                            left = deadline - time.monotonic()
-                            if left <= 0:
-                                break
-                            bridge._rsp_cond.wait(timeout=min(left, 0.2))
-                        rsp = bridge._responses.pop(sid, None)
-                    if rsp is not None:
-                        payload, status = rsp.encode("utf-8"), 200
-                if payload is None:  # decoupled ACK (or inline timeout)
-                    payload = json.dumps({"SyncId": sid}).encode("utf-8")
-                self.send_response(status)
+                    # Reference inline contract: hold the exchange open
+                    # until the engine's envelope for THIS sync arrives.
+                    # The wait must NOT hold this worker thread (r5: one
+                    # parked thread per pending poll is unbounded), so
+                    # the handler HIJACKS the connection — registers the
+                    # raw socket with the dispatcher and returns; the
+                    # hijack-aware shutdown_request leaves the socket
+                    # open and the dispatcher thread writes the 200
+                    # envelope (or the 202 ACK at deadline) later.
+                    self.close_connection = True
+                    bridge._register_pending(
+                        sid,
+                        self.connection,
+                        time.monotonic() + bridge._inline_timeout,
+                    )
+                    return
+                payload = json.dumps({"SyncId": sid}).encode("utf-8")
+                self.send_response(202)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(payload)))
                 # CORS preflight parity with main.go:50-56
                 self.send_header("Access-Control-Allow-Origin", "*")
+                # one poll per connection: an idle keep-alive poller
+                # must not park a bounded-pool worker between polls
+                self.send_header("Connection", "close")
                 self.end_headers()
                 self.wfile.write(payload)
 
@@ -208,7 +221,42 @@ class HttpWireBridge:
             def log_message(self, *args) -> None:  # silence test output
                 pass
 
-        self._http = ThreadingHTTPServer((host, 0), _Handler)
+        class _PooledServer(ThreadingHTTPServer):
+            """ThreadingHTTPServer spawns an UNBOUNDED thread per
+            connection; this variant runs handlers on a fixed pool
+            (`pool_workers` threads — the bridge's hard concurrency
+            bound) and skips teardown for sockets a handler hijacked
+            (pending inline polls, owned by the dispatcher)."""
+
+            # survive a synchronized poll burst: connections queue in
+            # the OS accept backlog while the fixed pool drains them
+            # (the stdlib default of 5 drops clients under load)
+            request_queue_size = 512
+
+            def __init__(srv, addr, handler):
+                srv.hijacked: set[socket.socket] = set()
+                srv.hijack_lock = threading.Lock()
+                srv.pool = ThreadPoolExecutor(
+                    max_workers=pool_workers, thread_name_prefix="bridge-http"
+                )
+                super().__init__(addr, handler)
+
+            def process_request(srv, request, client_address):
+                srv.pool.submit(
+                    srv.process_request_thread, request, client_address
+                )
+
+            def shutdown_request(srv, request):
+                with srv.hijack_lock:
+                    if request in srv.hijacked:
+                        return  # dispatcher answers and closes it
+                super().shutdown_request(request)
+
+            def server_close(srv):
+                super().server_close()
+                srv.pool.shutdown(wait=False, cancel_futures=True)
+
+        self._http = _PooledServer((host, 0), _Handler)
         self.http_port = self._http.server_address[1]
         self._tcp = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._tcp.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -218,6 +266,7 @@ class HttpWireBridge:
         self._threads = [
             threading.Thread(target=self._http.serve_forever, daemon=True),
             threading.Thread(target=self._serve_tcp, daemon=True),
+            threading.Thread(target=self._dispatch_inline, daemon=True),
         ]
 
     def start(self) -> "HttpWireBridge":
@@ -256,6 +305,81 @@ class HttpWireBridge:
         with self._rsp_cond:
             self._responses[int(sync_id)] = response
             self._rsp_cond.notify_all()
+
+    def _register_pending(
+        self, sid: int, sock: socket.socket, deadline: float
+    ) -> None:
+        with self._http.hijack_lock:
+            self._http.hijacked.add(sock)
+        with self._rsp_cond:
+            self._pending[sid] = (sock, deadline)
+            self._rsp_cond.notify_all()
+
+    def _send_and_close(
+        self, sock: socket.socket, status: int, payload: bytes
+    ) -> None:
+        reason = {200: "OK", 202: "Accepted"}[status]
+        head = (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            "Content-Type: application/json\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "Access-Control-Allow-Origin: *\r\n"
+            "Connection: close\r\n\r\n"
+        ).encode("ascii")
+        try:
+            sock.sendall(head + payload)
+        except OSError:
+            pass  # poller went away; nothing to answer
+        finally:
+            with self._http.hijack_lock:
+                self._http.hijacked.discard(sock)
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _dispatch_inline(self) -> None:
+        """The ONE thread that answers every pending inline poll:
+        engine envelopes as HTTP 200, deadline expiries as the 202 ACK
+        fallback, bridge stop as a drain-to-ACK. Socket writes happen
+        outside the lock."""
+        while True:
+            to_send: list[tuple[socket.socket, int, bytes]] = []
+            with self._rsp_cond:
+                if self._stop:
+                    for sid, (sock, _) in self._pending.items():
+                        to_send.append(
+                            (sock, 202, json.dumps({"SyncId": sid}).encode())
+                        )
+                    self._pending.clear()
+                else:
+                    now = time.monotonic()
+                    for sid in list(self._pending):
+                        sock, deadline = self._pending[sid]
+                        rsp = self._responses.pop(sid, None)
+                        if rsp is not None:
+                            to_send.append((sock, 200, rsp.encode("utf-8")))
+                        elif deadline <= now:
+                            to_send.append(
+                                (sock, 202, json.dumps({"SyncId": sid}).encode())
+                            )
+                        else:
+                            continue
+                        del self._pending[sid]
+                    if not to_send:
+                        next_dl = min(
+                            (d for _, d in self._pending.values()), default=None
+                        )
+                        self._rsp_cond.wait(
+                            timeout=0.2
+                            if next_dl is None
+                            else max(0.0, min(next_dl - now, 0.2))
+                        )
+                        continue
+            for sock, status, payload in to_send:
+                self._send_and_close(sock, status, payload)
+            if self._stop:
+                return
 
     def stop(self) -> None:
         self._stop = True

@@ -1168,3 +1168,88 @@ def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
     # every doc exactly once across the two lakes
     assert kept.count() == len(got_kept)
     assert rejects.count() == len(got_rej)
+
+
+def test_inline_bridge_bounded_threads_200_concurrent_pollers():
+    """The r5 concurrency hazard, proven fixed: 200 clients poll INLINE
+    simultaneously and all park awaiting engine envelopes. Pending
+    polls must cost sockets, not threads — the bridge's HTTP pool stays
+    at its fixed bound (16 here) with every worker FREE while all 200
+    polls are held open (a fresh malformed POST still gets its 500
+    immediately), and once the engine delivers, every poller receives
+    its own HTTP 200 envelope with ZERO 202 fallbacks."""
+    import json
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+
+    from goeventstream_spark.sources.http_bridge import HttpWireBridge
+
+    n_clients, pool = 200, 16
+    bridge = HttpWireBridge(inline_timeout_s=120, pool_workers=pool).start()
+    results: dict[int, tuple[int, str]] = {}
+    try:
+        def client(i: int) -> None:
+            results[i] = bridge.post_sync(
+                "g0", str(i), 0, now_ms=1, timeout=120
+            )
+
+        threads = [
+            threading.Thread(target=client, args=(i,), daemon=True)
+            for i in range(n_clients)
+        ]
+        for t in threads:
+            t.start()
+        # all 200 polls parked (held-open sockets, no thread each)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            with bridge._rsp_cond:
+                n_parked = len(bridge._pending)
+            if n_parked >= n_clients:
+                break
+            time.sleep(0.02)
+        assert n_parked >= n_clients, n_parked
+
+        # thread budget at peak: the fixed pool, nothing per-poll
+        bridge_threads = [
+            t for t in threading.enumerate() if t.name.startswith("bridge-http")
+        ]
+        assert len(bridge_threads) <= pool, [t.name for t in bridge_threads]
+
+        # liveness under full park: workers are idle, so an unrelated
+        # malformed POST is answered NOW (the old design would need a
+        # 201st thread for this)
+        req = urllib.request.Request(
+            f"http://{bridge.host}:{bridge.http_port}/g0/x/0",
+            data=b"[]", method="POST",
+        )
+        t0 = time.monotonic()
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("malformed body must 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+        assert time.monotonic() - t0 < 5
+
+        # engine delivers every envelope; all pollers get 200, no ACKs
+        for sid in range(1, n_clients + 1):
+            bridge.deliver(
+                sid,
+                json.dumps(
+                    {"T": 1, "Events": [], "States": {}, "ProxyId": str(sid)}
+                ),
+            )
+        for t in threads:
+            t.join(timeout=120)
+        assert not any(t.is_alive() for t in threads)
+        statuses = sorted(s for s, _ in results.values())
+        assert statuses == [200] * n_clients, statuses[:10]
+        proxy_ids = {json.loads(b)["ProxyId"] for _, b in results.values()}
+        assert len(proxy_ids) == n_clients  # each poller got ITS envelope
+        with bridge._rsp_cond:
+            assert not bridge._pending
+        with bridge._http.hijack_lock:
+            assert not bridge._http.hijacked
+    finally:
+        bridge.stop()
