@@ -873,14 +873,16 @@ def test_reference_client_receives_inline_game_responses(spark):
     assert not mismatches, mismatches[:3]
 
 
-def test_game_server_state_scale_1000_games_rocksdb(spark):
-    """Streaming state-scale proof: 1000 games x 2 users x 2
+def test_game_server_state_scale_10000_games_rocksdb(spark):
+    """Streaming state-scale proof: 10 000 games x 2 users x 2
     generations (a 60 s idle gap forces the GC/restart path in every
     game) under the RocksDB state store provider. Asserts (a) the
     session really runs RocksDB, (b) per-key state stays bounded — the
     state operator holds exactly one row per game, NOT per poll or per
-    generation, and (c) all 6000 envelopes are byte-equal to the batch
-    protocol replay."""
+    generation, (c) the RocksDB store's OWN memory/SST metrics stay
+    bounded per game (row counts alone can hide blob bloat), and
+    (d) all 60 000 envelopes are byte-equal to the batch protocol
+    replay."""
     import json
 
     from goeventstream_spark.operators import protocol_replay as pr
@@ -891,7 +893,7 @@ def test_game_server_state_scale_1000_games_rocksdb(spark):
 
     from goeventstream_spark.streaming import game_server
 
-    n_games = 1000
+    n_games = 10_000
     base = 1_900_000_000_000
     rounds = [  # (file_idx, [(user, offset_ms, events, state), ...])
         (0, [(1, 0, None, {"hp": "100"}), (2, 50, None, None)]),
@@ -946,10 +948,21 @@ def test_game_server_state_scale_1000_games_rocksdb(spark):
         q.awaitTermination(600)
         progress = q.lastProgress
         assert progress is not None
-        state_rows = progress["stateOperators"][0]["numRowsTotal"]
-        # one state blob per game — not per poll (6000), not per
-        # generation (2000): bounded by live-game count forever
+        op = progress["stateOperators"][0]
+        state_rows = op["numRowsTotal"]
+        # one state blob per game — not per poll (60000), not per
+        # generation (20000): bounded by live-game count forever
         assert state_rows == n_games, state_rows
+        # RocksDB's OWN accounting, not just operator row counts: the
+        # store must report real usage, and the per-game footprint
+        # (SST files + in-memory tables, averaged over games) must stay
+        # small — a per-poll or per-generation leak would show up here
+        # as KBs/game even if numRowsTotal lied
+        cm = op["customMetrics"]
+        sst = cm["rocksdbSstFileSize"]
+        mem = op["memoryUsedBytes"] + cm["rocksdbPinnedBlocksMemoryUsage"]
+        assert sst > 0, cm
+        assert (sst + mem) / n_games < 4096, (sst, mem)
 
     got = {
         r.sync_id: r.response
