@@ -616,6 +616,25 @@ def canonicalize_urls(
     differs, outputs do not), so canonical URLs are hash-exact
     cross-engine."""
     passthrough = [c for c in df.columns]
+    # The stages alias intermediates under these names while
+    # re-selecting every input column — an input that already carries
+    # one (or whose out_col shadows an existing column) would produce
+    # ambiguous/clobbered columns, so refuse loudly instead.
+    reserved = {
+        "_u1", "_auth", "_rest", "_path", "_qs",
+        "_stripped", "_cauth", "_cpath", "_params",
+    }
+    clashes = reserved.intersection(passthrough)
+    if clashes:
+        raise ValueError(
+            f"canonicalize_urls: input columns {sorted(clashes)} collide "
+            "with staged intermediate names — rename them first"
+        )
+    if out_col in passthrough:
+        raise ValueError(
+            f"canonicalize_urls: out_col {out_col!r} already exists in the "
+            "input — pick another name or drop it first"
+        )
     s1 = df.select(
         *passthrough, F.regexp_replace(url_col, r"#.*$", "").alias("_u1")
     )
@@ -695,7 +714,10 @@ def canonicalize_urls(
 
 
 def hashed_linear_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_tokenless: bool = False,
 ) -> DataFrame:
     """Per-document hashed linear classifier sums: token weight =
     (first 6 hex digits of md5(token) as int) % 2001 - 1000, an
@@ -712,19 +734,39 @@ def hashed_linear_scores(
     One explode + one map-side-combinable integer aggregation keyed by
     document — the weight is computed inline from the token, so there
     is no vocabulary relation and no join, which is why hashed
-    features are the scale path in the first place."""
+    features are the scale path in the first place.
+
+    By default a token-less document (empty or whitespace-only text)
+    emits NO row, matching the declared queries' explode+filter oracle
+    SQL. ``keep_tokenless=True`` keeps every input document — empty
+    tokens become score-neutral sentinel rows (wt 0, uncounted), so a
+    token-less doc scores sw=0, n=0 without a join. Gating sinks need
+    this totality: dropping a doc from BOTH the kept and rejects lakes
+    would silently lose it at ingest."""
     passthrough = [c for c in docs.columns if c != text_col]
     words = docs.select(
         *passthrough,
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
-    ).where(F.col("word") != "")
+    )
+    if not keep_tokenless:
+        words = words.where(F.col("word") != "")
     wt = (
         F.conv(F.substring(F.md5("word"), 1, 6), 16, 10).cast("long") % 2001
         - 1000
     )
+    if keep_tokenless:
+        # split("", " ") still yields one '' row per doc — make empty
+        # tokens weightless and uncounted instead of filtering the doc
+        # away (real '' tokens from runs of spaces are identical no-ops)
+        wt = F.when(F.col("word") == "", F.lit(0).cast("long")).otherwise(wt)
+        n_expr = F.sum((F.col("word") != "").cast("long")).alias("n")
+    else:
+        n_expr = F.count("*").cast("long").alias("n")
     other = [c for c in passthrough if c != id_col]
-    return words.select(*passthrough, wt.alias("wt")).groupBy(id_col).agg(
+    return words.select(*passthrough, "word", wt.alias("wt")).groupBy(
+        id_col
+    ).agg(
         *[F.min(c).alias(c) for c in other],
         F.sum("wt").alias("sw"),
-        F.count("*").cast("long").alias("n"),
+        n_expr,
     )

@@ -264,6 +264,7 @@ def write_idempotent(
     import json
     import os
     import shutil
+    import time
 
     from pyspark.sql import functions as F
 
@@ -296,12 +297,27 @@ def write_idempotent(
     os.makedirs(base_path, exist_ok=True)
     # Sweep staging dirs leaked by attempts of THIS batch_id that
     # crashed before rename (never another batch's — its publisher may
-    # be mid-write). Safe even against a live concurrent attempt of the
-    # same batch_id: if its rename already won we return its manifest
-    # below, and if we win the race it adopts ours.
+    # be mid-write). A LIVE concurrent attempt of the same batch_id is
+    # also possible (neither has renamed yet), and rmtree-ing its
+    # mkdtemp dir mid-write would fail that publisher spuriously — so
+    # only dirs whose newest mtime ANYWHERE in their tree is stale
+    # (default 1 h) are swept: a live Spark write keeps touching files,
+    # a crashed attempt's tree goes quiet forever.
+    stale_s = 3600.0
+    now = time.time()
     for name in os.listdir(base_path):
-        if name.startswith(f"_tmp_batch_{batch_id}_"):
-            shutil.rmtree(os.path.join(base_path, name), ignore_errors=True)
+        if not name.startswith(f"_tmp_batch_{batch_id}_"):
+            continue
+        leaked = os.path.join(base_path, name)
+        newest = os.path.getmtime(leaked)
+        for root, _dirs, files in os.walk(leaked):
+            for ent in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, ent)))
+                except OSError:
+                    newest = now  # vanishing entries = live writer
+        if now - newest > stale_s:
+            shutil.rmtree(leaked, ignore_errors=True)
     tmp_dir = tempfile.mkdtemp(prefix=f"_tmp_batch_{batch_id}_", dir=base_path)
     df.write.mode("overwrite").parquet(tmp_dir)
     manifest = {

@@ -31,8 +31,14 @@ def quality_gate_flags(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     streaming sink so the two paths can never drift: ``is_quality``
     (classifier logit >= 0, i.e. BIGINT weight sum >= 0) and
     ``is_explore`` (rejected but drawn into the deterministic ~10%
-    md5(doc_id) exploration sample)."""
-    d = hashed_linear_scores(docs, id_col=id_col)
+    md5(doc_id) exploration sample).
+
+    TOTAL over the batch: token-less documents (empty or
+    whitespace-only text) score sw=0, n=0 (``keep_tokenless`` — a
+    join-free sentinel inside the same explode+agg), so sw >= 0 routes
+    them to the kept lake and kept + rejects provably partition every
+    batch. Without this they would vanish from BOTH lakes at ingest."""
+    d = hashed_linear_scores(docs, id_col=id_col, keep_tokenless=True)
     draw = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
     ).cast("long")

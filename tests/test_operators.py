@@ -807,3 +807,56 @@ def test_edit_distance_qgram_join_randomized_boundary_mix(spark):
             .collect()
         }
         assert got == want, (k, qg, len(got), len(want))
+
+
+def test_canonicalize_urls_rejects_reserved_column_collisions(spark):
+    """The staged transform re-selects every input column while
+    aliasing intermediates under fixed names; a colliding input (or an
+    out_col shadowing an existing column) must be refused loudly, not
+    silently clobbered."""
+    import pytest
+
+    from goeventstream_spark.operators.text import canonicalize_urls
+
+    ok = spark.createDataFrame(
+        [(1, "HTTPS://WWW.Ex.com:443/a/?utm_x=1&b=2#f")], "id long, url string"
+    )
+    got = canonicalize_urls(ok).collect()[0]["canonical_url"]
+    assert got == "https://ex.com/a?b=2"
+
+    clash = ok.withColumnRenamed("id", "_auth")
+    with pytest.raises(ValueError, match="_auth"):
+        canonicalize_urls(clash)
+    with pytest.raises(ValueError, match="out_col"):
+        canonicalize_urls(ok, out_col="url")
+
+
+def test_hashed_linear_scores_keep_tokenless_totality(spark):
+    """keep_tokenless=True must score token-less docs sw=0, n=0 while
+    leaving token-ful scores identical to the default path (the gate's
+    totality contract: kept + rejects partition every batch)."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.text import hashed_linear_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "alpha beta  beta"),
+            (2, "s", ""),
+            (3, "s", "   "),
+            (4, "s", "gamma"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    default = {
+        r.doc_id: (r.sw, r.n) for r in hashed_linear_scores(docs).collect()
+    }
+    total = {
+        r.doc_id: (r.sw, r.n)
+        for r in hashed_linear_scores(docs, keep_tokenless=True).collect()
+    }
+    assert set(default) == {1, 4}  # documented: token-less rows absent
+    assert set(total) == {1, 2, 3, 4}
+    assert total[2] == (0, 0) and total[3] == (0, 0)
+    for d in (1, 4):  # token-ful scores identical across modes
+        assert total[d] == default[d]

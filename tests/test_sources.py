@@ -453,3 +453,36 @@ def test_write_idempotent_concurrent_publishers_one_winner(spark, sf_dir, tmp_pa
     # no torn second copy of the batch anywhere
     batches = [d for d in os.listdir(base) if d.startswith("batch_id=")]
     assert batches == ["batch_id=race"]
+
+
+def test_write_idempotent_sweeps_stale_not_live_staging(spark, sf_dir, tmp_path):
+    """Staging-dir GC must distinguish a CRASHED attempt's leak (tree
+    mtimes stale -> swept) from a LIVE concurrent publisher's mkdtemp
+    dir (fresh mtimes -> left alone): rmtree-ing a live same-batch_id
+    writer mid-write fails it spuriously, breaking the documented
+    'concurrent publishers race safely' contract."""
+    import os
+
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.sources.io import write_idempotent
+
+    base = str(tmp_path / "sink")
+    os.makedirs(base)
+    df = load_table(spark, sf_dir, "region")
+
+    stale = os.path.join(base, "_tmp_batch_b9_dead")
+    live = os.path.join(base, "_tmp_batch_b9_alive")
+    for d in (stale, live):
+        os.makedirs(os.path.join(d, "sub"))
+        with open(os.path.join(d, "sub", "part-0"), "w") as fh:
+            fh.write("x")
+    old = 10_000_000.0  # epoch 1970 — unambiguously stale
+    for root, dirs, files in os.walk(stale, topdown=False):
+        for ent in files + dirs:
+            os.utime(os.path.join(root, ent), (old, old))
+    os.utime(stale, (old, old))
+
+    m = write_idempotent(df, base, "b9")
+    assert m["n_rows"] == df.count()
+    assert not os.path.exists(stale)  # crashed leak collected
+    assert os.path.isdir(live)  # live concurrent attempt untouched

@@ -1147,6 +1147,14 @@ def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # token-less docs (empty / whitespace-only text) must NOT vanish:
+    # the gate scores them sw=0 -> kept lake, so kept + rejects still
+    # partition the corpus (the fixture alone can't exercise this)
+    tokenless = spark.createDataFrame(
+        [(1_000_001, "synthetic", ""), (1_000_002, "synthetic", "   ")],
+        "doc_id long, source string, text string",
+    )
+    docs = docs.unionByName(tokenless)
     src = str(tmp_path / "src")
     for i in range(3):
         docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
@@ -1175,6 +1183,7 @@ def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got_kept == want_kept and len(got_kept) > 0
+    assert {1_000_001, 1_000_002} <= got_kept  # token-less: sw=0 -> kept
     got_rej = {r.doc_id for r in rejects.select("doc_id").collect()}
     assert got_rej.isdisjoint(got_kept)
     assert len(got_rej) + len(got_kept) == docs.count()
