@@ -191,6 +191,10 @@ HEADLINE = [
     "video_scene_changes",
     "image_resize_roundtrip",
     "video_keyframe_sample",
+    # round 6
+    "approx_stats",
+    "embedding_near_dup_capped",
+    "vocab_coverage",
 ]
 
 
