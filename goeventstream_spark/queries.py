@@ -703,13 +703,38 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifts a sketch out of bound, the boolean flips and the driver's
     value hash flags it — the sketches stay under test cross-engine."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # Three narrow passes instead of one catch-all agg (which planned
+    # an Expand for countDistinct AND buffered every l_quantity per
+    # group for the exact percentiles — 8 s at sf0.1 and an OOM shape
+    # at 100 TB): (1) the sketches alone — constant state per group;
+    # (2) exact distinct as two map-side-combinable hash aggs; (3)
+    # exact percentiles over the COMPRESSED (flag, quantity, count)
+    # relation via percentile's frequency argument — l_quantity's
+    # value domain is bounded (TPC-H: 50 ints), so the buffer is 50
+    # weighted values per group, never the raw rows. Identical values,
+    # 3-row join inputs, broadcast joins.
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("_approx_parts"),
         F.percentile_approx("l_quantity", 0.5).alias("_approx_median"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.expr("percentile(l_quantity, 0.5)").alias("exact_median_qty"),
-        F.expr("percentile(l_quantity, 0.4)").alias("_p40"),
-        F.expr("percentile(l_quantity, 0.6)").alias("_p60"),
+    )
+    exact_d = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    pct = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count("*").alias("_cnt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5, _cnt)").alias("exact_median_qty"),
+            F.expr("percentile(l_quantity, 0.4, _cnt)").alias("_p40"),
+            F.expr("percentile(l_quantity, 0.6, _cnt)").alias("_p60"),
+        )
+    )
+    agg = sketches.join(F.broadcast(exact_d), "l_returnflag").join(
+        F.broadcast(pct), "l_returnflag"
     )
     return agg.select(
         "l_returnflag",
