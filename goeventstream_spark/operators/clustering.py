@@ -403,28 +403,34 @@ def ivf_cell_assign_capped(
     limit: float | None = None
     next_id = k
     for _level in range(max_levels):
-        counts = cur.groupBy("cell").count().collect()  # <= #cells rows
+        # ONE pass yields both per-cell populations (window count) and
+        # the k lowest-id seed vectors per cell (window rank) — a
+        # bounded collect of (#cells x k) rows; hot-cell detection and
+        # seeding never cost separate jobs.
+        w_cell = Window.partitionBy("cell")
+        w_rank = Window.partitionBy("cell").orderBy("vec_id")
+        info = (
+            cur.select("cell", F.col(id_col).alias("vec_id"), v_col.alias("v"))
+            .withColumn("_n", F.count("*").over(w_cell))
+            .withColumn("_rk", F.row_number().over(w_rank))
+            .where(F.col("_rk") <= k)
+            .collect()
+        )
+        counts = {int(r.cell): r._n for r in info}
         if limit is None:
-            limit = cap if cap is not None else cap_frac * sum(
-                r["count"] for r in counts
-            )
-        hot = sorted(int(r["cell"]) for r in counts if r["count"] > limit)
+            limit = cap if cap is not None else cap_frac * sum(counts.values())
+        hot = sorted(c for c, n in counts.items() if n > limit)
         if not hot:
             break
         sub = cur.where(F.col("cell").isin(hot)).select(
             "cell", F.col(id_col).alias("vec_id"), v_col.alias("v")
         )
         # Joint init: the k lowest vec_ids PER hot cell (same seed rule
-        # as kmeans_fit); one bounded collect of (#hot x k) vectors.
-        w_init = Window.partitionBy("cell").orderBy("vec_id")
-        seed_rows = (
-            sub.withColumn("_rk", F.row_number().over(w_init))
-            .where(F.col("_rk") <= k)
-            .collect()
-        )
+        # as kmeans_fit), already carried by the info pass.
         books: dict[int, list[list[int]]] = {h: [] for h in hot}
-        for r in sorted(seed_rows, key=lambda r: (r.cell, r._rk)):
-            books[int(r.cell)].append(list(r.v))
+        for r in sorted(info, key=lambda r: (r.cell, r._rk)):
+            if int(r.cell) in books:
+                books[int(r.cell)].append(list(r.v))
 
         def _scid(df: DataFrame, bk: dict[int, list[list[int]]]) -> DataFrame:
             # bk passed explicitly each call: the codebook rebinds every
