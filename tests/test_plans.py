@@ -904,3 +904,29 @@ def test_round5_curation_queries_are_map_plus_agg_only(spark, sf_dir):
         plan = plans.physical_plan(q.QUERIES[name](spark, sf_dir))
         assert "Join" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_approx_stats_no_expand_no_value_buffering(spark, sf_dir):
+    # The r6 restructure's plan contract: no Expand (countDistinct runs
+    # in its own narrow agg), no window, exact percentiles over the
+    # compressed value-count relation, and the two 3-row join inputs
+    # broadcast — a sort-merge join or Expand here means the per-group
+    # value-buffering OOM shape crept back.
+    plan = plans.physical_plan(q.QUERIES["approx_stats"](spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_capped_near_dup_data_path_joinless(spark, sf_dir):
+    # ivf_cell_assign_capped's whole assignment (base cells, hot-cell
+    # rewrite) must stay literal-broadcast map passes: the declared
+    # query's ONLY join-free exception is the pair generator's single
+    # block-key exchange. Any Join/Cartesian in this plan means the
+    # guard started shuffling the corpus to train.
+    plan = plans.physical_plan(
+        q.QUERIES["embedding_near_dup_capped"](spark, sf_dir)
+    )
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
