@@ -348,3 +348,60 @@ def write_idempotent(
         with open(manifest_path) as fh:
             return json.load(fh)
     return manifest
+
+
+def read_binary_media(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory tree of raw media files as binary columns —
+    the lake-side entry point for the multimodal operators: one row per
+    file with (path, modificationTime, length, content BINARY), via
+    Spark's built-in binaryFile source. Listing and reads are
+    distributed; nothing touches the driver. Feed ``content`` straight
+    into operators/multimodal's Arrow decode passes (schema there is
+    (doc_id, media BINARY) — select/alias accordingly).
+
+    At 100 TB the same call works unchanged on an object-store URI;
+    pair with ``spark.sql.files.maxPartitionBytes`` to keep whole files
+    per task (binaryFile never splits a file)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Avro sink — GATED: the spark-avro module is external since
+    Spark 2.4 and its jar is not bundled in this environment; the
+    clear error beats Spark's 'Failed to find data source'. Runs
+    as-is on any cluster with org.apache.spark:spark-avro on the
+    classpath."""
+    try:
+        df.write.format("avro").mode("overwrite").save(path)
+    except Exception as exc:  # AnalysisException: missing data source
+        if "avro" in str(exc).lower():
+            raise RuntimeError(
+                "Avro support needs the external spark-avro package "
+                "(org.apache.spark:spark-avro_2.13) on the classpath; "
+                "it is not bundled in this environment"
+            ) from exc
+        raise
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source — gated exactly like :func:`write_avro`."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:
+        if "avro" in str(exc).lower():
+            raise RuntimeError(
+                "Avro support needs the external spark-avro package "
+                "(org.apache.spark:spark-avro_2.13) on the classpath; "
+                "it is not bundled in this environment"
+            ) from exc
+        raise

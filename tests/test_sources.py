@@ -486,3 +486,62 @@ def test_write_idempotent_sweeps_stale_not_live_staging(spark, sf_dir, tmp_path)
     assert m["n_rows"] == df.count()
     assert not os.path.exists(stale)  # crashed leak collected
     assert os.path.isdir(live)  # live concurrent attempt untouched
+
+
+def test_binary_media_ingest_end_to_end(spark, tmp_path):
+    """The multimodal lake entry point: real PNG files on disk ->
+    binaryFile ingest (distributed listing + reads) -> the SAME
+    Arrow decode pass the declared queries use — pixel sums must match
+    the encoder's input exactly, proving file bytes survive the
+    source untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.functions.png import encode_png
+    from goeventstream_spark.operators.multimodal import decode_stats
+    from goeventstream_spark.sources.io import read_binary_media
+
+    media_dir = tmp_path / "media" / "nested"
+    os.makedirs(media_dir)
+    want = {}
+    for i, (w, h) in enumerate([(5, 3), (8, 2)]):
+        px = bytes((i + x * 7 + 3) % 251 for x in range(w * h))
+        (media_dir / f"img{i}.png").write_bytes(encode_png(w, h, px))
+        want[i] = (w, h, sum(px))
+    (media_dir / "ignore.txt").write_text("not media")
+
+    files = read_binary_media(spark, str(tmp_path / "media"), glob="*.png")
+    assert files.count() == 2  # glob filtered, recursive lookup
+    media = files.select(
+        F.regexp_extract("path", r"img(\d+)\.png$", 1).cast("long").alias("doc_id"),
+        F.col("content"),
+    )
+    got = {
+        r.doc_id: (r.width, r.height, r.px_sum)
+        for r in decode_stats(media).collect()
+    }
+    assert got == want
+
+
+def test_avro_gate_raises_actionable_error(spark, sf_dir, tmp_path):
+    """Avro is external since Spark 2.4 and its jar is not bundled
+    here; the gated wrappers must either round-trip (jar present) or
+    raise the actionable classpath message — never Spark's bare
+    'Failed to find data source'."""
+    import pytest
+
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.sources.io import read_avro, write_avro
+
+    df = load_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_avro")
+    try:
+        write_avro(df, path)
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_avro(spark, path)
+        return
+    back = read_avro(spark, path)  # jar present: full round trip
+    assert back.count() == df.count()
