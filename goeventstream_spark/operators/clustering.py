@@ -401,7 +401,11 @@ def ivf_cell_assign_capped(
     )
     v_col = _grid_vector(vec_col, scale)
     limit: float | None = None
-    next_id = k
+    # Fresh split ids start ABOVE every live base id: with an explicit
+    # codebook larger than k, base cells run 0..len(centroids)-1 and
+    # starting at k would hand a split the id of an untouched base cell
+    # — two unrelated blocks silently merged and the cap voided.
+    next_id = max(k, len(centroids) if centroids is not None else k)
     for _level in range(max_levels):
         # ONE pass yields both per-cell populations (window count) and
         # the k lowest-id seed vectors per cell (window rank) — a

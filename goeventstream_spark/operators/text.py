@@ -744,9 +744,18 @@ def hashed_linear_scores(
     this totality: dropping a doc from BOTH the kept and rejects lakes
     would silently lose it at ingest."""
     passthrough = [c for c in docs.columns if c != text_col]
+    # keep_tokenless must also survive NULL text: split(NULL) is NULL
+    # and explode(NULL) emits no row, so without the coalesce a
+    # NULL-text doc would still vanish — the exact bug totality exists
+    # to prevent. (Default mode keeps the raw column: the declared
+    # queries' oracles transcribe unnest(string_split(text)), which
+    # drops NULL-text docs the same way.)
+    text_expr = (
+        F.coalesce(F.col(text_col), F.lit("")) if keep_tokenless else F.col(text_col)
+    )
     words = docs.select(
         *passthrough,
-        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        F.explode(F.split(text_expr, " ")).alias("word"),
     )
     if not keep_tokenless:
         words = words.where(F.col("word") != "")

@@ -214,8 +214,14 @@ _HEX4_DOC = " + ".join(
       FROM words WHERE word <> ''
     ),
     d AS (
-      SELECT doc_id, min(source) AS source, sum(wt) AS sw
-      FROM w GROUP BY doc_id
+      -- TOTAL over documents: a token-less doc (empty/whitespace/NULL
+      -- text) scores sw=0, mirroring hashed_linear_scores'
+      -- keep_tokenless mode — the streaming ingest gate and this batch
+      -- report must agree on every doc, not just scoreable ones
+      SELECT doc.doc_id, doc.source, coalesce(s.sw, 0) AS sw
+      FROM documents doc LEFT JOIN (
+        SELECT doc_id, sum(wt) AS sw FROM w GROUP BY doc_id
+      ) s USING (doc_id)
     ),
     flags AS (
       SELECT source,
@@ -250,7 +256,11 @@ def q_quality_filter_with_exploration(spark: SparkSession, sf_dir: str) -> DataF
     from goeventstream_spark.operators.text import hashed_linear_scores
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    d = hashed_linear_scores(docs)
+    # keep_tokenless: the report is TOTAL over documents (token-less
+    # docs score sw=0 -> kept), matching the streaming ingest gate and
+    # the oracle's LEFT JOIN from documents — the two paths must
+    # partition/count the same doc set on every corpus.
+    d = hashed_linear_scores(docs, keep_tokenless=True)
     draw = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("long")

@@ -33,10 +33,10 @@ its buffer on socket reconnect = at-least-once).
 from __future__ import annotations
 
 import json
+import queue
 import socket
 import threading
 import time
-from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,6 +48,43 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+class _DaemonPool:
+    """Fixed pool of DAEMON worker threads (the bridge's hard handler
+    concurrency bound). concurrent.futures' ThreadPoolExecutor is the
+    wrong tool here twice over: its workers are non-daemon and joined
+    by an atexit hook, so one wedged handler would hang interpreter
+    exit, and shutdown(cancel_futures=True) cannot cancel an already
+    RUNNING task. Daemon workers + a best-effort drain keep the bridge
+    unable to block process exit by construction."""
+
+    def __init__(self, n: int, name: str) -> None:
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._threads = [
+            threading.Thread(target=self._run, name=f"{name}-{i}", daemon=True)
+            for i in range(n)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args = item
+            try:
+                fn(*args)
+            except Exception:  # noqa: BLE001 - handler errors die quietly
+                pass
+
+    def submit(self, fn, *args) -> None:
+        self._q.put((fn, args))
+
+    def shutdown(self) -> None:
+        for _ in self._threads:
+            self._q.put(None)
+
 
 # GameRequest {Events []Event, State map[string]string} — main.go:97-100;
 # posted events carry Type/Body (T/Origin are server-overwritten, so a
@@ -137,6 +174,14 @@ class HttpWireBridge:
         bridge = self
 
         class _Handler(BaseHTTPRequestHandler):
+            # A client that connects and never finishes sending its
+            # body would otherwise park a bounded-pool worker FOREVER
+            # (Content-Length > bytes sent blocks rfile.read); the
+            # socket timeout bounds every worker's I/O wait. Hijacked
+            # pending polls are unaffected — holding a socket idle is
+            # not an I/O operation.
+            timeout = 60
+
             def do_POST(self) -> None:  # noqa: N802 (stdlib casing)
                 length = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(length) if length else b""
@@ -236,9 +281,7 @@ class HttpWireBridge:
             def __init__(srv, addr, handler):
                 srv.hijacked: set[socket.socket] = set()
                 srv.hijack_lock = threading.Lock()
-                srv.pool = ThreadPoolExecutor(
-                    max_workers=pool_workers, thread_name_prefix="bridge-http"
-                )
+                srv.pool = _DaemonPool(pool_workers, "bridge-http")
                 super().__init__(addr, handler)
 
             def process_request(srv, request, client_address):
@@ -254,7 +297,7 @@ class HttpWireBridge:
 
             def server_close(srv):
                 super().server_close()
-                srv.pool.shutdown(wait=False, cancel_futures=True)
+                srv.pool.shutdown()
 
         self._http = _PooledServer((host, 0), _Handler)
         self.http_port = self._http.server_address[1]
@@ -312,8 +355,15 @@ class HttpWireBridge:
         with self._http.hijack_lock:
             self._http.hijacked.add(sock)
         with self._rsp_cond:
-            self._pending[sid] = (sock, deadline)
-            self._rsp_cond.notify_all()
+            if not self._stop:
+                self._pending[sid] = (sock, deadline)
+                self._rsp_cond.notify_all()
+                return
+        # Shutdown race: a handler can reach here AFTER the dispatcher
+        # drained and returned — registering now would leave the poller
+        # unanswered and the socket leaked. Answer the documented
+        # drain-to-ACK inline instead.
+        self._send_and_close(sock, 202, json.dumps({"SyncId": sid}).encode())
 
     def _send_and_close(
         self, sock: socket.socket, status: int, payload: bytes

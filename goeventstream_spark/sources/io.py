@@ -309,7 +309,10 @@ def write_idempotent(
         if not name.startswith(f"_tmp_batch_{batch_id}_"):
             continue
         leaked = os.path.join(base_path, name)
-        newest = os.path.getmtime(leaked)
+        try:
+            newest = os.path.getmtime(leaked)
+        except OSError:
+            continue  # renamed/removed by a concurrent attempt = live race
         for root, _dirs, files in os.walk(leaked):
             for ent in files:
                 try:
@@ -375,6 +378,15 @@ def read_binary_media(
     )
 
 
+def _is_missing_avro_source(exc: Exception) -> bool:
+    """ONLY the missing-data-source failure may be rewritten into the
+    classpath hint — a substring test on 'avro' would also match any
+    real error whose message embeds an avro output path (ENOSPC,
+    permissions, schema errors) and mask it."""
+    msg = str(exc)
+    return "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg
+
+
 def write_avro(df: DataFrame, path: str) -> None:
     """Avro sink — GATED: the spark-avro module is external since
     Spark 2.4 and its jar is not bundled in this environment; the
@@ -384,7 +396,7 @@ def write_avro(df: DataFrame, path: str) -> None:
     try:
         df.write.format("avro").mode("overwrite").save(path)
     except Exception as exc:  # AnalysisException: missing data source
-        if "avro" in str(exc).lower():
+        if _is_missing_avro_source(exc):
             raise RuntimeError(
                 "Avro support needs the external spark-avro package "
                 "(org.apache.spark:spark-avro_2.13) on the classpath; "
@@ -398,7 +410,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:
-        if "avro" in str(exc).lower():
+        if _is_missing_avro_source(exc):
             raise RuntimeError(
                 "Avro support needs the external spark-avro package "
                 "(org.apache.spark:spark-avro_2.13) on the classpath; "

@@ -13,7 +13,10 @@ lake-side exactly-once contract).
 Correctness invariant (pinned by the streaming==batch test): both
 gates are pure per-document functions of content and id, so the union
 of kept partitions over any batching of the corpus equals the batch
-`quality_filter_with_exploration` keep set exactly.
+`quality_filter_with_exploration` keep set exactly — INCLUDING
+token-less documents (empty / whitespace-only / NULL text), which both
+paths score sw=0 and keep (the batch query and its oracle are total
+over documents via the same keep_tokenless contract).
 """
 
 from __future__ import annotations

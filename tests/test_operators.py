@@ -845,6 +845,7 @@ def test_hashed_linear_scores_keep_tokenless_totality(spark):
             (2, "s", ""),
             (3, "s", "   "),
             (4, "s", "gamma"),
+            (5, "s", None),  # NULL text: split(NULL) explodes to NOTHING
         ],
         "doc_id long, source string, text string",
     )
@@ -856,7 +857,7 @@ def test_hashed_linear_scores_keep_tokenless_totality(spark):
         for r in hashed_linear_scores(docs, keep_tokenless=True).collect()
     }
     assert set(default) == {1, 4}  # documented: token-less rows absent
-    assert set(total) == {1, 2, 3, 4}
-    assert total[2] == (0, 0) and total[3] == (0, 0)
+    assert set(total) == {1, 2, 3, 4, 5}
+    assert total[2] == (0, 0) and total[3] == (0, 0) and total[5] == (0, 0)
     for d in (1, 4):  # token-ful scores identical across modes
         assert total[d] == default[d]

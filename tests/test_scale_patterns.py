@@ -963,3 +963,32 @@ def test_partitioned_lake_executed_scan_pruning(spark, sf_dir, tmp_path):
     # 3 'on' dates x 4 games = 12 of the lake's partitions, runtime-pruned
     assert mp["numPartitions"] < n_total, mp
     assert mp["numPartitions"] <= 3 * 4, mp
+
+
+def test_ivf_capped_fresh_ids_with_oversized_codebook(spark):
+    """With an explicit codebook LARGER than k, base cells run
+    0..len(centroids)-1 — split ids must start above ALL of them, or a
+    hot cell's sub-cells silently merge with untouched base cells and
+    void the cap."""
+    from pyspark.sql import Row
+
+    from goeventstream_spark.operators.clustering import ivf_cell_assign_capped
+
+    # 8 well-separated unit-ish centroids on the 1000-grid; all vectors
+    # near centroid 7, so cell 7 is hot and everything else is cold.
+    cents = [[1000 * (1 if d == j % 4 else -1) * (1 if j < 4 else 2) for d in range(4)]
+             for j in range(8)]
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=i, label=0,
+                embedding=[c / 1000 + 0.05 * ((i * (d + 2)) % 7) for d, c in enumerate(cents[7])])
+            for i in range(60)
+        ]
+    )
+    capped = ivf_cell_assign_capped(
+        emb, k=4, iters=2, cap=20, centroids=cents, max_levels=3
+    )
+    cells = {r.cell for r in capped.select("cell").distinct().collect()}
+    # every split id must be >= len(centroids)=8, never colliding with
+    # the live base id range 0..7 (the old bug handed out 4..7)
+    assert all(c >= 8 for c in cells), cells

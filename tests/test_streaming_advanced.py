@@ -1151,7 +1151,11 @@ def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
     # the gate scores them sw=0 -> kept lake, so kept + rejects still
     # partition the corpus (the fixture alone can't exercise this)
     tokenless = spark.createDataFrame(
-        [(1_000_001, "synthetic", ""), (1_000_002, "synthetic", "   ")],
+        [
+            (1_000_001, "synthetic", ""),
+            (1_000_002, "synthetic", "   "),
+            (1_000_003, "synthetic", None),  # NULL text must not vanish either
+        ],
         "doc_id long, source string, text string",
     )
     docs = docs.unionByName(tokenless)
@@ -1183,7 +1187,7 @@ def test_streaming_quality_gate_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got_kept == want_kept and len(got_kept) > 0
-    assert {1_000_001, 1_000_002} <= got_kept  # token-less: sw=0 -> kept
+    assert {1_000_001, 1_000_002, 1_000_003} <= got_kept  # sw=0 -> kept
     got_rej = {r.doc_id for r in rejects.select("doc_id").collect()}
     assert got_rej.isdisjoint(got_kept)
     assert len(got_rej) + len(got_kept) == docs.count()
