@@ -195,6 +195,11 @@ HEADLINE = [
     "approx_stats",
     "embedding_near_dup_capped",
     "vocab_coverage",
+    "kmv_setops_report",
+    "cluster_balanced_sample",
+    "kcore_peel_trajectory",
+    "semantic_decontaminate",
+    "bpe_train_steps",
 ]
 
 

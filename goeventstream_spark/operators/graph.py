@@ -271,3 +271,67 @@ def personalized_pagerank_fixed(
             )
         )
     return ranks.select("node", "rank")
+
+
+def kcore_peel_trajectory(edges: DataFrame, k: int = 3, rounds: int = 5) -> DataFrame:
+    """Bounded-round k-core peeling (Batagelj-Zaveršnik decomposition,
+    distributed form): each round drops every node whose degree in the
+    CURRENT graph is below ``k``, then drops edges that lost an
+    endpoint; the fixed point is the k-core. ``rounds`` is a fixed
+    unroll (the declarative analogue of the PageRank unroll above), so
+    the output is deterministic whether or not the peel has converged —
+    the per-round (nodes, edges) trajectory itself is the result, and
+    two consecutive equal rows certify convergence.
+
+    Input: undirected distinct edge list with columns ``a`` < ``b``.
+    Output: one row per round r in 1..rounds —
+    (peel_round, nodes_remaining, edges_remaining), where nodes_remaining
+    counts nodes of degree >= k at the START of round r and
+    edges_remaining counts edges with both endpoints surviving.
+
+    100 TB shape: each round is one degree aggregation (map-side
+    combinable, keyed by node) plus two left-semi joins of the edge
+    relation against the surviving-node relation — all equi-keyed
+    shuffles that AQE can size; no collect, no windows, no cartesian.
+    Rounds are a fixed small constant. Each round materializes its
+    survivor and edge relations with an eager localCheckpoint: round r
+    references round r-1 three times (degree census + both semi-join
+    probes), so an unbroken lineage grows ~5^rounds plan paths and
+    stalls Catalyst's tree-walking rules (measured: round 5 never
+    finishes planning); the checkpoint truncates each round to an
+    in-memory scan — exactly the per-superstep materialization a
+    production Pregel-style driver loop does. Results are identical;
+    only scheduling changes. (persist() alone does NOT fix this: the
+    cache substitution still canonicalizes the exponential tree.)
+    """
+    e = edges.select("a", "b")
+    summaries = []
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(deg.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(deg.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        row = (
+            deg.agg(F.count("*").cast("long").alias("nodes_remaining"))
+            .crossJoin(e.agg(F.count("*").cast("long").alias("edges_remaining")))
+            .select(
+                F.lit(r).cast("long").alias("peel_round"),
+                "nodes_remaining",
+                "edges_remaining",
+            )
+        )
+        summaries.append(row)
+    out = summaries[0]
+    for row in summaries[1:]:
+        out = out.unionByName(row)
+    return out

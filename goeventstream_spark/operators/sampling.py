@@ -308,3 +308,48 @@ def dsir_importance(
             .alias("dsir_score"),
         )
     )
+
+
+def balanced_quota_sample(
+    df: DataFrame, block_col: str = "cell", id_col: str = "vec_id"
+) -> DataFrame:
+    """Cluster-balanced sampling (the DCLM / DeepSeekMath topic-rebalance
+    step): allocate every block (semantic cluster, source, shard) the
+    SAME quota — floor(total / n_blocks), at least 1 — and keep each
+    block's quota by a deterministic md5 draw, so over-represented
+    topics are down-sampled toward a uniform topic mixture while rare
+    topics keep everything they have.
+
+    Output: one row per block — (block, n_total, quota, n_kept,
+    kept_id_sum), where kept_id_sum is the order-independent checksum
+    of the kept id set (the report pins the exact sample, not just its
+    size).
+
+    Scale shape: the quota is a 1-row aggregate broadcast-cross-joined
+    (never a global window); the per-block rank window is bounded by
+    the block population, which upstream hot-cell capping
+    (clustering.ivf_cell_assign_capped) keeps under a known fraction
+    of the corpus — the same bound that makes in-block pair generation
+    safe makes this window safe.
+    """
+    from pyspark.sql import Window
+
+    tot = df.agg(
+        F.count("*").alias("_n"), F.countDistinct(block_col).alias("_nc")
+    )
+    draw = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(block_col).orderBy(draw, id_col)
+    ranked = (
+        df.crossJoin(F.broadcast(tot))
+        .withColumn("_quota", F.expr("greatest(CAST(1 AS BIGINT), _n div _nc)"))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    kept = F.col("_rn") <= F.col("_quota")
+    return ranked.groupBy(F.col(block_col).alias("block")).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.max("_quota").cast("long").alias("quota"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col(id_col)).otherwise(0)).cast("long").alias(
+            "kept_id_sum"
+        ),
+    )

@@ -279,3 +279,42 @@ def heavy_hitters(
         .where(F.col("cnt") * F.lit(denom) > F.col("n_total"))
         .select(key_col, "cnt", "n_total")
     )
+
+
+def kmv_bottom_k(distinct_hashes: DataFrame, key_col: str, k: int = 32) -> DataFrame:
+    """KMV / bottom-k distinct-value sketch (Bar-Yossef et al. 2002;
+    Beyer et al. SIGMOD'07): per key, the k smallest values of a
+    uniform hash over the distinct items. The sketch supports
+    cardinality estimation ((k-1) * H / h_k for hash domain H) and —
+    because bottom-k of a union is computable from the per-set
+    bottom-k's — union/intersection/Jaccard estimates between keys,
+    the Theta-sketch workload. Deterministic given the hash, so the
+    whole estimator pipeline is replayable cross-engine.
+
+    Input: ``distinct_hashes`` must be DISTINCT (key, h) rows with h a
+    BIGINT hash. Output: (key, h, rn) with rn in 1..k ascending by h.
+
+    Scale shape: exact per-key bottom-k WITHOUT a per-key global sort —
+    phase 1 takes each physical partition's per-key bottom-k (a window
+    over the (key, partition-id) pair, so no single task ever sorts a
+    whole key), phase 2 re-ranks the <= k * n_partitions survivors per
+    key. Bottom-k of per-partition bottom-k's equals the global
+    bottom-k, so the partition-id intermediate is invisible in the
+    result. This is the repo's exact_global_rank discipline applied to
+    per-key top-k: correct under any row placement, bounded per-task.
+    """
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(key_col, "_pid").orderBy("h")
+    cand = (
+        distinct_hashes.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .select(key_col, "h")
+    )
+    w2 = Window.partitionBy(key_col).orderBy("h")
+    return (
+        cand.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .where(F.col("rn") <= k)
+        .select(key_col, "h", "rn")
+    )

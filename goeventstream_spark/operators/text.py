@@ -779,3 +779,95 @@ def hashed_linear_scores(
         F.sum("wt").alias("sw"),
         n_expr,
     )
+
+
+def bpe_train_steps(docs: DataFrame, steps: int = 3, text_col: str = "text") -> DataFrame:
+    """TRUE multi-step BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909) as one declarative plan — not just the pass-1
+    pair census of ``bpe_merge_candidates`` above: each step counts
+    adjacent token pairs over the CURRENT tokenization, merges the top
+    pair corpus-wide, and the next step's counts reflect that merge.
+
+    Token representation: the classic distinct-word trick — the corpus
+    folds to a (word, freq) vocabulary first, every word starts as a
+    char sequence, and a learned merge i rewrites its pair to the
+    single sentinel char(i) (ASCII control codes, provably absent from
+    the vocabulary — defensively filtered), so a token is always
+    exactly one char and adjacent-pair enumeration stays a length-1
+    substring explode. ``replace`` rewrites non-overlapping
+    occurrences left-to-right in both engines, which is precisely the
+    reference BPE merge order; pair COUNTS are position-based (count
+    overlaps), so tokens_after can shrink by less than pair_count on
+    self-overlapping runs — faithful to the reference trainer, where
+    merge application is also greedy left-to-right.
+
+    Merge selection is corpus-global: highest freq-weighted count,
+    ties to the lexicographically smallest pair (byte order in both
+    engines). The winning pair is a 1-row relation broadcast back over
+    the vocabulary — no collect, the whole multi-step trainer is one
+    Catalyst plan.
+
+    Output: one row per step — (step, pair, pair_count, tokens_before,
+    tokens_after), with ``pair`` displayed in fully-expanded surface
+    chars (sentinels substituted back through earlier merges).
+
+    100 TB shape: per step, one map-side explode over the DISTINCT
+    vocabulary (sublinear in corpus size), one aggregation over the
+    bounded pair alphabet (chars + earlier sentinels, squared), one
+    TakeOrdered(1), one broadcast rewrite. The vocabulary relation
+    never sorts globally and never collects.
+    """
+    vocab = _words(docs, text_col=text_col)
+    for i in range(1, steps + 1):
+        vocab = vocab.where(~F.col("word").contains(chr(i)))
+    v = (
+        vocab.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumnRenamed("word", "w0")
+    )
+    for i in range(1, steps + 1):
+        prev = f"w{i - 1}"
+        pairs = v.where(F.length(prev) >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(prev) - 1),
+                    lambda j: F.col(prev).substr(j, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        cnt = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("c"))
+        top = (
+            cnt.orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+            .select(F.col("pair").alias(f"p{i}"), F.col("c").alias(f"c{i}"))
+        )
+        v = v.crossJoin(F.broadcast(top)).withColumn(
+            f"w{i}", F.expr(f"replace(w{i - 1}, p{i}, char({i}))")
+        )
+    aggs = [
+        F.sum(F.col("freq") * F.length(f"w{i}")).cast("long").alias(f"t{i}")
+        for i in range(0, steps + 1)
+    ] + [
+        c
+        for i in range(1, steps + 1)
+        for c in (F.max(f"p{i}").alias(f"p{i}"), F.max(f"c{i}").alias(f"c{i}"))
+    ]
+    one = v.agg(*aggs)
+
+    def display(i: int) -> str:
+        e = f"p{i}"
+        for j in range(i - 1, 0, -1):
+            e = f"replace({e}, char({j}), p{j})"
+        return e
+
+    rows = ", ".join(
+        f"CAST({i} AS BIGINT), {display(i)}, c{i}, t{i - 1}, t{i}"
+        for i in range(1, steps + 1)
+    )
+    return one.select(
+        F.expr(
+            f"stack({steps}, {rows}) AS"
+            " (step, pair, pair_count, tokens_before, tokens_after)"
+        )
+    )

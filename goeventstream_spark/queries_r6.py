@@ -1,0 +1,532 @@
+"""Round-6 query registrations — five genuinely new operator families
+on top of the hardening work this round closed:
+
+- ``kmv_setops_report``: KMV / bottom-k distinct sketches with
+  union/intersection estimation (the Theta-sketch workload) — exact
+  bottom-k is deterministic given the md5 hash, so even the sketch
+  ESTIMATES hash-compare cross-engine, with exact counts and error
+  ppms beside them.
+- ``cluster_balanced_sample``: DCLM-style topic rebalancing over the
+  hot-cell-capped IVF cells (uniform per-cluster quotas, deterministic
+  md5 draws, order-independent kept-set checksums).
+- ``kcore_peel_trajectory``: bounded-round k-core decomposition of the
+  support-filtered co-purchase graph — the iterative graph-peeling
+  family (PageRank's fixed-point cousin), with the per-round
+  trajectory itself as the deterministic result.
+- ``semantic_decontaminate``: embedding-space benchmark
+  decontamination (the semantic twin of the k-gram ``decontaminate``):
+  corpus vectors cosine-close to any held-out bench vector inside the
+  same capped IVF cell are flagged, per-label contamination report.
+- ``bpe_train_steps``: THREE true BPE training iterations as one
+  declarative plan — each merge rewrites the corpus tokenization
+  before the next pair census, with the winning pair broadcast back
+  as a 1-row relation (no collect).
+
+Cross-engine determinism: all counts/sums BIGINT; every ratio is one
+integer floor-division (Spark ``div`` == DuckDB ``//`` on the
+non-negative values used here); cosine follows the established
+list_dot_product left-fold contract of queries_llm; string merges use
+``replace`` (non-overlapping left-to-right in both engines) with
+ASCII-control sentinels chr(1..3) that never reach the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goeventstream_spark.queries import query
+from goeventstream_spark.sources import load_table
+
+# 12-hex-digit md5 slice -> BIGINT in [0, 2^48): DuckDB side (the
+# queries_llm strpos idiom); Spark side uses conv(). 48 bits keeps
+# every estimator product (31 * 2^48, k * est) inside BIGINT.
+_KMV_K = 32
+_KMV_H = 1 << 48
+_HEX12_USER = " + ".join(
+    "(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), "
+    f"{j + 1}, 1)) - 1) * {16 ** (11 - j)}"
+    for j in range(12)
+)
+
+
+@query(
+    "kmv_setops_report",
+    f"""
+    WITH ev AS (
+      SELECT DISTINCT event_type, {_HEX12_USER} AS h FROM events
+    ),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM ev
+      ) WHERE rn <= {_KMV_K}
+    ),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM ev GROUP BY 1
+    ),
+    tp AS (SELECT DISTINCT event_type FROM sk),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM tp a JOIN tp b ON a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT type_a, type_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.event_type = p.type_a
+        UNION ALL
+        SELECT p.type_a, p.type_b, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.event_type = p.type_b
+      ) GROUP BY 1, 2, 3
+    ),
+    mg AS (
+      SELECT type_a, type_b, h, in_a, in_b FROM (
+        SELECT type_a, type_b, h, in_a, in_b,
+               row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+        FROM m
+      ) WHERE rn <= {_KMV_K}
+    ),
+    pp AS (
+      SELECT type_a, type_b,
+             CAST(count(*) AS BIGINT) AS n_merged,
+             max(h) AS mk,
+             CAST(sum(in_a * in_b) AS BIGINT) AS k_common
+      FROM mg GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS exact_intersect
+      FROM ev a JOIN ev b ON a.h = b.h AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    calc AS (
+      SELECT pp.type_a, pp.type_b, pp.k_common, pp.n_merged,
+             CASE WHEN pp.n_merged < {_KMV_K} THEN pp.n_merged
+                  ELSE CAST({(_KMV_K - 1) * _KMV_H} AS BIGINT) // pp.mk
+             END AS est_union,
+             sa.n_exact AS na, sb.n_exact AS nb,
+             CAST(coalesce(ex.exact_intersect, 0) AS BIGINT) AS exact_intersect
+      FROM pp
+      JOIN stats sa ON sa.event_type = pp.type_a
+      JOIN stats sb ON sb.event_type = pp.type_b
+      LEFT JOIN ex ON ex.type_a = pp.type_a AND ex.type_b = pp.type_b
+    )
+    SELECT type_a, type_b,
+           CAST(k_common AS BIGINT) AS k_common,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(na + nb - exact_intersect AS BIGINT) AS exact_union,
+           CAST((1000000 * abs(est_union - (na + nb - exact_intersect)))
+                // (na + nb - exact_intersect) AS BIGINT) AS union_err_ppm,
+           CAST((k_common * est_union)
+                // least(CAST({_KMV_K} AS BIGINT), n_merged) AS BIGINT)
+             AS est_intersect,
+           CAST(exact_intersect AS BIGINT) AS exact_intersect
+    FROM calc
+    """,
+)
+def q_kmv_setops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketches per event
+    type, with the Theta-sketch set-operation workload on top: for
+    every type pair, estimate |A ∪ B| from the merged bottom-k and
+    |A ∩ B| via the Jaccard rule K_common/k · est_union (Beyer et al.
+    SIGMOD'07), next to the EXACT union/intersection and the error in
+    ppm — the sketch-accuracy audit a 100 TB overlap analysis runs on
+    a small slice before trusting sketches corpus-wide.
+
+    Determinism: the sketch is the exact bottom-k of a deterministic
+    48-bit md5 hash, so estimates are reproducible values, not random
+    draws — DuckDB replays hash, sketch, merge, and estimators
+    bit-identically. When a set has fewer than k hashes the sketch IS
+    the set and the estimator falls back to the exact count (the
+    standard KMV small-set rule), so the query is total at every SF.
+
+    100 TB shape: per-key bottom-k via the two-phase partition-local
+    rank (sketches.kmv_bottom_k — no single task ever sorts a whole
+    key); everything downstream of the sketches operates on k-row
+    relations per (bounded) type pair. The exact sides join on the
+    hash key (equi-shuffle) and exist to audit the estimator; at
+    production scale one drops them and keeps the sketch half, which
+    touches each input row exactly once.
+    """
+    from goeventstream_spark.operators import sketches
+
+    k = _KMV_K
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    sk = sketches.kmv_bottom_k(ev, "event_type", k=k).select("event_type", "h")
+    stats = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n_exact"))
+    tp = sk.select("event_type").distinct()
+    pairs = (
+        tp.alias("a")
+        .join(F.broadcast(tp.alias("b")), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    ma = pairs.join(sk.withColumnRenamed("event_type", "type_a"), "type_a").select(
+        "type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    mb = pairs.join(sk.withColumnRenamed("event_type", "type_b"), "type_b").select(
+        "type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    m = (
+        ma.unionByName(mb)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    mg = m.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    pp = mg.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n_merged"),
+        F.max("h").alias("mk"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("k_common"),
+    )
+    ex = (
+        ev.alias("a")
+        .join(
+            ev.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("exact_intersect"))
+    )
+    calc = (
+        pp.join(
+            stats.withColumnRenamed("event_type", "type_a").withColumnRenamed(
+                "n_exact", "na"
+            ),
+            "type_a",
+        )
+        .join(
+            stats.withColumnRenamed("event_type", "type_b").withColumnRenamed(
+                "n_exact", "nb"
+            ),
+            "type_b",
+        )
+        .join(ex, ["type_a", "type_b"], "left")
+        .withColumn(
+            "exact_intersect", F.coalesce("exact_intersect", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "est_union",
+            F.expr(
+                f"CASE WHEN n_merged < {k} THEN n_merged"
+                f" ELSE CAST({(k - 1) * _KMV_H} AS BIGINT) div mk END"
+            ),
+        )
+    )
+    return calc.select(
+        "type_a",
+        "type_b",
+        F.col("k_common").cast("long").alias("k_common"),
+        F.col("est_union").cast("long").alias("est_union"),
+        (F.col("na") + F.col("nb") - F.col("exact_intersect"))
+        .cast("long")
+        .alias("exact_union"),
+        F.expr(
+            "(1000000 * abs(est_union - (na + nb - exact_intersect)))"
+            " div (na + nb - exact_intersect)"
+        )
+        .cast("long")
+        .alias("union_err_ppm"),
+        F.expr(f"(k_common * est_union) div least(CAST({k} AS BIGINT), n_merged)")
+        .cast("long")
+        .alias("est_intersect"),
+        F.col("exact_intersect").cast("long").alias("exact_intersect"),
+    )
+
+
+def _cluster_balanced_sample_sql() -> str:
+    from goeventstream_spark.kq_sql import KQ_CAPPED_CELL_CTES, KQ_CELL_CTES
+
+    return f"""
+    WITH {KQ_CELL_CTES},
+    {KQ_CAPPED_CELL_CTES},
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT cell) AS BIGINT) AS nc FROM kcap),
+    q AS (SELECT greatest(CAST(1 AS BIGINT), n // nc) AS quota FROM tot),
+    r AS (
+      SELECT cell, vec_id,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM kcap
+    )
+    SELECT CAST(cell AS BIGINT) AS block,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(max(quota) AS BIGINT) AS quota,
+           CAST(sum(CASE WHEN rn <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= quota THEN vec_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM r, q GROUP BY cell
+    """
+
+
+@query("cluster_balanced_sample", _cluster_balanced_sample_sql())
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (the DCLM / topic-rebalance curation
+    step): every hot-cell-capped IVF cell gets the SAME keep quota
+    (floor(total/n_cells), min 1), filled by a deterministic md5 draw —
+    over-represented semantic clusters are down-sampled toward a
+    uniform topic mixture, rare clusters keep everything. The report
+    pins the exact kept SET per cell via an order-independent id-sum
+    checksum, not just sizes.
+
+    Composes the round's skew-guarded blocking
+    (clustering.ivf_cell_assign_capped, cap_frac 0.26 — the oracle
+    replays the full conditional split trajectory via
+    kq_sql.KQ_CAPPED_CELL_CTES) with sampling.balanced_quota_sample.
+
+    100 TB shape: the quota is a 1-row broadcast (never a global
+    window); the per-cell draw-rank window is bounded by the cell
+    population, which the hot-cell cap bounds by construction — the
+    same guarantee that makes in-cell pair generation safe.
+    """
+    from goeventstream_spark.kq_sql import KQ_CAPPED_FRAC
+    from goeventstream_spark.operators import clustering, sampling
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = clustering.ivf_cell_assign_capped(
+        emb, k=4, iters=2, scale=1000, cap_frac=KQ_CAPPED_FRAC, max_levels=1
+    ).select(F.col("vec_id"), F.col("cell").cast("long").alias("cell"))
+    return sampling.balanced_quota_sample(cells, block_col="cell", id_col="vec_id")
+
+
+@query(
+    "kcore_peel_trajectory",
+    """
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.p AS a, b.p AS b FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    d1 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+           GROUP BY node HAVING count(*) >= 3),
+    e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM d1)
+                                 AND b IN (SELECT node FROM d1)),
+    d2 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+           GROUP BY node HAVING count(*) >= 3),
+    e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM d2)
+                                 AND b IN (SELECT node FROM d2)),
+    d3 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+           GROUP BY node HAVING count(*) >= 3),
+    e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM d3)
+                                 AND b IN (SELECT node FROM d3)),
+    d4 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+           GROUP BY node HAVING count(*) >= 3),
+    e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT node FROM d4)
+                                 AND b IN (SELECT node FROM d4)),
+    d5 AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+           GROUP BY node HAVING count(*) >= 3),
+    e5 AS MATERIALIZED (SELECT a, b FROM e4 WHERE a IN (SELECT node FROM d5)
+                                 AND b IN (SELECT node FROM d5))
+    SELECT CAST(1 AS BIGINT) AS peel_round,
+           (SELECT CAST(count(*) AS BIGINT) FROM d1) AS nodes_remaining,
+           (SELECT CAST(count(*) AS BIGINT) FROM e1) AS edges_remaining
+    UNION ALL SELECT CAST(2 AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM d2),
+           (SELECT CAST(count(*) AS BIGINT) FROM e2)
+    UNION ALL SELECT CAST(3 AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM d3),
+           (SELECT CAST(count(*) AS BIGINT) FROM e3)
+    UNION ALL SELECT CAST(4 AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM d4),
+           (SELECT CAST(count(*) AS BIGINT) FROM e4)
+    UNION ALL SELECT CAST(5 AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM d5),
+           (SELECT CAST(count(*) AS BIGINT) FROM e5)
+    """,
+)
+def q_kcore_peel_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the support-filtered co-purchase
+    part graph (parts sharing >= 2 orders), as a bounded 5-round peel
+    trajectory: each round drops nodes of current degree < 3, then
+    edges that lost an endpoint; the fixed point is the 3-core, and
+    two consecutive equal rows certify convergence. The trajectory
+    (not just the fixed point) is the declared result, so the output
+    is deterministic whether or not 5 rounds converge — at sf0.01 the
+    graph peels for all 5 rounds, at sf0.1 it empties by round 2, and
+    pytest pins round-by-round equality to an independent Python peel
+    to its true fixed point.
+
+    100 TB shape (graph.kcore_peel_trajectory): per round, one
+    map-side-combinable degree aggregation plus two left-semi
+    equi-joins — the same unrolled-iteration discipline as
+    nation_pagerank, with no windows, no collect, no cartesian. The
+    support>=2 filter is the standard co-occurrence denoiser and also
+    the edge-volume bound (pair counts shuffle on the pair key).
+    """
+    from goeventstream_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = op.withColumnRenamed("item", "a")
+    b = op.withColumnRenamed("item", "b")
+    edges = (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select("a", "b")
+    )
+    return graph.kcore_peel_trajectory(edges, k=3, rounds=5)
+
+
+def _semantic_decontaminate_sql() -> str:
+    from goeventstream_spark.kq_sql import KQ_CAPPED_CELL_CTES, KQ_CELL_CTES
+
+    return f"""
+    WITH {KQ_CELL_CTES},
+    {KQ_CAPPED_CELL_CTES},
+    ev2 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    corp AS (SELECT * FROM ev2 WHERE vec_id % 16 <> 7),
+    ben AS (SELECT * FROM ev2 WHERE vec_id % 16 = 7),
+    fl AS (
+      SELECT DISTINCT c.vec_id, c.label
+      FROM corp c
+      JOIN kcap kc ON kc.vec_id = c.vec_id
+      JOIN kcap kb ON kb.cell = kc.cell
+      JOIN ben b ON b.vec_id = kb.vec_id
+      WHERE list_dot_product(c.dv, b.dv)
+            / (sqrt(list_dot_product(c.dv, c.dv))
+               * sqrt(list_dot_product(b.dv, b.dv))) >= 0.35
+    ),
+    cg AS (SELECT label, CAST(count(*) AS BIGINT) AS n_corpus FROM corp GROUP BY 1),
+    fg AS (SELECT label, CAST(count(*) AS BIGINT) AS nf FROM fl GROUP BY 1)
+    SELECT CAST(cg.label AS INT) AS label, cg.n_corpus,
+           CAST(coalesce(fg.nf, 0) AS BIGINT) AS n_flagged,
+           CAST((1000000 * coalesce(fg.nf, 0)) // cg.n_corpus AS BIGINT)
+             AS flagged_ppm
+    FROM cg LEFT JOIN fg USING (label)
+    """
+
+
+@query("semantic_decontaminate", _semantic_decontaminate_sql())
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    the k-gram ``decontaminate`` query: corpus vectors whose cosine to
+    ANY held-out benchmark vector (vec_id % 16 == 7, the deterministic
+    eval split) reaches 0.35 inside the same hot-cell-capped IVF cell
+    are flagged as contaminated; the report is per-label corpus size,
+    flagged count, and contamination ppm. Paraphrased eval leakage
+    that exact n-gram matching misses is exactly what this pass
+    catches in a real training pipeline.
+
+    Recall contract: probe=1 cell blocking (the SemDeDup convention
+    this repo's semantic queries share) — a contaminated pair split
+    across cells is not flagged; the oracle replays the identical
+    blocking, so the declared semantics are the blocked ones.
+
+    100 TB shape: pair generation reuses similarity.embedding_near_dup
+    on the capped cells (bounded in-cell Arrow GEMM blocks, one
+    shuffle on the cell key); the bench side is a ~1/16 hash slice, so
+    flagged pairs are sparse; per-label rollup is one bounded agg.
+    """
+    from goeventstream_spark.kq_sql import KQ_CAPPED_FRAC
+    from goeventstream_spark.operators import clustering, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = clustering.ivf_cell_assign_capped(
+        emb, k=4, iters=2, scale=1000, cap_frac=KQ_CAPPED_FRAC, max_levels=1
+    )
+    pairs = similarity.embedding_near_dup(cells, threshold=0.35, block_col="cell")
+    ba = F.col("vec_a") % 16 == 7
+    bb = F.col("vec_b") % 16 == 7
+    flagged = (
+        pairs.where(ba != bb)
+        .select(F.when(ba, F.col("vec_b")).otherwise(F.col("vec_a")).alias("vec_id"))
+        .distinct()
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("nf"))
+    )
+    corp = emb.where(F.col("vec_id") % 16 != 7)
+    cg = corp.groupBy("label").agg(F.count("*").cast("long").alias("n_corpus"))
+    return (
+        cg.join(flagged, "label", "left")
+        .withColumn("nf", F.coalesce("nf", F.lit(0)).cast("long"))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_corpus",
+            F.col("nf").alias("n_flagged"),
+            F.expr("(1000000 * nf) div n_corpus").cast("long").alias("flagged_ppm"),
+        )
+    )
+
+
+def _bpe_steps_sql() -> str:
+    def pc(i: int) -> str:
+        return f"""
+    pc{i} AS (
+      SELECT pair, sum(freq) AS c FROM (
+        SELECT freq, unnest(list_transform(generate_series(1, length(w{i - 1}) - 1),
+                                           j -> substr(w{i - 1}, j, 2))) AS pair
+        FROM v{i - 1} WHERE length(w{i - 1}) >= 2
+      ) GROUP BY 1
+    ),
+    t{i} AS (SELECT pair AS p{i}, c AS c{i} FROM pc{i} ORDER BY c DESC, pair LIMIT 1),
+    v{i} AS (SELECT v{i - 1}.*, replace(w{i - 1}, p{i}, chr({i})) AS w{i}, p{i}, c{i}
+             FROM v{i - 1}, t{i})"""
+
+    return f"""
+    WITH v0 AS (
+      SELECT word AS w0, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> '' AND strpos(word, chr(1)) = 0
+        AND strpos(word, chr(2)) = 0 AND strpos(word, chr(3)) = 0
+      GROUP BY 1
+    ),{pc(1)},{pc(2)},{pc(3)},
+    s AS (
+      SELECT CAST(sum(freq * length(w0)) AS BIGINT) AS t0,
+             CAST(sum(freq * length(w1)) AS BIGINT) AS t1,
+             CAST(sum(freq * length(w2)) AS BIGINT) AS t2,
+             CAST(sum(freq * length(w3)) AS BIGINT) AS t3,
+             max(p1) AS p1, CAST(max(c1) AS BIGINT) AS c1,
+             max(p2) AS p2, CAST(max(c2) AS BIGINT) AS c2,
+             max(p3) AS p3, CAST(max(c3) AS BIGINT) AS c3
+      FROM v3
+    )
+    SELECT CAST(1 AS BIGINT) AS step, p1 AS pair, c1 AS pair_count,
+           t0 AS tokens_before, t1 AS tokens_after FROM s
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), replace(p2, chr(1), p1), c2, t1, t2 FROM s
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), replace(replace(p3, chr(2), p2), chr(1), p1),
+           c3, t2, t3 FROM s
+    """
+
+
+@query("bpe_train_steps", _bpe_steps_sql())
+def q_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three TRUE BPE tokenizer-training iterations (Sennrich et al.
+    2016) as one declarative plan — unlike ``bpe_merge_candidates``
+    (the pass-1 pair census), each step here rewrites the corpus
+    tokenization with the learned merge before the next pair count,
+    so steps 2 and 3 count pairs over MERGED tokens. Output per step:
+    the winning pair (surface chars), its freq-weighted count, and
+    corpus token totals before/after the merge — the compression
+    trajectory a tokenizer-training run reports.
+
+    See text.bpe_train_steps for the sentinel-token representation,
+    the replace() merge-order contract, and the 100 TB shape (distinct
+    vocabulary explodes map-side; pair censuses aggregate over the
+    bounded pair alphabet; each winner is a 1-row broadcast — the
+    whole trainer never collects).
+    """
+    from goeventstream_spark.operators.text import bpe_train_steps
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_steps(docs, steps=3)

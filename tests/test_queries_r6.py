@@ -1,0 +1,323 @@
+"""Property tests for the round-6 query families: KMV set-op sketches,
+k-core peeling, cluster-balanced sampling, semantic decontamination,
+and the multi-step BPE trainer — each pinned against an independent
+pure-Python model (not the DuckDB oracle, which the driver already
+replays), so a bug shared by both SQL dialects still gets caught.
+"""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+
+import pytest
+
+from goeventstream_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5int(s: str, hexdigits: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:hexdigits], 16)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_report_matches_python_model(spark):
+    rows = QUERIES["kmv_setops_report"](spark, SF).collect()
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    K, H = 32, 1 << 48
+    sets: dict[str, set[int]] = collections.defaultdict(set)
+    for r in ev:
+        sets[r.event_type].add(_md5int(str(r.user_id), 12))
+
+    def est(vals: set[int]) -> tuple[int, list[int]]:
+        bk = sorted(vals)[:K]
+        if len(bk) < K:
+            return len(bk), bk
+        return (K - 1) * H // bk[-1], bk
+
+    by_pair = {(r.type_a, r.type_b): r for r in rows}
+    types = sorted(sets)
+    assert set(by_pair) == {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    }
+    for (ta, tb), r in by_pair.items():
+        sa, sb = sets[ta], sets[tb]
+        merged = sorted(sa | sb)[:K]
+        k_common = sum(1 for h in merged if h in sa and h in sb)
+        eu, _ = est(sa | sb)
+        exact_inter = len(sa & sb)
+        exact_union = len(sa | sb)
+        assert r.k_common == k_common
+        assert r.est_union == eu
+        assert r.exact_union == exact_union
+        assert r.exact_intersect == exact_inter
+        assert r.est_intersect == (k_common * eu) // min(K, len(merged))
+        assert r.union_err_ppm == (1_000_000 * abs(eu - exact_union)) // exact_union
+
+
+def test_kmv_bottom_k_is_exact_global_bottom_k(spark):
+    """The two-phase partition-local rank must equal the global
+    bottom-k regardless of row placement — force a skewed layout."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.sketches import kmv_bottom_k
+
+    df = (
+        spark.range(0, 5000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("key"),
+            (F.col("id") * 2654435761 % 104729).alias("h"),
+        )
+        .distinct()
+        .repartition(13)  # arbitrary placement
+    )
+    got = {
+        (r.key, r.h, r.rn) for r in kmv_bottom_k(df, "key", k=16).collect()
+    }
+    rows = df.collect()
+    by_key = collections.defaultdict(set)
+    for r in rows:
+        by_key[r.key].add(r.h)
+    want = {
+        (k, h, i + 1)
+        for k, vals in by_key.items()
+        for i, h in enumerate(sorted(vals)[:16])
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# k-core peel
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_trajectory_matches_python_peel(spark):
+    rows = {
+        r.peel_round: (r.nodes_remaining, r.edges_remaining)
+        for r in QUERIES["kcore_peel_trajectory"](spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    op = {(r.l_orderkey, r.l_partkey) for r in li}
+    pair_orders = collections.Counter()
+    by_order = collections.defaultdict(list)
+    for o, p in op:
+        by_order[o].append(p)
+    for o, parts in by_order.items():
+        parts.sort()
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                pair_orders[(a, b)] += 1
+    E = {e for e, c in pair_orders.items() if c >= 2}
+    for r in range(1, 6):
+        deg = collections.Counter()
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        E = {(a, b) for a, b in E if a in keep and b in keep}
+        assert rows[r] == (len(keep), len(E)), f"round {r}"
+    assert set(rows) == {1, 2, 3, 4, 5}
+
+
+def test_kcore_operator_certifies_convergence_on_fixed_graph(spark):
+    """A 4-clique plus a dangling chain: the chain peels away in two
+    rounds and the trajectory then repeats the 2-core fixed point."""
+    from goeventstream_spark.operators.graph import kcore_peel_trajectory
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    rows = {
+        r.peel_round: (r.nodes_remaining, r.edges_remaining)
+        for r in kcore_peel_trajectory(df, k=2, rounds=4).collect()
+    }
+    # round 1: node 6 (deg 1) drops -> edge (5,6) gone
+    assert rows[1] == (5, 7)
+    # round 2: node 5 (deg 1 now) drops -> edge (4,5) gone
+    assert rows[2] == (4, 6)
+    # rounds 3 and 4: the 4-clique is the stable 2-core
+    assert rows[3] == (4, 6) and rows[4] == (4, 6)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_balanced_sample_quota_and_checksum(spark):
+    from goeventstream_spark.kq_sql import KQ_CAPPED_FRAC
+    from goeventstream_spark.operators.clustering import ivf_cell_assign_capped
+
+    rows = QUERIES["cluster_balanced_sample"](spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_cell_assign_capped(
+            emb, k=4, iters=2, scale=1000, cap_frac=KQ_CAPPED_FRAC, max_levels=1
+        ).collect()
+    }
+    by_cell = collections.defaultdict(list)
+    for vid, c in cells.items():
+        by_cell[c].append(vid)
+    total, nc = len(cells), len(by_cell)
+    quota = max(1, total // nc)
+    got = {r.block: r for r in rows}
+    assert set(got) == set(by_cell)
+    for c, ids in by_cell.items():
+        kept = sorted(ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))[
+            :quota
+        ]
+        r = got[c]
+        assert r.n_total == len(ids)
+        assert r.quota == quota
+        assert r.n_kept == min(quota, len(ids))
+        assert r.kept_id_sum == sum(kept)
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_decontaminate_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    from goeventstream_spark.kq_sql import KQ_CAPPED_FRAC
+    from goeventstream_spark.operators.clustering import ivf_cell_assign_capped
+
+    rows = {r.label: r for r in QUERIES["semantic_decontaminate"](spark, SF).collect()}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_cell_assign_capped(
+            emb, k=4, iters=2, scale=1000, cap_frac=KQ_CAPPED_FRAC, max_levels=1
+        ).collect()
+    }
+    data = {
+        r.vec_id: (r.label, np.asarray(r.embedding, dtype=np.float64))
+        for r in emb.collect()
+    }
+    bench = {v for v in data if v % 16 == 7}
+    corp = {v for v in data if v % 16 != 7}
+    flagged = set()
+    for cv in corp:
+        lc, vc = data[cv]
+        for bv in bench:
+            if cells[cv] != cells[bv]:
+                continue
+            lb, vb = data[bv]
+            cos = float(vc @ vb) / (np.sqrt(vc @ vc) * np.sqrt(vb @ vb))
+            if cos >= 0.35:
+                flagged.add(cv)
+                break
+    n_corpus = collections.Counter(data[v][0] for v in corp)
+    n_flagged = collections.Counter(data[v][0] for v in flagged)
+    assert set(rows) == set(n_corpus)
+    any_flagged = False
+    for lab, r in rows.items():
+        assert r.n_corpus == n_corpus[lab]
+        assert r.n_flagged == n_flagged.get(lab, 0)
+        assert r.flagged_ppm == (1_000_000 * n_flagged.get(lab, 0)) // n_corpus[lab]
+        any_flagged = any_flagged or r.n_flagged > 0
+    assert any_flagged, "fixture should exhibit at least one contamination hit"
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer
+# ---------------------------------------------------------------------------
+
+
+def _python_bpe(word_freq: dict[str, int], steps: int):
+    """Reference BPE: tokens as tuples, position-based pair counts,
+    merges applied greedily left-to-right."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    out = []
+    for _ in range(steps):
+        counts: collections.Counter = collections.Counter()
+        for toks, f in vocab.items():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += f
+        pair, c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        before = sum(len(t) * f for t, f in vocab.items())
+        new_vocab: dict[tuple, int] = {}
+        for toks, f in vocab.items():
+            merged = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and (toks[i], toks[i + 1]) == pair:
+                    merged.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + f
+        vocab = new_vocab
+        after = sum(len(t) * f for t, f in vocab.items())
+        out.append((pair[0] + pair[1], c, before, after))
+    return out
+
+
+def test_bpe_train_steps_matches_python_reference(spark):
+    rows = sorted(
+        QUERIES["bpe_train_steps"](spark, SF).collect(), key=lambda r: r.step
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    wf: collections.Counter = collections.Counter()
+    for d in docs:
+        for w in d.text.split(" "):
+            if w:
+                wf[w] += 1
+    want = _python_bpe(dict(wf), 3)
+    assert len(rows) == 3
+    for r, (pair, c, before, after) in zip(rows, want):
+        assert r.pair == pair, f"step {r.step}"
+        assert r.pair_count == c
+        assert r.tokens_before == before
+        assert r.tokens_after == after
+    # the trainer must actually compress the corpus
+    assert rows[-1].tokens_after < rows[0].tokens_before
+
+
+def test_bpe_steps_chain_merge_aware_counts(spark):
+    """Synthetic corpus where step 2's winner only exists AFTER step
+    1's merge is applied: pass-1 censuses cannot produce this."""
+    from goeventstream_spark.operators.text import bpe_train_steps
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab abq"), (2, "ab zq zq")], ["doc_id", "text"]
+    )
+    rows = sorted(bpe_train_steps(docs, steps=2).collect(), key=lambda r: r.step)
+    # step 1: 'ab' (count 3+3+1+1=8 positions: abab has ab at 1 and 3)
+    assert rows[0].pair == "ab"
+    assert rows[0].pair_count == 8
+    # after merging 'ab'->X: words are XX (x3), Xq, X, zq zq.
+    # step 2 pairs: XX (3), Xq (1), zq (2) -> winner XX, display 'abab'
+    assert rows[1].pair == "abab"
+    assert rows[1].pair_count == 3
+
+
+# ---------------------------------------------------------------------------
+# Registry hygiene: the new queries are declared with oracles
+# ---------------------------------------------------------------------------
+
+
+def test_r6_queries_registered_with_oracles():
+    from goeventstream_spark.queries import ORACLES
+
+    for name in [
+        "kmv_setops_report",
+        "cluster_balanced_sample",
+        "kcore_peel_trajectory",
+        "semantic_decontaminate",
+        "bpe_train_steps",
+    ]:
+        assert name in QUERIES and name in ORACLES
