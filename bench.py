@@ -200,6 +200,8 @@ HEADLINE = [
     "kcore_peel_trajectory",
     "semantic_decontaminate",
     "bpe_train_steps",
+    "jl_projection_audit",
+    "matryoshka_recall_report",
 ]
 
 

@@ -318,3 +318,14 @@ def kmv_bottom_k(distinct_hashes: DataFrame, key_col: str, k: int = 32) -> DataF
         .where(F.col("rn") <= k)
         .select(key_col, "h", "rn")
     )
+
+
+def kmv_hash48(id_col: str) -> Column:
+    """The KMV hash: first 12 md5 hex digits of the id's decimal string
+    as a BIGINT in [0, 2^48) — wide enough that ties are negligible,
+    small enough that every estimator product stays in BIGINT."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h")
+    )

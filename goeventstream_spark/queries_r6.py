@@ -153,12 +153,7 @@ def q_kmv_setops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = _KMV_K
     events = load_table(spark, sf_dir, "events")
-    ev = events.select(
-        "event_type",
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
-        .cast("long")
-        .alias("h"),
-    ).distinct()
+    ev = events.select("event_type", sketches.kmv_hash48("user_id")).distinct()
     sk = sketches.kmv_bottom_k(ev, "event_type", k=k).select("event_type", "h")
     stats = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n_exact"))
     tp = sk.select("event_type").distinct()
@@ -530,3 +525,193 @@ def q_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_steps(docs, steps=3)
+
+
+# Deterministic ±1 Rademacher sign for the JL projection matrix:
+# parity of the first md5 hex digit of "d_j" (d, j zero-based).
+# Spark and DuckDB spellings of the same integer algebra.
+_JL_DIMS, _JL_K = 64, 16
+_JL_SIGN_SPARK = (
+    "1 - 2 * (CAST(conv(substring(md5(concat(CAST(d AS STRING), '_',"
+    " CAST(j AS STRING))), 1, 1), 16, 10) AS INT) % 2)"
+)
+_JL_SIGN_DUCK = (
+    "1 - 2 * ((strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR)"
+    " || '_' || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2)"
+)
+
+
+@query(
+    "jl_projection_audit",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+               FROM embeddings),
+    u AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS q FROM e),
+    proj AS (
+      SELECT d, j, {_JL_SIGN_DUCK} AS s FROM (
+        SELECT dr.range AS d, jr.range AS j
+        FROM range(0, {_JL_DIMS}) dr, range(0, {_JL_K}) jr
+      )
+    ),
+    y AS (SELECT vec_id, j, sum(s * q) AS y FROM u JOIN proj USING (d) GROUP BY 1, 2),
+    n1 AS (SELECT vec_id, sum(q * q) AS n2o FROM u GROUP BY 1),
+    n2 AS (SELECT vec_id, sum(y * y) AS n2p FROM y GROUP BY 1)
+    SELECT n1.vec_id,
+           CAST(n2o AS BIGINT) AS norm2_orig,
+           CAST(n2p AS BIGINT) AS norm2_proj,
+           CAST((1000000 * n2p) // nullif({_JL_K} * n2o, 0) AS BIGINT)
+             AS distortion_ppm
+    FROM n1 JOIN n2 USING (vec_id)
+    """,
+)
+def q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection dimensionality reduction
+    (64 -> 16 dims) with a per-vector distortion audit: project every
+    integer-grid vector through a deterministic ±1 Rademacher matrix
+    (Achlioptas 2001 — database-friendly random projections; the sign
+    of dimension (d, j) is an md5 parity, so the "random" matrix is a
+    pure expression, never stored) and report
+    ||y||²/(k·||q||²) in ppm — the JL lemma says these concentrate
+    around 1e6, and the audit is the evidence a pipeline checks before
+    swapping full vectors for projected ones in coarse filtering.
+
+    Integer-exact throughout: grid values q_d = floor(1000·x_d) are
+    BIGINT, projections y_j = Σ ±q_d are BIGINT sums, both norms are
+    BIGINT dot products, and the single division is an integer floor —
+    hash-identical cross-engine, no transcendentals.
+
+    100 TB shape: one posexplode map pass over the corpus, one join
+    against the 1024-row broadcast sign matrix, two map-side-combinable
+    aggregations keyed by (vec_id, j) / vec_id. Nothing global, no
+    windows, no collect; the projected width k is a constant.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)").alias("q"),
+    )
+    proj = (
+        spark.range(_JL_DIMS)
+        .select(F.col("id").cast("int").alias("d"))
+        .crossJoin(spark.range(_JL_K).select(F.col("id").cast("int").alias("j")))
+        .select("d", "j", F.expr(_JL_SIGN_SPARK).alias("s"))
+    )
+    y = (
+        u.join(F.broadcast(proj), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("q")).alias("y"))
+    )
+    n1 = u.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("n2o"))
+    n2 = y.groupBy("vec_id").agg(F.sum(F.col("y") * F.col("y")).alias("n2p"))
+    return n1.join(n2, "vec_id").select(
+        "vec_id",
+        F.col("n2o").cast("long").alias("norm2_orig"),
+        F.col("n2p").cast("long").alias("norm2_proj"),
+        F.expr(f"(1000000 * n2p) div nullif({_JL_K} * n2o, 0)")
+        .cast("long")
+        .alias("distortion_ppm"),
+    )
+
+
+_COS_FULL = (
+    "list_dot_product(q.qe, c.e) / (sqrt(list_dot_product(q.qe, q.qe))"
+    " * sqrt(list_dot_product(c.e, c.e)))"
+)
+
+
+@query(
+    "matryoshka_recall_report",
+    f"""
+    WITH full_e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+    tr_e AS (SELECT vec_id, label, (CAST(embedding AS DOUBLE[]))[1:16] AS e
+             FROM embeddings),
+    qf AS (SELECT vec_id AS query_id, label, e AS qe FROM full_e
+           WHERE vec_id % 20 = 0),
+    qt AS (SELECT vec_id AS query_id, label, e AS qe FROM tr_e
+           WHERE vec_id % 20 = 0),
+    topf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS_FULL} DESC, c.vec_id) AS rk
+        FROM qf q, full_e c WHERE c.vec_id <> q.query_id
+      ) WHERE rk <= 5
+    ),
+    topt AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS_FULL} DESC, c.vec_id) AS rk
+        FROM qt q, tr_e c WHERE c.vec_id <> q.query_id
+      ) WHERE rk <= 5
+    ),
+    hits AS (
+      SELECT f.query_id, count(*) AS hit
+      FROM topf f JOIN topt t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+      GROUP BY 1
+    )
+    SELECT CAST(q.label AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(coalesce(h.hit, 0)) AS BIGINT) AS hits,
+           CAST((1000000 * sum(coalesce(h.hit, 0))) // (5 * count(*)) AS BIGINT)
+             AS recall_ppm
+    FROM qf q LEFT JOIN hits h USING (query_id)
+    GROUP BY q.label
+    """,
+)
+def q_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval evaluation: for every
+    20th vector as a query, exact cosine top-5 over the corpus at FULL
+    width (64 dims) vs at the first 16 dims only, reporting per-label
+    recall@5 of the truncated index against the full one — the audit
+    that decides whether prefix-truncated embeddings (Kusupati et al.
+    2022, Matryoshka representation learning) are good enough for the
+    cheap first-stage filter at 100 TB.
+
+    Both rankings reuse similarity.cosine_topk (broadcast query side,
+    Arrow-batched corpus scan whose double fold is bit-identical to the
+    SQL sum chain); truncation is an array slice, so the truncated pass
+    reads the SAME column pruned to a prefix. Recall is exact integer
+    arithmetic (hits / 5·n_queries in ppm, one floor division).
+    """
+    from goeventstream_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr = emb.select(
+        "vec_id", "label", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    qf = emb.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    qt = tr.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    topf = similarity.cosine_topk(emb, qf.drop("q_label"), k=5).select(
+        "query_id", "vec_id"
+    )
+    topt = similarity.cosine_topk(tr, qt, k=5).select("query_id", "vec_id")
+    hits = (
+        topf.join(topt, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hit"))
+    )
+    return (
+        qf.select("query_id", "q_label")
+        .join(hits, "query_id", "left")
+        .withColumn("hit", F.coalesce("hit", F.lit(0)))
+        .groupBy(F.col("q_label").cast("int").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("hit").cast("long").alias("hits"),
+            F.expr("(1000000 * sum(hit)) div (5 * count(*))")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

@@ -265,3 +265,66 @@ def streaming_dsir_distribution(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV / bottom-k distinct sketches: per-batch partials
+# ---------------------------------------------------------------------------
+# Batch `sketches.kmv_bottom_k` builds the per-key bottom-k sketch in
+# one pass; this is its continuous-ingest form. Bottom-k summaries are
+# MERGEABLE (bottom-k of a union == bottom-k of the per-part bottom-k
+# union), so each micro-batch writes only its own <= k rows per key to
+# a batch_id-partitioned lake (idempotent under replay, the
+# streaming_cms_build contract) and the reader re-ranks the union —
+# the index never rescans history and equals the batch sketch exactly.
+
+
+def streaming_kmv_index(
+    stream_items: DataFrame,
+    cells_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 32,
+):
+    """Start the sketch-accumulation stream; returns the
+    StreamingQuery. Read back via read_kmv_index."""
+    from goeventstream_spark.operators.sketches import kmv_bottom_k, kmv_hash48
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            part = batch_df.select(key_col, kmv_hash48(id_col)).distinct()
+            (
+                kmv_bottom_k(part, key_col, k=k)
+                .select(key_col, "h")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(cells_dir)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream_items.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv_index(spark, cells_dir: str, key_col: str = "event_type", k: int = 32):
+    """Merge the persisted per-batch partials into the current per-key
+    bottom-k sketch: distinct the (key, h) union (the same id arriving
+    in several batches must count once) and re-rank. Equals the batch
+    sketch over all ingested rows exactly."""
+    from goeventstream_spark.operators.sketches import kmv_bottom_k
+
+    parts = spark.read.parquet(cells_dir).select(key_col, "h").distinct()
+    return kmv_bottom_k(parts, key_col, k=k)

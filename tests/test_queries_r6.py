@@ -321,3 +321,138 @@ def test_r6_queries_registered_with_oracles():
         "bpe_train_steps",
     ]:
         assert name in QUERIES and name in ORACLES
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV twin
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_kmv_partials_merge_equals_batch(spark, sf_dir, tmp_path):
+    """Continuous-ingest bottom-k sketches: events arrive in 3
+    micro-batches, each writing only its own per-key bottom-k partial;
+    the merged index must equal the batch sketch over the full corpus
+    EXACTLY (bottom-k summaries are mergeable) — including ids that
+    recur across batches, which must count once."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.sketches import kmv_bottom_k, kmv_hash48
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.streaming.sketches import (
+        read_kmv_index,
+        streaming_kmv_index,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        events.where(F.col("user_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_kmv_index(
+        stream,
+        cells_dir=str(tmp_path / "cells"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=16,
+    )
+    q.awaitTermination(180)
+
+    cells = spark.read.parquet(str(tmp_path / "cells"))
+    assert cells.select("batch_id").distinct().count() == 3
+    merged = {
+        (r.event_type, r.h, r.rn)
+        for r in read_kmv_index(spark, str(tmp_path / "cells"), k=16).collect()
+    }
+    full = {
+        (r.event_type, r.h, r.rn)
+        for r in kmv_bottom_k(
+            events.select("event_type", kmv_hash48("user_id")).distinct(),
+            "event_type",
+            k=16,
+        ).collect()
+    }
+    assert merged == full
+
+
+# ---------------------------------------------------------------------------
+# JL projection + matryoshka eval
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_matches_numpy(spark):
+    import numpy as np
+
+    rows = {r.vec_id: r for r in QUERIES["jl_projection_audit"](spark, SF).collect()}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    for r in emb:
+        q = np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000).astype(np.int64)
+        signs = np.array(
+            [
+                [
+                    1 - 2 * (int(hashlib.md5(f"{d}_{j}".encode()).hexdigest()[0], 16) % 2)
+                    for j in range(16)
+                ]
+                for d in range(64)
+            ],
+            dtype=np.int64,
+        )
+        y = q @ signs
+        n2o = int(q @ q)
+        n2p = int(y @ y)
+        got = rows[r.vec_id]
+        assert got.norm2_orig == n2o
+        assert got.norm2_proj == n2p
+        if n2o:
+            assert got.distortion_ppm == (1_000_000 * n2p) // (16 * n2o)
+
+
+def test_jl_distortion_concentrates(spark):
+    """The JL lemma's point, empirically: median distortion within
+    ±60% of 1e6 on the fixture corpus (k=16 is a coarse sketch)."""
+    rows = QUERIES["jl_projection_audit"](spark, SF).collect()
+    ds = sorted(r.distortion_ppm for r in rows)
+    med = ds[len(ds) // 2]
+    assert 400_000 < med < 1_600_000
+
+
+def test_matryoshka_recall_matches_numpy(spark):
+    import numpy as np
+
+    rows = {r.label: r for r in QUERIES["matryoshka_recall_report"](spark, SF).collect()}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb}
+    labels = {r.vec_id: r.label for r in emb}
+
+    def topk(qid, dims):
+        qv = vecs[qid][:dims]
+        scored = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            c = v[:dims]
+            scored.append(
+                (-(qv @ c) / (np.sqrt(qv @ qv) * np.sqrt(c @ c)), vid)
+            )
+        scored.sort()
+        return {vid for _, vid in scored[:5]}
+
+    per_label_hits = collections.Counter()
+    per_label_n = collections.Counter()
+    for qid in vecs:
+        if qid % 20 != 0:
+            continue
+        per_label_n[labels[qid]] += 1
+        per_label_hits[labels[qid]] += len(topk(qid, 64) & topk(qid, 16))
+    assert set(rows) == set(per_label_n)
+    for lab, r in rows.items():
+        assert r.n_queries == per_label_n[lab]
+        assert r.hits == per_label_hits[lab]
+        assert r.recall_ppm == (1_000_000 * per_label_hits[lab]) // (
+            5 * per_label_n[lab]
+        )
