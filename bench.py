@@ -202,6 +202,8 @@ HEADLINE = [
     "bpe_train_steps",
     "jl_projection_audit",
     "matryoshka_recall_report",
+    "bpe_fertility_report",
+    "classifier_calibration_report",
 ]
 
 

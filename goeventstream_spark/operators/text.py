@@ -781,6 +781,48 @@ def hashed_linear_scores(
     )
 
 
+def bpe_merged_vocab(
+    docs: DataFrame, steps: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """The BPE trainer's working relation: the (word, freq) distinct
+    vocabulary with one column per merge step — w0 is the raw word,
+    w{i} is the tokenization after merge i (merged tokens written as
+    the sentinel char(i)), plus the winning pair p{i} and its count
+    c{i} replicated on every row (1-row broadcasts). Shared by
+    bpe_train_steps (the per-step trajectory) and the fertility
+    report (tokens-per-word distribution of the final tokenization).
+    See bpe_train_steps for the full semantics contract."""
+    vocab = _words(docs, text_col=text_col)
+    for i in range(1, steps + 1):
+        vocab = vocab.where(~F.col("word").contains(chr(i)))
+    v = (
+        vocab.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumnRenamed("word", "w0")
+    )
+    for i in range(1, steps + 1):
+        prev = f"w{i - 1}"
+        pairs = v.where(F.length(prev) >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(prev) - 1),
+                    lambda j: F.col(prev).substr(j, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        cnt = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("c"))
+        top = (
+            cnt.orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+            .select(F.col("pair").alias(f"p{i}"), F.col("c").alias(f"c{i}"))
+        )
+        v = v.crossJoin(F.broadcast(top)).withColumn(
+            f"w{i}", F.expr(f"replace(w{i - 1}, p{i}, char({i}))")
+        )
+    return v
+
+
 def bpe_train_steps(docs: DataFrame, steps: int = 3, text_col: str = "text") -> DataFrame:
     """TRUE multi-step BPE tokenizer training (Sennrich et al. 2016,
     arXiv:1508.07909) as one declarative plan — not just the pass-1
@@ -817,34 +859,7 @@ def bpe_train_steps(docs: DataFrame, steps: int = 3, text_col: str = "text") -> 
     TakeOrdered(1), one broadcast rewrite. The vocabulary relation
     never sorts globally and never collects.
     """
-    vocab = _words(docs, text_col=text_col)
-    for i in range(1, steps + 1):
-        vocab = vocab.where(~F.col("word").contains(chr(i)))
-    v = (
-        vocab.groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .withColumnRenamed("word", "w0")
-    )
-    for i in range(1, steps + 1):
-        prev = f"w{i - 1}"
-        pairs = v.where(F.length(prev) >= 2).select(
-            "freq",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(prev) - 1),
-                    lambda j: F.col(prev).substr(j, F.lit(2)),
-                )
-            ).alias("pair"),
-        )
-        cnt = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("c"))
-        top = (
-            cnt.orderBy(F.col("c").desc(), "pair")
-            .limit(1)
-            .select(F.col("pair").alias(f"p{i}"), F.col("c").alias(f"c{i}"))
-        )
-        v = v.crossJoin(F.broadcast(top)).withColumn(
-            f"w{i}", F.expr(f"replace(w{i - 1}, p{i}, char({i}))")
-        )
+    v = bpe_merged_vocab(docs, steps=steps, text_col=text_col)
     aggs = [
         F.sum(F.col("freq") * F.length(f"w{i}")).cast("long").alias(f"t{i}")
         for i in range(0, steps + 1)

@@ -462,7 +462,11 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_steps_sql() -> str:
+def _bpe_v3_ctes() -> str:
+    """Shared oracle CTE chain: the distinct vocabulary rewritten
+    through 3 learned merges (v3 carries w0..w3, p1..p3, c1..c3) —
+    composed by both the trainer trajectory and the fertility report."""
+
     def pc(i: int) -> str:
         return f"""
     pc{i} AS (
@@ -476,14 +480,18 @@ def _bpe_steps_sql() -> str:
     v{i} AS (SELECT v{i - 1}.*, replace(w{i - 1}, p{i}, chr({i})) AS w{i}, p{i}, c{i}
              FROM v{i - 1}, t{i})"""
 
-    return f"""
-    WITH v0 AS (
+    return f"""v0 AS (
       SELECT word AS w0, CAST(count(*) AS BIGINT) AS freq FROM (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
       ) WHERE word <> '' AND strpos(word, chr(1)) = 0
         AND strpos(word, chr(2)) = 0 AND strpos(word, chr(3)) = 0
       GROUP BY 1
-    ),{pc(1)},{pc(2)},{pc(3)},
+    ),{pc(1)},{pc(2)},{pc(3)}"""
+
+
+def _bpe_steps_sql() -> str:
+    return f"""
+    WITH {_bpe_v3_ctes()},
     s AS (
       SELECT CAST(sum(freq * length(w0)) AS BIGINT) AS t0,
              CAST(sum(freq * length(w1)) AS BIGINT) AS t1,
@@ -713,5 +721,113 @@ def q_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * sum(hit)) div (5 * count(*))")
             .cast("long")
             .alias("recall_ppm"),
+        )
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    return f"""
+    WITH {_bpe_v3_ctes()}
+    SELECT CAST(length(w3) AS BIGINT) AS tokens_per_word,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(sum(freq) AS BIGINT) AS corpus_words,
+           CAST(sum(freq * length(w0)) AS BIGINT) AS corpus_chars
+    FROM v3 GROUP BY 1
+    """
+
+
+@query("bpe_fertility_report", _bpe_fertility_sql())
+def q_bpe_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility distribution after the 3 learned BPE merges:
+    how many tokens each word costs under the trained-so-far merge
+    table — the histogram a tokenizer-training run watches to decide
+    how many more merges the token budget needs (fertility = tokens
+    per word; chars ride along so compression per bucket is visible).
+    Reuses the trainer's merged vocabulary (text.bpe_merged_vocab);
+    the aggregation is one bounded group-by on token count.
+    """
+    from goeventstream_spark.operators.text import bpe_merged_vocab
+
+    v = bpe_merged_vocab(load_table(spark, sf_dir, "documents"), steps=3)
+    return v.groupBy(
+        F.length("w3").cast("long").alias("tokens_per_word")
+    ).agg(
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.sum("freq").cast("long").alias("corpus_words"),
+        F.sum(F.col("freq") * F.length("w0")).cast("long").alias("corpus_chars"),
+    )
+
+
+def _calibration_sql() -> str:
+    from goeventstream_spark.queries_llm import _WORDS
+    from goeventstream_spark.queries_r3 import _GOPHER_PASS_CTE
+    from goeventstream_spark.queries_r5 import _HEX6
+
+    return f"""
+    WITH {_WORDS},
+    {_GOPHER_PASS_CTE},
+    w AS (
+      SELECT doc_id, ({_HEX6}) % 2001 - 1000 AS wt FROM words
+    ),
+    d AS (
+      SELECT doc_id, sum(wt) AS sw, count(*) AS n FROM w GROUP BY doc_id
+    ),
+    j AS (
+      SELECT d.doc_id,
+             CAST(floor((d.sw * 5) / (1000.0 * d.n)) AS BIGINT) AS bucket,
+             CASE WHEN gq.doc_id IS NULL THEN 0 ELSE 1 END AS pass
+      FROM d LEFT JOIN gq ON gq.doc_id = d.doc_id
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pass) AS BIGINT) AS n_gopher_pass,
+           CAST((1000000 * sum(pass)) // count(*) AS BIGINT) AS pass_ppm
+    FROM j GROUP BY bucket
+    """
+
+
+@query("classifier_calibration_report", _calibration_sql())
+def q_classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability readout of the hashed linear quality
+    classifier against the Gopher rule gate as reference labels: bucket
+    every document by its classifier logit band (the queries_r5
+    fixed-band bucketing, floor(5·sw/(1000·n))) and report how often
+    the rule gate passes inside each band — the monotonicity check a
+    curation pipeline runs before trusting a cheap learned score to
+    replace (or pre-filter for) the expensive rule cascade.
+
+    Both sides reuse the declared components exactly: the classifier
+    relation is text.hashed_linear_scores, the labels are
+    text.gopher_quality_flags' gopher_pass; the oracle composes the
+    same two published CTE fragments. All counts BIGINT; the rate is
+    one integer floor division per (bounded) bucket.
+
+    100 TB shape: two independent explode+agg passes over the corpus
+    joined once on doc_id (both sides already keyed by it), then one
+    bounded aggregation over ~10 logit bands.
+    """
+    from goeventstream_spark.operators.text import (
+        gopher_quality_flags,
+        hashed_linear_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = hashed_linear_scores(docs)
+    g = gopher_quality_flags(docs).select("doc_id", "gopher_pass")
+    return (
+        d.join(g, "doc_id", "left")
+        .select(
+            F.floor((F.col("sw") * 5) / (F.lit(1000.0) * F.col("n")))
+            .cast("long")
+            .alias("bucket"),
+            F.coalesce("gopher_pass", F.lit(0)).alias("pass"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("pass").cast("long").alias("n_gopher_pass"),
+            F.expr("(1000000 * sum(pass)) div count(*)")
+            .cast("long")
+            .alias("pass_ppm"),
         )
     )

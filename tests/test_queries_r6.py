@@ -456,3 +456,84 @@ def test_matryoshka_recall_matches_numpy(spark):
         assert r.recall_ppm == (1_000_000 * per_label_hits[lab]) // (
             5 * per_label_n[lab]
         )
+
+
+def test_bpe_fertility_matches_python(spark):
+    rows = {r.tokens_per_word: r for r in QUERIES["bpe_fertility_report"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    wf: collections.Counter = collections.Counter()
+    for d in docs:
+        for w in d.text.split(" "):
+            if w:
+                wf[w] += 1
+    merged = _python_bpe_vocab(dict(wf), 3)
+    hist = collections.defaultdict(lambda: [0, 0, 0])
+    for (toks, w0), f in merged.items():
+        h = hist[len(toks)]
+        h[0] += 1
+        h[1] += f
+        h[2] += f * len(w0)
+    assert set(rows) == set(hist)
+    for tpw, (nd, cw, cc) in hist.items():
+        r = rows[tpw]
+        assert (r.n_distinct_words, r.corpus_words, r.corpus_chars) == (nd, cw, cc)
+
+
+def _python_bpe_vocab(word_freq: dict[str, int], steps: int):
+    """Reference merge application returning {(tokens, word): freq}."""
+    vocab = {(tuple(w), w): f for w, f in word_freq.items()}
+    for _ in range(steps):
+        counts: collections.Counter = collections.Counter()
+        for (toks, _w), f in vocab.items():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += f
+        pair, _c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        new_vocab = {}
+        for (toks, w), f in vocab.items():
+            merged = []
+            i = 0
+            while i < len(toks):
+                if i + 1 < len(toks) and (toks[i], toks[i + 1]) == pair:
+                    merged.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            new_vocab[(tuple(merged), w)] = f
+        vocab = new_vocab
+    return vocab
+
+
+def test_classifier_calibration_matches_python(spark):
+    import math
+
+    rows = {r.bucket: r for r in QUERIES["classifier_calibration_report"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    STOP = ("the", "of", "and", "is", "to", "in", "that", "it", "for", "on")
+    buckets = collections.defaultdict(lambda: [0, 0])
+    for d in docs:
+        words = [w for w in d.text.split(" ") if w]
+        if not words:
+            continue
+        sw = sum(_md5int(w, 6) % 2001 - 1000 for w in words)
+        n = len(words)
+        cnt = collections.Counter(words)
+        n_chars = sum(len(w) * c for w, c in cnt.items())
+        stop = sum(c for w, c in cnt.items() if w in STOP)
+        alpha = sum(c for w, c in cnt.items() if any(ch.isascii() and ch.isalpha() for ch in w))
+        gopher = (
+            10 <= n <= 100000
+            and 3 * n <= n_chars <= 10 * n
+            and stop >= 2
+            and 5 * alpha >= 4 * n
+            and 5 * max(cnt.values()) <= n
+        )
+        b = math.floor((sw * 5) / (1000.0 * n))
+        buckets[b][0] += 1
+        buckets[b][1] += 1 if gopher else 0
+    assert set(rows) == set(buckets)
+    for b, (nd, npass) in buckets.items():
+        r = rows[b]
+        assert r.n_docs == nd
+        assert r.n_gopher_pass == npass
+        assert r.pass_ppm == (1_000_000 * npass) // nd
