@@ -204,6 +204,8 @@ HEADLINE = [
     "matryoshka_recall_report",
     "bpe_fertility_report",
     "classifier_calibration_report",
+    "link_prediction_ra_topk",
+    "deterministic_walk_paths",
 ]
 
 

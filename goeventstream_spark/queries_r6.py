@@ -831,3 +831,206 @@ def q_classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("pass_ppm"),
         )
     )
+
+
+@query(
+    "link_prediction_ra_topk",
+    """
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                             FROM lineitem),
+    e2 AS MATERIALIZED (
+      SELECT a.p AS a, b.p AS b FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2
+      ) GROUP BY node
+    ),
+    arcs AS MATERIALIZED (
+      SELECT a AS z, b AS x FROM e2 UNION ALL SELECT b AS z, a AS x FROM e2
+    ),
+    wedges AS (
+      SELECT w1.x AS u, w2.x AS v, w1.z AS z
+      FROM arcs w1
+      JOIN arcs w2 ON w1.z = w2.z AND w1.x < w2.x
+      JOIN deg dz ON dz.node = w1.z AND dz.d <= 64
+    ),
+    cand AS (
+      SELECT u, v,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(1000000000 // dz.d) AS BIGINT) AS ra_ppb
+      FROM wedges JOIN deg dz ON dz.node = wedges.z
+      GROUP BY u, v
+    )
+    SELECT u AS part_u, v AS part_v, common_neighbors, ra_ppb
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM e2 WHERE e2.a = cand.u AND e2.b = cand.v)
+    ORDER BY ra_ppb DESC, part_u, part_v LIMIT 20
+    """,
+)
+def q_link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the support>=2 co-purchase graph: the top-20
+    NON-adjacent part pairs by Resource-Allocation index
+    RA(u,v) = Σ_z 1/deg(z) over common neighbors z (Zhou-Lü-Zhang
+    2009) — where edge_strength_ra_topk scores EXISTING ties, this
+    ranks candidate ties that do not exist yet, the
+    "customers who bought these also bought" recommender primitive.
+
+    Scale contract: candidate generation is open-wedge enumeration,
+    whose volume is Σ_z deg(z)² — quadratic in hub degree. Two
+    defenses: the support>=2 edge filter (the same denoiser the k-core
+    query uses) and an explicit hub cap (wedge centers with deg > 64
+    are excluded — their per-neighbor RA contribution is < 1/64 of a
+    low-degree center's, and capping bounds wedge work by cap·|E|).
+    Both are part of the declared semantics; the oracle replays them.
+    1/deg terms are parts-per-billion BIGINT floors (order-free sums);
+    existing edges drop via an anti-join; top-20 is TakeOrdered.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = op.withColumnRenamed("item", "a")
+    b = op.withColumnRenamed("item", "b")
+    e2 = (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e2.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    arcs = e2.select(F.col("a").alias("z"), F.col("b").alias("x")).unionAll(
+        e2.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    )
+    w1 = arcs.withColumnRenamed("x", "u")
+    w2 = arcs.withColumnRenamed("x", "v")
+    wedges = (
+        w1.join(w2, "z")
+        .where(F.col("u") < F.col("v"))
+        .join(F.broadcast(deg.withColumnRenamed("node", "z")), "z")
+        .where(F.col("d") <= 64)
+    )
+    cand = wedges.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("common_neighbors"),
+        F.expr("CAST(sum(1000000000 div d) AS BIGINT)").alias("ra_ppb"),
+    )
+    non_edges = cand.join(
+        e2, (cand["u"] == e2["a"]) & (cand["v"] == e2["b"]), "left_anti"
+    )
+    return (
+        non_edges.select(
+            F.col("u").alias("part_u"),
+            F.col("v").alias("part_v"),
+            "common_neighbors",
+            "ra_ppb",
+        )
+        .orderBy(F.col("ra_ppb").desc(), "part_u", "part_v")
+        .limit(20)
+    )
+
+
+def _walk_step_duck(i: int) -> str:
+    return f"""
+    s{i} AS MATERIALIZED (
+      SELECT start, nbr AS node FROM (
+        SELECT c.start, n.x AS nbr,
+               row_number() OVER (
+                 PARTITION BY c.start
+                 ORDER BY md5(CAST(c.node AS VARCHAR) || '_{i}_'
+                              || CAST(n.x AS VARCHAR)), n.x) AS rk
+        FROM s{i - 1} c JOIN warcs n ON n.z = c.node
+      ) WHERE rk = 1
+    )"""
+
+
+@query(
+    "deterministic_walk_paths",
+    f"""
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                             FROM lineitem),
+    we AS MATERIALIZED (
+      SELECT a.p AS a, b.p AS b FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    warcs AS MATERIALIZED (
+      SELECT a AS z, b AS x FROM we UNION ALL SELECT b AS z, a AS x FROM we
+    ),
+    s0 AS MATERIALIZED (SELECT DISTINCT z AS start, z AS node FROM warcs),
+    {_walk_step_duck(1).lstrip()},{_walk_step_duck(2)},{_walk_step_duck(3)}
+    SELECT start, CAST(1 AS BIGINT) AS step, node FROM s1
+    UNION ALL SELECT start, CAST(2 AS BIGINT), node FROM s2
+    UNION ALL SELECT start, CAST(3 AS BIGINT), node FROM s3
+    """,
+)
+def q_deterministic_walk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec-style walk corpus generation, made reproducible: one
+    3-step walk from EVERY node of the support>=2 co-purchase graph,
+    where each step moves to the neighbor minimizing
+    md5(current || '_' || step || '_' || neighbor) — a deterministic
+    stand-in for the uniform next-step draw with identical plumbing
+    (per-node neighbor ranking), so the emitted (start, step, node)
+    paths — the skip-gram training corpus of DeepWalk/node2vec — are
+    bit-reproducible and cross-engine oracled. Walks that meet at the
+    same node on the same step move together (the hash keys on
+    (current, step), not on start) — documented, and exactly what a
+    shared per-step random tape does.
+
+    100 TB shape: each step is one equi-join of the frontier against
+    the arc list plus a rank window partitioned per start (bounded by
+    the current node's degree); 3 steps unrolled, frontier size
+    constant at |V|. No collect, no global windows, no cartesian.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = op.withColumnRenamed("item", "a")
+    b = op.withColumnRenamed("item", "b")
+    e2 = (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= 2)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    arcs = e2.select(F.col("a").alias("z"), F.col("b").alias("x")).unionAll(
+        e2.select(F.col("b").alias("z"), F.col("a").alias("x"))
+    ).localCheckpoint(eager=False)
+    cur = arcs.select(F.col("z").alias("start"), F.col("z").alias("node")).distinct()
+    outs = []
+    for i in range(1, 4):
+        cand = cur.join(arcs.withColumnRenamed("z", "node"), "node").select(
+            "start",
+            F.col("x").alias("nbr"),
+            F.md5(
+                F.concat(
+                    F.col("node").cast("string"),
+                    F.lit(f"_{i}_"),
+                    F.col("x").cast("string"),
+                )
+            ).alias("draw"),
+        )
+        w = Window.partitionBy("start").orderBy("draw", "nbr")
+        cur = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("start", F.col("nbr").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        outs.append(
+            cur.select("start", F.lit(i).cast("long").alias("step"), "node")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

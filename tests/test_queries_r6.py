@@ -537,3 +537,69 @@ def test_classifier_calibration_matches_python(spark):
         assert r.n_docs == nd
         assert r.n_gopher_pass == npass
         assert r.pass_ppm == (1_000_000 * npass) // nd
+
+
+def _support2_edges(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    op = {(r.l_orderkey, r.l_partkey) for r in li}
+    by_order = collections.defaultdict(list)
+    for o, p in op:
+        by_order[o].append(p)
+    pair_orders = collections.Counter()
+    for parts in by_order.values():
+        parts.sort()
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                pair_orders[(a, b)] += 1
+    return {e for e, c in pair_orders.items() if c >= 2}
+
+
+def test_link_prediction_matches_python(spark):
+    rows = [
+        (r.part_u, r.part_v, r.common_neighbors, r.ra_ppb)
+        for r in QUERIES["link_prediction_ra_topk"](spark, SF).collect()
+    ]
+    E = _support2_edges(spark)
+    deg = collections.Counter()
+    nbrs = collections.defaultdict(set)
+    for a, b in E:
+        deg[a] += 1
+        deg[b] += 1
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    cand = collections.defaultdict(lambda: [0, 0])
+    for z in nbrs:
+        if deg[z] > 64:
+            continue
+        ns = sorted(nbrs[z])
+        for i, u in enumerate(ns):
+            for v in ns[i + 1 :]:
+                cand[(u, v)][0] += 1
+                cand[(u, v)][1] += 1_000_000_000 // deg[z]
+    scored = sorted(
+        ((u, v, cn, ra) for (u, v), (cn, ra) in cand.items() if (u, v) not in E),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:20]
+    assert rows == scored and len(rows) == 20
+
+
+def test_deterministic_walk_matches_python(spark):
+    rows = QUERIES["deterministic_walk_paths"](spark, SF).collect()
+    got = {(r.start, r.step): r.node for r in rows}
+    E = _support2_edges(spark)
+    nbrs = collections.defaultdict(set)
+    for a, b in E:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for start in nbrs:
+        cur = start
+        for step in (1, 2, 3):
+            cur = min(
+                nbrs[cur],
+                key=lambda n: (
+                    hashlib.md5(f"{cur}_{step}_{n}".encode()).hexdigest(),
+                    n,
+                ),
+            )
+            assert got[(start, step)] == cur, (start, step)
+    assert len(rows) == 3 * len(nbrs)
