@@ -293,14 +293,16 @@ def kcore_peel_trajectory(edges: DataFrame, k: int = 3, rounds: int = 5) -> Data
     combinable, keyed by node) plus two left-semi joins of the edge
     relation against the surviving-node relation — all equi-keyed
     shuffles that AQE can size; no collect, no windows, no cartesian.
-    Rounds are a fixed small constant. Each round materializes its
-    survivor and edge relations with an eager localCheckpoint: round r
-    references round r-1 three times (degree census + both semi-join
-    probes), so an unbroken lineage grows ~5^rounds plan paths and
-    stalls Catalyst's tree-walking rules (measured: round 5 never
-    finishes planning); the checkpoint truncates each round to an
-    in-memory scan — exactly the per-superstep materialization a
-    production Pregel-style driver loop does. Results are identical;
+    Rounds are a fixed small constant. Each round's edge relation is
+    materialized with an eager localCheckpoint: round r references
+    round r-1 three times (degree census + both semi-join probes), so
+    an unbroken lineage grows ~5^rounds plan paths and stalls
+    Catalyst's tree-walking rules (measured: round 5 never finishes
+    planning); the checkpoint truncates each round to an in-memory
+    scan — exactly the per-superstep materialization a production
+    Pregel-style driver loop does. The per-round survivor relation is
+    NOT checkpointed: its plan is one agg over the already-truncated
+    edges, and an A/B at sf0.1 showed no win. Results are identical;
     only scheduling changes. (persist() alone does NOT fix this: the
     cache substitution still canonicalizes the exponential tree.)
     """
@@ -313,7 +315,6 @@ def kcore_peel_trajectory(edges: DataFrame, k: int = 3, rounds: int = 5) -> Data
             .agg(F.count("*").alias("d"))
             .where(F.col("d") >= k)
             .select("node")
-            .localCheckpoint(eager=True)
         )
         e = (
             e.join(deg.withColumnRenamed("node", "a"), "a", "left_semi")
