@@ -112,24 +112,39 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     return ranks
 
 
-def cooccurrence_edges(fact: DataFrame, group_col: str, item_col: str) -> DataFrame:
+def cooccurrence_edges(
+    fact: DataFrame, group_col: str, item_col: str, min_support: int = 1
+) -> DataFrame:
     """Distinct co-occurrence edge list: items a < b appearing in the
     same group (e.g. parts ordered together). One self-join on the
     group key (hash join — the key is the fact table's natural
     partitioning), one distinct shuffle on the pair. Pair fan-out is
     bounded by the per-group item count (<= 7 lineitems per order in
     TPC-H-shaped data), so the join output is O(rows * k), not n^2.
+    ``min_support`` > 1 keeps only pairs co-occurring in at least that
+    many groups (the standard co-occurrence denoiser — and the edge
+    bound the k-core / link-prediction / walk queries rely on); the
+    pair counts ride the same shuffle the distinct would need.
     """
     li = fact.select(
         F.col(group_col).alias("g"), F.col(item_col).alias("item")
     ).distinct()
     a = li.withColumnRenamed("item", "a")
     b = li.withColumnRenamed("item", "b")
+    if min_support <= 1:
+        return (
+            a.join(b, "g")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
     return (
         a.join(b, "g")
         .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= min_support)
         .select("a", "b")
-        .distinct()
     )
 
 
