@@ -206,6 +206,7 @@ HEADLINE = [
     "classifier_calibration_report",
     "link_prediction_ra_topk",
     "deterministic_walk_paths",
+    "aqp_sample_estimates",
 ]
 
 

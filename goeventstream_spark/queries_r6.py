@@ -1029,3 +1029,74 @@ def q_deterministic_walk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query(
+    "aqp_sample_estimates",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+                  THEN 1 ELSE 0 END AS in_sample
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS exact_count,
+           CAST(16 * sum(in_sample) AS BIGINT) AS est_count,
+           CAST((1000000 * abs(16 * sum(in_sample) - count(*))) // count(*)
+                AS BIGINT) AS count_err_ppm,
+           CAST(sum(cents) AS BIGINT) AS exact_cents,
+           CAST(16 * sum(in_sample * cents) AS BIGINT) AS est_cents,
+           CAST((1000000 * abs(16 * sum(in_sample * cents) - sum(cents)))
+                // sum(cents) AS BIGINT) AS cents_err_ppm
+    FROM s GROUP BY o_orderpriority
+    """,
+)
+def q_aqp_sample_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style) with its accuracy
+    audit: per order priority, the Horvitz-Thompson estimates of group
+    count and revenue from a deterministic 1/16 hash sample (first md5
+    hex digit of the key = '0', inclusion probability exactly 1/16 →
+    inverse-probability weight 16) next to the exact answers and the
+    error in ppm — the calibration run that decides whether dashboards
+    can serve the 16x-cheaper sampled scan at 100 TB.
+
+    Determinism: the sample is a pure hash predicate (the repo's
+    sampling.sample_by_hash membership rule), so the "random" estimate
+    is a reproducible value the oracle replays exactly; money stays in
+    integer cents and the error ratios are single floor divisions.
+
+    100 TB shape: ONE scan computes both sides here (the audit); the
+    production form filters the sample predicate at the parquet scan
+    and touches 1/16 of the data. Estimation is the same
+    map-side-combinable aggregation either way — no extra shuffle for
+    the weighting, since the weight is a constant.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.when(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0", 1
+        )
+        .otherwise(0)
+        .alias("in_sample"),
+    )
+    return s.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("exact_count"),
+        (16 * F.sum("in_sample")).cast("long").alias("est_count"),
+        F.expr("(1000000 * abs(16 * sum(in_sample) - count(*))) div count(*)")
+        .cast("long")
+        .alias("count_err_ppm"),
+        F.sum("cents").cast("long").alias("exact_cents"),
+        (16 * F.sum(F.col("in_sample") * F.col("cents")))
+        .cast("long")
+        .alias("est_cents"),
+        F.expr(
+            "(1000000 * abs(16 * sum(in_sample * cents) - sum(cents)))"
+            " div sum(cents)"
+        )
+        .cast("long")
+        .alias("cents_err_ppm"),
+    )

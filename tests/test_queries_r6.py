@@ -603,3 +603,24 @@ def test_deterministic_walk_matches_python(spark):
             )
             assert got[(start, step)] == cur, (start, step)
     assert len(rows) == 3 * len(nbrs)
+
+
+def test_aqp_estimates_match_python(spark):
+    rows = {r.o_orderpriority: r for r in QUERIES["aqp_sample_estimates"](spark, SF).collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for o in orders:
+        cents = int(round(o.o_totalprice * 100))
+        ins = 1 if hashlib.md5(str(o.o_orderkey).encode()).hexdigest()[0] == "0" else 0
+        a = agg[o.o_orderpriority]
+        a[0] += 1
+        a[1] += ins
+        a[2] += cents
+        a[3] += ins * cents
+    assert set(rows) == set(agg)
+    for k, (n, sn, c, sc) in agg.items():
+        r = rows[k]
+        assert (r.exact_count, r.est_count) == (n, 16 * sn)
+        assert r.count_err_ppm == (1_000_000 * abs(16 * sn - n)) // n
+        assert (r.exact_cents, r.est_cents) == (c, 16 * sc)
+        assert r.cents_err_ppm == (1_000_000 * abs(16 * sc - c)) // c
