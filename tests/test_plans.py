@@ -930,3 +930,44 @@ def test_capped_near_dup_data_path_joinless(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_kmv_report_sketch_joins_broadcast_no_sort_merge(spark, sf_dir):
+    # The KMV pair machinery operates on k-row-per-type relations: the
+    # type-pair theta join and every sketch-side equi-join must ride
+    # broadcasts. A SortMergeJoin would mean a full shuffle of what is
+    # by construction a bounded (<= k * |types|) relation. The exact
+    # intersection audit joins on the 48-bit hash (equi, any strategy);
+    # what is pinned is that no cartesian product appears.
+    plan = plans.physical_plan(q.QUERIES["kmv_setops_report"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_trainer_winner_is_take_ordered_broadcast(spark, sf_dir):
+    # Each BPE step's winning pair is a TakeOrderedAndProject(1) over
+    # the bounded pair alphabet, broadcast back over the vocabulary —
+    # never a sort-merge join, never a cartesian of data-sized inputs.
+    plan = plans.physical_plan(q.QUERIES["bpe_train_steps"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_jl_projection_sign_matrix_broadcast_map_agg_only(spark, sf_dir):
+    # The 1024-row sign matrix must broadcast; the rest of the audit is
+    # explode + two map-side-combinable aggregations + the final
+    # vec-keyed join. No sort-merge path for the sign matrix.
+    plan = plans.physical_plan(q.QUERIES["jl_projection_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_aqp_estimates_single_scan_single_agg(spark, sf_dir):
+    # Both the exact and the weighted-sample estimates fold into ONE
+    # aggregation over ONE scan of orders — the audit adds no extra
+    # shuffle beyond the group-by exchange.
+    plan = plans.physical_plan(q.QUERIES["aqp_sample_estimates"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert plan.count("Scan parquet") == 1, plan
