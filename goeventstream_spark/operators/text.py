@@ -844,8 +844,11 @@ def bpe_train_steps(docs: DataFrame, steps: int = 3, text_col: str = "text") -> 
     merge application is also greedy left-to-right.
 
     Merge selection is corpus-global: highest freq-weighted count,
-    ties to the lexicographically smallest pair (byte order in both
-    engines). The winning pair is a 1-row relation broadcast back over
+    ties to the lexicographically smallest pair in the SENTINEL
+    alphabet (byte order in both engines) — a merged token ranks by
+    its merge index, since chr(i) sorts below every letter, NOT by its
+    expanded surface form; a randomized property test pins this exact
+    tiebreak against an independent model. The winning pair is a 1-row relation broadcast back over
     the vocabulary — no collect, the whole multi-step trainer is one
     Catalyst plan.
 

@@ -237,32 +237,36 @@ def test_semantic_decontaminate_matches_numpy_bruteforce(spark):
 
 
 def _python_bpe(word_freq: dict[str, int], steps: int):
-    """Reference BPE: tokens as tuples, position-based pair counts,
-    merges applied greedily left-to-right."""
-    vocab = {tuple(w): f for w, f in word_freq.items()}
+    """Reference BPE mirroring the DECLARED engine semantics: tokens
+    are single chars with merge i written as the sentinel chr(i), pair
+    counts are position-based, merges apply via leftmost-non-overlap
+    str.replace, and — the subtle part a hypothesis counterexample
+    caught — count ties break by byte order IN THE SENTINEL ALPHABET:
+    a merged token ranks by its merge index (chr(i) sorts below every
+    letter), not by its expanded surface form. Spark and DuckDB agree
+    on this by construction; the model must too."""
+    vocab = dict(word_freq)
+    expanded: dict[str, str] = {}
     out = []
-    for _ in range(steps):
+    for i in range(1, steps + 1):
         counts: collections.Counter = collections.Counter()
-        for toks, f in vocab.items():
-            for i in range(len(toks) - 1):
-                counts[(toks[i], toks[i + 1])] += f
+        for w, f in vocab.items():
+            for j in range(len(w) - 1):
+                counts[w[j : j + 2]] += f
         pair, c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        before = sum(len(t) * f for t, f in vocab.items())
-        new_vocab: dict[tuple, int] = {}
-        for toks, f in vocab.items():
-            merged = []
-            i = 0
-            while i < len(toks):
-                if i + 1 < len(toks) and (toks[i], toks[i + 1]) == pair:
-                    merged.append(toks[i] + toks[i + 1])
-                    i += 2
-                else:
-                    merged.append(toks[i])
-                    i += 1
-            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + f
+        before = sum(len(w) * f for w, f in vocab.items())
+        sent = chr(i)
+        new_vocab: dict[str, int] = {}
+        for w, f in vocab.items():
+            nw = w.replace(pair, sent)
+            new_vocab[nw] = new_vocab.get(nw, 0) + f
         vocab = new_vocab
-        after = sum(len(t) * f for t, f in vocab.items())
-        out.append((pair[0] + pair[1], c, before, after))
+        after = sum(len(w) * f for w, f in vocab.items())
+        disp = pair
+        for j in range(i - 1, 0, -1):
+            disp = disp.replace(chr(j), expanded[chr(j)])
+        expanded[sent] = disp
+        out.append((disp, c, before, after))
     return out
 
 
@@ -468,8 +472,8 @@ def test_bpe_fertility_matches_python(spark):
                 wf[w] += 1
     merged = _python_bpe_vocab(dict(wf), 3)
     hist = collections.defaultdict(lambda: [0, 0, 0])
-    for (toks, w0), f in merged.items():
-        h = hist[len(toks)]
+    for (mw, w0), f in merged.items():
+        h = hist[len(mw)]
         h[0] += 1
         h[1] += f
         h[2] += f * len(w0)
@@ -480,27 +484,18 @@ def test_bpe_fertility_matches_python(spark):
 
 
 def _python_bpe_vocab(word_freq: dict[str, int], steps: int):
-    """Reference merge application returning {(tokens, word): freq}."""
-    vocab = {(tuple(w), w): f for w, f in word_freq.items()}
-    for _ in range(steps):
+    """Reference merge application returning {(merged_string, word):
+    freq} in the same sentinel representation as _python_bpe (merge i
+    = chr(i)), so tie-breaks match the declared engine semantics."""
+    vocab = {(w, w): f for w, f in word_freq.items()}
+    for i in range(1, steps + 1):
         counts: collections.Counter = collections.Counter()
-        for (toks, _w), f in vocab.items():
-            for i in range(len(toks) - 1):
-                counts[(toks[i], toks[i + 1])] += f
+        for (mw, _w), f in vocab.items():
+            for j in range(len(mw) - 1):
+                counts[mw[j : j + 2]] += f
         pair, _c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        new_vocab = {}
-        for (toks, w), f in vocab.items():
-            merged = []
-            i = 0
-            while i < len(toks):
-                if i + 1 < len(toks) and (toks[i], toks[i + 1]) == pair:
-                    merged.append(toks[i] + toks[i + 1])
-                    i += 2
-                else:
-                    merged.append(toks[i])
-                    i += 1
-            new_vocab[(tuple(merged), w)] = f
-        vocab = new_vocab
+        sent = chr(i)
+        vocab = {(mw.replace(pair, sent), w): f for (mw, w), f in vocab.items()}
     return vocab
 
 
@@ -624,3 +619,70 @@ def test_aqp_estimates_match_python(spark):
         assert r.count_err_ppm == (1_000_000 * abs(16 * sn - n)) // n
         assert (r.exact_cents, r.est_cents) == (c, 16 * sc)
         assert r.cents_err_ppm == (1_000_000 * abs(16 * sc - c)) // c
+
+
+# ---------------------------------------------------------------------------
+# Randomized property tests (hypothesis) for the two most novel paths
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_word_st = st.text(alphabet="abcdz", min_size=1, max_size=6)
+_corpus_st = st.lists(_word_st, min_size=3, max_size=30)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_corpus_st)
+def test_bpe_trainer_matches_python_on_random_corpora(spark, words):
+    """The trainer must equal the reference BPE on arbitrary tiny
+    corpora — including self-overlapping runs ('aaaa'), ties broken by
+    pair byte order, and vocabularies that exhaust mergeable pairs in
+    fewer than 2 steps (skipped: degenerate by construction)."""
+    from goeventstream_spark.operators.text import bpe_train_steps
+
+    wf = collections.Counter(words)
+    # need at least one mergeable pair per step for 2 steps: the
+    # reference model and the SQL both assume a non-empty pair census
+    def censuses_nonempty(word_freq, steps):
+        try:
+            _python_bpe(dict(word_freq), steps)
+            return True
+        except ValueError:
+            return False
+
+    if not censuses_nonempty(wf, 2):
+        return
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(bpe_train_steps(docs, steps=2).collect(), key=lambda r: r.step)
+    want = _python_bpe(dict(wf), 2)
+    got = [(r.pair, r.pair_count, r.tokens_before, r.tokens_after) for r in rows]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_kmv_bottom_k_matches_python_on_random_sets(spark, pairs):
+    """Exact bottom-k per key on arbitrary (key, hash) multisets —
+    duplicates must collapse, k larger than the set must return the
+    whole set, ranks must be 1..min(k, n)."""
+    from goeventstream_spark.operators.sketches import kmv_bottom_k
+
+    distinct = sorted(set(pairs))
+    df = spark.createDataFrame(distinct, ["key", "h"]).repartition(5)
+    got = {(r.key, r.h, r.rn) for r in kmv_bottom_k(df, "key", k=7).collect()}
+    by_key = collections.defaultdict(set)
+    for k_, h in distinct:
+        by_key[k_].add(h)
+    want = {
+        (k_, h, i + 1)
+        for k_, vals in by_key.items()
+        for i, h in enumerate(sorted(vals)[:7])
+    }
+    assert got == want
