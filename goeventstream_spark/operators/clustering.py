@@ -347,6 +347,47 @@ def pq_fixed_adc_topk(
     )
 
 
+def hot_cell_detection_plans(base: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """The hot-cell guard's two detection relations, built WITHOUT any
+    window over the raw rows of a cell. A hot cell is, by definition, a
+    corpus-fraction partition — ``Window.partitionBy("cell")`` over its
+    raw rows would buffer+sort that fraction inside ONE task, the exact
+    single-task hazard the guard exists to remove (and the class the
+    repo-wide ordered-window gate polices elsewhere).
+
+    - populations: a plain ``groupBy(cell).count()`` — partial
+      map-side aggregation, no row buffering, output one row per cell.
+    - seeds: the k lowest vec_ids per cell via the ``kmv_bottom_k``
+      two-phase discipline (operators/sketches.py:284): phase 1 ranks
+      within (cell, spark-partition-id) and keeps <= k rows per pair —
+      each task sorts only its own slice of the cell — phase 2 re-ranks
+      the <= k * n_partitions survivors per cell. Min-k of
+      per-partition min-k's equals the global min-k under any row
+      placement, so the partition-id intermediate is invisible in the
+      result, and the only Window partitioned by bare ``cell`` runs on
+      the bounded survivor relation.
+
+    Exposed as a module-level helper so the plan pin
+    (tests/test_plans.py::test_hot_cell_guard_two_phase_detection) can
+    explain exactly what the guard executes. Returns the UNexecuted
+    (counts, seeds) DataFrames; seeds carries ``_rk`` in 1..k.
+    """
+    from pyspark.sql import Window
+
+    counts = base.groupBy("cell").agg(F.count("*").alias("_n"))
+    w1 = Window.partitionBy("cell", "_pid").orderBy("vec_id")
+    w2 = Window.partitionBy("cell").orderBy("vec_id")
+    seeds = (
+        base.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .select("cell", "vec_id", "v")
+        .withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") <= k)
+    )
+    return counts, seeds
+
+
 def ivf_cell_assign_capped(
     emb: DataFrame,
     k: int = 4,
@@ -384,7 +425,10 @@ def ivf_cell_assign_capped(
 
     Scale shape: the base assignment and every per-level rewrite are
     pure literal-broadcast map passes (zero joins / zero shuffles,
-    the ivf_cell_assign contract); training sub-codebooks is ``iters``
+    the ivf_cell_assign contract); hot-cell detection is a
+    ``groupBy(cell).count()`` plus a two-phase partition-local seed
+    rank (``hot_cell_detection_plans``) — no window ever buffers the
+    raw rows of a hot cell in one task; training sub-codebooks is ``iters``
     bounded aggregations per level over ONLY the hot subset, with
     driver collects bounded by (#hot-cells x k x dims) ints —
     corpus-size independent, the IVF codebook contract. All hot cells
@@ -393,8 +437,6 @@ def ivf_cell_assign_capped(
     split; ``max_levels`` bounds the retries."""
     if (cap is None) == (cap_frac is None):
         raise ValueError("exactly one of cap / cap_frac is required")
-    from pyspark.sql import Window
-
     cur = ivf_cell_assign(
         emb, k=k, iters=iters, scale=scale, id_col=id_col,
         vec_col=vec_col, centroids=centroids,
@@ -407,34 +449,24 @@ def ivf_cell_assign_capped(
     # — two unrelated blocks silently merged and the cap voided.
     next_id = max(k, len(centroids) if centroids is not None else k)
     for _level in range(max_levels):
-        # ONE pass yields both per-cell populations (window count) and
-        # the k lowest-id seed vectors per cell (window rank) — a
-        # bounded collect of (#cells x k) rows; hot-cell detection and
-        # seeding never cost separate jobs.
-        w_cell = Window.partitionBy("cell")
-        w_rank = Window.partitionBy("cell").orderBy("vec_id")
-        info = (
-            cur.select("cell", F.col(id_col).alias("vec_id"), v_col.alias("v"))
-            .withColumn("_n", F.count("*").over(w_cell))
-            .withColumn("_rk", F.row_number().over(w_rank))
-            .where(F.col("_rk") <= k)
-            .collect()
-        )
-        counts = {int(r.cell): r._n for r in info}
+        base = cur.select("cell", F.col(id_col).alias("vec_id"), v_col.alias("v"))
+        counts_df, _ = hot_cell_detection_plans(base, k)
+        counts = {int(r.cell): r._n for r in counts_df.collect()}
         if limit is None:
             limit = cap if cap is not None else cap_frac * sum(counts.values())
         hot = sorted(c for c, n in counts.items() if n > limit)
         if not hot:
             break
-        sub = cur.where(F.col("cell").isin(hot)).select(
-            "cell", F.col(id_col).alias("vec_id"), v_col.alias("v")
-        )
-        # Joint init: the k lowest vec_ids PER hot cell (same seed rule
-        # as kmeans_fit), already carried by the info pass.
+        sub = base.where(F.col("cell").isin(hot))
+        # Joint init: the k lowest vec_ids PER hot cell (kmeans_fit's
+        # seed rule), a bounded collect of (#hot x k) rows computed on
+        # the hot subset only — see hot_cell_detection_plans for why
+        # neither pass may window over the raw rows of a hot cell.
+        _, seeds_df = hot_cell_detection_plans(sub, k)
+        seeds = seeds_df.collect()
         books: dict[int, list[list[int]]] = {h: [] for h in hot}
-        for r in sorted(info, key=lambda r: (r.cell, r._rk)):
-            if int(r.cell) in books:
-                books[int(r.cell)].append(list(r.v))
+        for r in sorted(seeds, key=lambda r: (r.cell, r._rk)):
+            books[int(r.cell)].append(list(r.v))
 
         def _scid(df: DataFrame, bk: dict[int, list[list[int]]]) -> DataFrame:
             # bk passed explicitly each call: the codebook rebinds every

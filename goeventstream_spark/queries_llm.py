@@ -475,7 +475,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integer-grid k-means trajectory, so the blocking is
     hash-exact; pairs straddling cells are dropped by BOTH engines —
     the documented ANN approximation (property-pinned as a subset of
-    the label-blocked output in tests)."""
+    the label-blocked output in tests).
+
+    ROLE: this is the UNCAPPED EVAL TWIN — the PRODUCTION path is
+    `embedding_near_dup_capped`, whose hot-cell guard
+    (clustering.ivf_cell_assign_capped) re-clusters any cell above 26%
+    of the corpus before pair generation and is the variant a 100 TB
+    pipeline must run (a skewed corpus concentrated in one base cell
+    re-creates the quadratic block this query cannot defend against).
+    Migrating this query onto the capped assign would make it
+    row-identical to the capped twin at every scale, so it is kept on
+    the base assign deliberately: it pins the UNguarded trajectory the
+    guard's split is measured against (the capped output is
+    property-pinned as a refinement of these blocks), mirroring
+    ann_quality_report's exact-vs-approx eval convention. See
+    COVERAGE.md."""
     from goeventstream_spark.operators import clustering
 
     emb_cell = clustering.ivf_cell_assign(

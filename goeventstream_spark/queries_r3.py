@@ -651,18 +651,19 @@ def q_temperature_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_graph_sql() -> str:
-    from goeventstream_spark.kq_sql import KQ_CELL_CTES
+    from goeventstream_spark.kq_sql import KQ_CAPPED_CELL_CTES, KQ_CELL_CTES
 
     return f"""
     WITH {KQ_CELL_CTES},
+    {KQ_CAPPED_CELL_CTES},
     ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     scored AS (
       SELECT a.vec_id AS query_id, b.vec_id,
              list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
       FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id <> b.vec_id
-      JOIN a3 ca ON ca.vec_id = a.vec_id
-      JOIN a3 cb ON cb.vec_id = b.vec_id AND cb.cluster_id = ca.cluster_id
+      JOIN kcap ca ON ca.vec_id = a.vec_id
+      JOIN kcap cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
     )
     SELECT query_id, vec_id, cos_sim, rk FROM (
       SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -676,19 +677,26 @@ def _knn_graph_sql() -> str:
 def q_knn_graph_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN graph blocked on the compound (IVF cell, label) key: every
     vector's top-3 most-similar neighbors sharing both its label and
-    its deterministic fixed-point IVF cell
-    (clustering.ivf_cell_assign). Label-only blocking has fixed
-    cardinality — blocks grow linearly with the corpus, per-block
-    all-pairs quadratic at scale — while the cell count grows with the
-    corpus and bounds block size by construction. The oracle replays
-    the identical k-means trajectory, so the blocking is hash-exact;
-    neighbors straddling cells are invisible to BOTH engines — the
-    documented ANN approximation (each emitted edge is property-pinned
-    against the exact label-blocked pair scores in tests)."""
+    its deterministic fixed-point HOT-CELL-GUARDED IVF cell
+    (clustering.ivf_cell_assign_capped — any cell above 26% of the
+    corpus is re-clustered one level before pair generation, so a
+    clustered corpus cannot re-create the quadratic in-cell block at
+    100 TB). Label-only blocking has fixed cardinality — blocks grow
+    linearly with the corpus, per-block all-pairs quadratic at scale —
+    while the cell count grows with the corpus and the cap bounds
+    block size unconditionally. The oracle replays the identical
+    k-means trajectory INCLUDING the conditional split
+    (kq_sql.KQ_CAPPED_CELL_CTES), so the guarded blocking is
+    hash-exact; neighbors straddling cells are invisible to BOTH
+    engines — the documented ANN approximation (each emitted edge is
+    property-pinned against the exact label-blocked pair scores in
+    tests)."""
+    from goeventstream_spark.kq_sql import KQ_CAPPED_FRAC
     from goeventstream_spark.operators import clustering
 
-    emb_cell = clustering.ivf_cell_assign(
-        _emb(spark, sf_dir), k=4, iters=2, scale=1000
+    emb_cell = clustering.ivf_cell_assign_capped(
+        _emb(spark, sf_dir), k=4, iters=2, scale=1000,
+        cap_frac=KQ_CAPPED_FRAC, max_levels=1,
     )
     return similarity.knn_graph_within_label(
         emb_cell, k=3, block_cols=["cell", "label"]

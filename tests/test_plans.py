@@ -971,3 +971,38 @@ def test_aqp_estimates_single_scan_single_agg(spark, sf_dir):
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_hot_cell_guard_two_phase_detection(spark):
+    """The capped-assign guard's own detection passes must never window
+    over the raw rows of a hot cell (a corpus-fraction partition by
+    definition — VERDICT r6 finding #2): populations are a plain
+    partial-aggregating groupBy, and the per-cell seed rank follows the
+    kmv_bottom_k two-phase discipline — the only Window partitioned by
+    bare `cell` sits ABOVE the `_rn <= k` survivor filter, so it ranks
+    at most k * n_partitions rows per cell."""
+    import re
+
+    from goeventstream_spark.operators.clustering import hot_cell_detection_plans
+
+    base = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("cell"),
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id"), F.col("id") * 2).alias("v"),
+    )
+    counts, seeds = hot_cell_detection_plans(base, k=4)
+
+    cplan = plans.physical_plan(counts)
+    assert "Window" not in cplan, cplan
+    assert "HashAggregate" in cplan, cplan
+
+    splan = plans.physical_plan(seeds)
+    wins = [m.start() for m in re.finditer(r"\bWindow\b", splan)]
+    assert len(wins) == 2, splan
+    # the partition-local phase exists (its spec carries _pid)...
+    assert "_pid" in splan, splan
+    # ...and the bare-cell outer window (printed first, top-down) is fed
+    # by the phase-1 survivor filter: a Filter on _rn sits between the
+    # two Window nodes in the plan text.
+    between = splan[wins[0] : wins[1]]
+    assert "_rn" in between and "Filter" in between, splan

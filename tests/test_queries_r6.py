@@ -686,3 +686,29 @@ def test_kmv_bottom_k_matches_python_on_random_sets(spark, pairs):
         for i, h in enumerate(sorted(vals)[:7])
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Capped blocking refines uncapped blocking (r7: eval-twin contract)
+# ---------------------------------------------------------------------------
+
+
+def test_capped_near_dup_refines_uncapped_eval_twin(spark):
+    """embedding_near_dup is the documented UNCAPPED EVAL TWIN of
+    embedding_near_dup_capped (the production path). The hot-cell split
+    only ever REFINES base cells, so the capped pair set must be a
+    subset of the uncapped one with identical cosines — and on the
+    fixture the split actually fires, so the subset is STRICT (the
+    guard measurably drops straddling pairs rather than being a no-op
+    rename)."""
+    capped = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["embedding_near_dup_capped"](spark, SF).collect()
+    }
+    uncapped = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in QUERIES["embedding_near_dup"](spark, SF).collect()
+    }
+    assert set(capped) < set(uncapped), (len(capped), len(uncapped))
+    for pair, cos in capped.items():
+        assert uncapped[pair] == cos, pair
