@@ -644,6 +644,9 @@ _COS_FULL = (
 )
 
 
+MATRYOSHKA_QUERY_CAP = 64
+
+
 @query(
     "matryoshka_recall_report",
     f"""
@@ -652,9 +655,11 @@ _COS_FULL = (
     tr_e AS (SELECT vec_id, label, (CAST(embedding AS DOUBLE[]))[1:16] AS e
              FROM embeddings),
     qf AS (SELECT vec_id AS query_id, label, e AS qe FROM full_e
-           WHERE vec_id % 20 = 0),
-    qt AS (SELECT vec_id AS query_id, label, e AS qe FROM tr_e
-           WHERE vec_id % 20 = 0),
+           WHERE vec_id % 20 = 0
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT {MATRYOSHKA_QUERY_CAP}),
+    qt AS (SELECT q.query_id, t.label, t.e AS qe
+           FROM qf q JOIN tr_e t ON t.vec_id = q.query_id),
     topf AS (
       SELECT query_id, vec_id FROM (
         SELECT q.query_id, c.vec_id,
@@ -699,6 +704,21 @@ def q_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL sum chain); truncation is an array slice, so the truncated pass
     reads the SAME column pruned to a prefix. Recall is exact integer
     arithmetic (hits / 5·n_queries in ppm, one floor division).
+
+    BOUNDED QUERY STRATUM (r7, the ann_quality_report convention):
+    cosine_topk's contract is a broadcast-able query side, and 5% of a
+    100 TB corpus is not broadcast-able — so the stratum is capped at
+    an ABSOLUTE MATRYOSHKA_QUERY_CAP=64 queries, chosen as the 64
+    lowest by (md5(vec_id), vec_id) within the every-20th stratum: a
+    deterministic hash-sample whose membership is independent of
+    corpus layout, computed as a TakeOrderedAndProject(64) — the
+    driver never materializes more than cap rows and the broadcast is
+    O(cap·dims) regardless of corpus size. The cap provably BINDS at
+    sf0.1 (stratum 100 -> 64) and is a no-op at sf0.01 (stratum 25),
+    so both the capped and uncapped selection paths are hash-pinned
+    cross-engine. The truncated query set is derived from the SAME
+    capped ids (join on query_id), so both rankings always evaluate an
+    identical stratum.
     """
     from goeventstream_spark.operators import similarity
 
@@ -706,13 +726,18 @@ def q_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = emb.select(
         "vec_id", "label", F.slice("embedding", 1, 16).alias("embedding")
     )
-    qf = emb.where(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_embedding"),
+    qf = (
+        emb.where(F.col("vec_id") % 20 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        .orderBy(F.md5(F.col("query_id").cast("string")), "query_id")
+        .limit(MATRYOSHKA_QUERY_CAP)
     )
-    qt = tr.where(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    qt = qf.select(
+        "query_id", F.slice("q_embedding", 1, 16).alias("q_embedding")
     )
     topf = similarity.cosine_topk(emb, qf.drop("q_label"), k=5).select(
         "query_id", "vec_id"
@@ -914,14 +939,19 @@ def q_link_prediction_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arcs = e2.select(F.col("a").alias("z"), F.col("b").alias("x")).unionAll(
         e2.select(F.col("b").alias("z"), F.col("a").alias("x"))
     )
-    w1 = arcs.withColumnRenamed("x", "u")
-    w2 = arcs.withColumnRenamed("x", "v")
-    wedges = (
-        w1.join(w2, "z")
-        .where(F.col("u") < F.col("v"))
-        .join(F.broadcast(deg.withColumnRenamed("node", "z")), "z")
-        .where(F.col("d") <= 64)
+    # Hub cap FIRST: only capped wedge centers enter the self-join, so
+    # hub wedges are never enumerated (previously the cap filtered
+    # after the pair join — deg² work for hubs before dropping them).
+    # No broadcast hint: deg is O(|V|) — data-sized, not a dimension —
+    # and a forced broadcast would bypass the autoBroadcast threshold
+    # and OOM at 100 TB; the cap join is a plain equi-join on z, so
+    # AQE picks broadcast vs shuffle from the actual capped size.
+    capped = (
+        deg.where(F.col("d") <= 64).withColumnRenamed("node", "z")
     )
+    w1 = arcs.withColumnRenamed("x", "u").join(capped, "z")
+    w2 = arcs.withColumnRenamed("x", "v")
+    wedges = w1.join(w2, "z").where(F.col("u") < F.col("v"))
     cand = wedges.groupBy("u", "v").agg(
         F.count("*").cast("long").alias("common_neighbors"),
         F.expr("CAST(sum(1000000000 div d) AS BIGINT)").alias("ra_ppb"),

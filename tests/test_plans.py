@@ -1006,3 +1006,27 @@ def test_hot_cell_guard_two_phase_detection(spark):
     # two Window nodes in the plan text.
     between = splan[wins[0] : wins[1]]
     assert "_rn" in between and "Filter" in between, splan
+
+
+def test_link_prediction_hub_cap_below_wedge_join(spark, sf_dir):
+    """The deg<=64 hub cap must filter wedge CENTERS before the wedge
+    self-join (hub wedges never enumerate — the deg² blowup is cut at
+    the source), and the O(|V|) degree relation must NOT carry a forced
+    broadcast hint (AQE may still choose broadcast from actual size;
+    either join strategy is acceptable, the hint is not)."""
+    import re
+
+    import goeventstream_spark.queries_r6  # noqa: F401
+
+    df = q.QUERIES["link_prediction_ra_topk"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    i_cap = plan.index("<= 64")
+    joins_before = re.findall(
+        r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin",
+        plan[:i_cap],
+    )
+    # top-down print order: anti-join, wedge self-join, and the capped
+    # center join all sit ABOVE the hub-cap filter — with the old
+    # post-join filter only the anti-join printed before it
+    assert len(joins_before) >= 3, plan

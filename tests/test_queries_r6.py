@@ -426,12 +426,25 @@ def test_jl_distortion_concentrates(spark):
 
 
 def test_matryoshka_recall_matches_numpy(spark):
+    import math
+
     import numpy as np
+
+    from goeventstream_spark.queries_r6 import MATRYOSHKA_QUERY_CAP
 
     rows = {r.label: r for r in QUERIES["matryoshka_recall_report"](spark, SF).collect()}
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
     vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb}
     labels = {r.vec_id: r.label for r in emb}
+
+    def dot(a, b):
+        # strict left-to-right accumulation, the _arrow_pair_scores /
+        # SQL sum-chain semantics — NOT np.dot (BLAS pairwise
+        # summation), whose last-ulp drift can flip near-tie rankings
+        acc = float(a[0]) * float(b[0])
+        for i in range(1, len(a)):
+            acc += float(a[i]) * float(b[i])
+        return acc
 
     def topk(qid, dims):
         qv = vecs[qid][:dims]
@@ -441,16 +454,21 @@ def test_matryoshka_recall_matches_numpy(spark):
                 continue
             c = v[:dims]
             scored.append(
-                (-(qv @ c) / (np.sqrt(qv @ qv) * np.sqrt(c @ c)), vid)
+                (-dot(qv, c) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(c, c))), vid)
             )
         scored.sort()
         return {vid for _, vid in scored[:5]}
 
+    # the bounded query stratum: the cap lowest (md5(vec_id), vec_id)
+    # of the every-20th vectors — a no-op at this fixture scale
+    # (stratum 25 < 64) but applied anyway so the model IS the contract
+    qids = sorted(
+        (v for v in vecs if v % 20 == 0),
+        key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+    )[:MATRYOSHKA_QUERY_CAP]
     per_label_hits = collections.Counter()
     per_label_n = collections.Counter()
-    for qid in vecs:
-        if qid % 20 != 0:
-            continue
+    for qid in qids:
         per_label_n[labels[qid]] += 1
         per_label_hits[labels[qid]] += len(topk(qid, 64) & topk(qid, 16))
     assert set(rows) == set(per_label_n)
