@@ -730,3 +730,58 @@ def test_capped_near_dup_refines_uncapped_eval_twin(spark):
     assert set(capped) < set(uncapped), (len(capped), len(uncapped))
     for pair, cos in capped.items():
         assert uncapped[pair] == cos, pair
+
+
+def test_bpe_trainer_depth8_matches_python(spark):
+    """8-step trajectory on a fixed corpus built to stay mergeable for
+    all 8 steps (r7 scale proof). The failure classes that grow with
+    merge-table depth — sentinel collisions among chr(1..8),
+    replace-order drift on merges-of-merges (step 5 merges
+    chr(3)chr(3) = 'abcdabcd'), and surface re-expansion through up to
+    7 sentinel levels — are exactly what the declared 3-step query
+    cannot exercise."""
+    from goeventstream_spark.operators.text import bpe_train_steps
+
+    words = [
+        "abcdabcd", "abcdabcd", "abcd", "dcba", "aabb", "bbaa",
+        "abab", "baba", "cdcd", "zzzz", "azbzcz",
+    ]
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(bpe_train_steps(docs, steps=8).collect(), key=lambda r: r.step)
+    want = _python_bpe(dict(collections.Counter(words)), 8)
+    got = [(r.pair, r.pair_count, r.tokens_before, r.tokens_after) for r in rows]
+    assert got == want
+    # the fixture genuinely reaches merges-of-merges: some winning
+    # pair's expanded surface form is longer than 2 chars
+    assert any(len(p) > 2 for p, _, _, _ in want)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.text(alphabet="abcdz", min_size=1, max_size=8), min_size=3, max_size=40))
+def test_bpe_trainer_depth_adaptive_random_corpora(spark, words):
+    """Randomized depth proof: each corpus trains to the DEEPEST
+    feasible merge table up to 8 steps (whatever depth its pair
+    censuses support), and the full trajectory must equal the python
+    reference at that depth — so sentinel/tie-break semantics are
+    pinned at every reachable depth, not just the declared 3."""
+    from goeventstream_spark.operators.text import bpe_train_steps
+
+    wf = collections.Counter(words)
+
+    def max_depth(word_freq, cap=8):
+        for s in range(cap, 1, -1):
+            try:
+                _python_bpe(dict(word_freq), s)
+                return s
+            except ValueError:
+                continue
+        return 0
+
+    s = max_depth(wf)
+    if s < 2:
+        return
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(bpe_train_steps(docs, steps=s).collect(), key=lambda r: r.step)
+    want = _python_bpe(dict(wf), s)
+    got = [(r.pair, r.pair_count, r.tokens_before, r.tokens_after) for r in rows]
+    assert got == want
