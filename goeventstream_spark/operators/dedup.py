@@ -1133,3 +1133,152 @@ def winnowing_fingerprints(
         ),
     ).where(F.col("rk") == 1)
     return pick.select(id_col, "pos", "h").distinct()
+
+
+def substring_gram_table(
+    docs: DataFrame,
+    min_len: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, gh): every character position's ``min_len``-gram,
+    md5-keyed — the seed relation of exact substring dedup. Generated
+    map-side (one explode over 1..len-K+1, zero shuffle); hashing the
+    gram BEFORE any exchange shrinks shuffle payloads from K chars to
+    a fixed 32-hex key, the repo's span-hash contract
+    (md5-collision-free at any realistic corpus size)."""
+    k = min_len
+    n = F.length(text_col) - (k - 1)
+    return (
+        docs.where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("_t"),
+            F.explode(F.sequence(F.lit(1), n)).alias("pos"),
+        )
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.col("_t").substr(F.col("pos"), F.lit(k))).alias("gh"),
+        )
+    )
+
+
+def repeated_substring_runs(
+    docs: DataFrame,
+    min_len: int = 20,
+    max_df: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring finder — the suffix-array-class dedup
+    primitive of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499), re-expressed as sorted
+    k-mer groups + diagonal run extension instead of a suffix
+    automaton: every maximal cross-document run of matching
+    ``min_len``-grams is one exact shared substring of length
+    ``min_len + run - 1``.
+
+    Construction: (1) the per-position gram table (map-side, md5
+    keys); (2) gram document-frequency, keeping grams seen in 2..
+    ``max_df`` DISTINCT docs — the hot-gram stop-list that bounds
+    self-join fan-out per gram at df² doc pairs (corpus-frequent
+    boilerplate grams are exactly the quadratic hazard; the cap is
+    DECLARED semantics, replayed by the oracle, and BINDS on the
+    fixture at both gate scales — max fixture df 9 > 4); (3) the
+    per-gram match join with doc_a < doc_b; (4) gaps-and-islands on
+    each (doc_a, doc_b, diagonal = pos_a - pos_b): consecutive pos_a
+    runs collapse to one maximal match (pos_a - row_number() is
+    constant within a run). Two overlapping matched grams always sit
+    on the same diagonal, so maximality is exact, not heuristic.
+
+    Output: (doc_a, doc_b, start_a, start_b, match_len), one row per
+    maximal run, match_len >= min_len by construction. Cross-document
+    only (within-doc repetition is winnowing_fingerprints' job).
+
+    100 TB shape: the gram table is corpus-linear and never carries
+    text past the first projection; both shuffles (df agg, match join)
+    move fixed-width (gh, id, pos) rows; the islands window partitions
+    by (doc pair, diagonal) — bounded by min(len_a, len_b) rows, a
+    per-document bound, never a corpus fraction. Degenerate periodic
+    documents (one gram repeated at every position) cost
+    occurrences_a x occurrences_b on one diagonal pair — the
+    low-entropy class a Gopher-style quality gate drops upstream.
+    """
+    g = substring_gram_table(docs, min_len=min_len, id_col=id_col, text_col=text_col)
+    el = (
+        g.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("gh")
+    )
+    ga = g.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
+    ).join(el, "gh")
+    gb = g.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"), "gh")
+    m = ga.join(gb, "gh").where(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    return (
+        m.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        .withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            (F.max("pos_a") - F.min("pos_a") + min_len).cast("long").alias("match_len"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            (F.col("start_a") - F.col("diag")).cast("long").alias("start_b"),
+            "match_len",
+        )
+    )
+
+
+def substring_dup_coverage(
+    docs: DataFrame,
+    min_len: int = 20,
+    max_df: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-character coverage: the union length of
+    every repeated_substring_runs interval touching the document (as
+    either side of a pair) — the "how many chars would substring dedup
+    delete" costing that motivates Lee et al.'s pipeline. Interval
+    union is exact via the running-max sweep: per doc, order intervals
+    by (start, end) and count only the part of each interval past the
+    max end seen so far — overlapping and nested runs (common, since
+    runs on different diagonals cover the same span) never double
+    count. The sweep window partitions per doc_id, bounded by that
+    doc's run count. Output: (doc_id, dup_chars), docs with no runs
+    absent (left-join + coalesce at the call site)."""
+    runs = repeated_substring_runs(
+        docs, min_len=min_len, max_df=max_df, id_col=id_col, text_col=text_col
+    )
+    iv = runs.select(
+        F.col("doc_a").alias(id_col),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("match_len")).alias("e"),
+    ).unionAll(
+        runs.select(
+            F.col("doc_b").alias(id_col),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("match_len")).alias("e"),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e") - F.greatest(F.col("s"), F.coalesce(F.max("e").over(w), F.col("s"))),
+    )
+    return (
+        iv.withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("_c").cast("long").alias("dup_chars"))
+    )

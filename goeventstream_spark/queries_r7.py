@@ -1,0 +1,157 @@
+"""Round-7 query registrations — exact substring dedup, the
+suffix-array-class primitive of Lee et al. 2022 (arXiv:2107.06499,
+"Deduplicating Training Data Makes Language Models Better") that the
+registry previously only approximated with fixed-width span hashes
+(`duplicated_spans`) and winnowing fingerprints:
+
+- ``substring_dedup_runs``: every maximal cross-document run of
+  matching 20-grams is one exact shared substring (sorted k-mer
+  groups + diagonal gaps-and-islands extension — no suffix automaton
+  needed for a bounded minimum match length); the declared query emits
+  the top-200 longest runs under a total tiebreak.
+- ``substring_dedup_coverage``: per-language duplicated-character
+  costing — the exact union length of every run interval per document
+  (running-max sweep, no double counting), i.e. how many characters
+  substring dedup would delete.
+
+Cross-engine determinism: gram keys are md5 of the raw 20-char
+substring (identical hex in both engines); positions, lengths, and
+coverage sums are BIGINT; the one ratio is an integer floor-division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goeventstream_spark.operators import dedup
+from goeventstream_spark.queries import query
+from goeventstream_spark.sources import load_table
+
+SUBSTR_MIN_LEN = 20
+SUBSTR_MAX_DF = 4
+
+# The shared trajectory both oracles replay: per-position md5 gram
+# keys, the 2..max_df document-frequency stop-list (BINDS on the
+# fixture — max df 9 at sf0.001 / 6 at sf0.01), the doc_a < doc_b
+# match join, and maximal diagonal runs via gaps-and-islands.
+_SUBSTR_RUNS_CTES = f"""pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - {SUBSTR_MIN_LEN - 1})) AS p
+      FROM documents
+    ),
+    g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                 md5(substr(text, CAST(p AS INT), {SUBSTR_MIN_LEN})) AS gh
+          FROM pos),
+    el AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df
+                           FROM g GROUP BY gh)
+           WHERE df BETWEEN 2 AND {SUBSTR_MAX_DF}),
+    m AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+                 b.doc_id AS doc_b, b.pos AS pos_b
+          FROM g a JOIN el USING (gh) JOIN g b USING (gh)
+          WHERE a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+             CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+             CAST(max(pos_a) - min(pos_a) + {SUBSTR_MIN_LEN} AS BIGINT) AS match_len
+      FROM (SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+                   pos_a - row_number() OVER (PARTITION BY doc_a, doc_b,
+                                                           pos_a - pos_b
+                                              ORDER BY pos_a) AS grp
+            FROM m)
+      GROUP BY doc_a, doc_b, diag, grp)"""
+
+
+@query(
+    "substring_dedup_runs",
+    f"""
+    WITH {_SUBSTR_RUNS_CTES}
+    SELECT doc_a, doc_b, start_a, start_b, match_len
+    FROM runs
+    ORDER BY match_len DESC, doc_a, doc_b, start_a, start_b
+    LIMIT 200
+    """,
+)
+def q_substring_dedup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 longest exact repeated substrings across documents
+    (dedup.repeated_substring_runs, min_len=20, max_df=4): each row is
+    one MAXIMAL shared substring — start offsets in both docs plus its
+    length — found by extending matching 20-gram seeds along pair
+    diagonals. The limit is a TakeOrderedAndProject under a TOTAL
+    tiebreak (match_len desc, doc_a, doc_b, start_a, start_b — unique
+    per run since a run's diagonal is start_a - start_b), so the 200
+    boundary is deterministic cross-engine; the full runs relation
+    stays available as the operator (substring_dedup_coverage consumes
+    it un-truncated)."""
+    return (
+        dedup.repeated_substring_runs(
+            load_table(spark, sf_dir, "documents"),
+            min_len=SUBSTR_MIN_LEN,
+            max_df=SUBSTR_MAX_DF,
+        )
+        .orderBy(
+            F.col("match_len").desc(), "doc_a", "doc_b", "start_a", "start_b"
+        )
+        .limit(200)
+    )
+
+
+@query(
+    "substring_dedup_coverage",
+    f"""
+    WITH {_SUBSTR_RUNS_CTES},
+    iv AS (
+      SELECT doc_a AS doc_id, start_a AS s, start_a + match_len AS e FROM runs
+      UNION ALL
+      SELECT doc_b, start_b, start_b + match_len FROM runs
+    ),
+    sw AS (SELECT doc_id, s, e,
+                  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pme
+           FROM iv),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(greatest(0, e - greatest(s, coalesce(pme, s)))) AS BIGINT)
+               AS dup_chars
+      FROM sw GROUP BY doc_id)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(p.doc_id) AS BIGINT) AS docs_with_dup,
+           CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+           CAST(coalesce(sum(p.dup_chars), 0) AS BIGINT) AS dup_chars,
+           CAST((1000000 * coalesce(sum(p.dup_chars), 0))
+                // sum(length(d.text)) AS BIGINT) AS dup_ppm
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact duplicated-character coverage
+    (dedup.substring_dup_coverage): the union length of every
+    repeated-substring run interval per document — overlapping and
+    nested runs counted once via the running-max interval sweep — then
+    rolled up to (n_docs, docs_with_dup, total_chars, dup_chars,
+    dup_ppm) per language. This is the costing readout that decides
+    whether running substring dedup pays at 100 TB: dup_ppm IS the
+    fraction of the corpus the dedup pass would delete."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = dedup.substring_dup_coverage(
+        docs, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF
+    )
+    return (
+        docs.select("doc_id", "lang", F.length("text").alias("_len"))
+        .join(per_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("dup_chars").cast("long").alias("docs_with_dup"),
+            F.sum("_len").cast("long").alias("total_chars"),
+            F.coalesce(F.sum("dup_chars"), F.lit(0))
+            .cast("long")
+            .alias("dup_chars"),
+            F.expr("(1000000 * coalesce(sum(dup_chars), 0)) div sum(_len)")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+    )

@@ -1030,3 +1030,18 @@ def test_link_prediction_hub_cap_below_wedge_join(spark, sf_dir):
     # center join all sit ABOVE the hub-cap filter — with the old
     # post-join filter only the anti-join printed before it
     assert len(joins_before) >= 3, plan
+
+
+def test_substring_dedup_runs_plan_shape(spark, sf_dir):
+    """Substring dedup's 100 TB contract: the top-200 is a bounded
+    TakeOrderedAndProject (never a global sort), pair generation is
+    equi-joins on the gram hash (no cartesian/nested-loop), and the
+    islands window partitions by (pair, diagonal) — never unpartitioned."""
+    import goeventstream_spark.queries_r7  # noqa: F401
+
+    df = q.QUERIES["substring_dedup_runs"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "windowspecdefinition(doc_a" in plan, plan

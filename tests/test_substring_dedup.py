@@ -1,0 +1,146 @@
+"""Exact substring dedup (Lee et al. 2022 class): the operator must
+equal an independent pure-python model — brute-force gram indexing +
+diagonal run merging + interval union — on fixed corpora with known
+overlaps AND on randomized hypothesis corpora from a tiny alphabet
+(where the hot-gram stop-list and self-overlapping runs actually
+fire). The DuckDB oracle pins the declared queries; these pin the
+OPERATOR semantics against a non-SQL reference, so a bug shared by
+both SQL dialects still gets caught.
+"""
+
+from __future__ import annotations
+
+import collections
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from goeventstream_spark.operators.dedup import (
+    repeated_substring_runs,
+    substring_dup_coverage,
+)
+
+
+def _py_runs(texts: dict[int, str], k: int, max_df: int):
+    """Reference: gram occurrence lists -> df stop-list -> per
+    (doc_a, doc_b, diagonal) position sets -> maximal consecutive
+    runs. 1-based positions, cross-doc only, doc_a < doc_b."""
+    grams: dict[str, list[tuple[int, int]]] = collections.defaultdict(list)
+    for d, t in texts.items():
+        for i in range(len(t) - k + 1):
+            grams[t[i : i + k]].append((d, i + 1))
+    matches: dict[tuple[int, int, int], set[int]] = collections.defaultdict(set)
+    for occ in grams.values():
+        docs = {d for d, _ in occ}
+        if not (2 <= len(docs) <= max_df):
+            continue
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    matches[(da, db, pa - pb)].add(pa)
+    out = set()
+    for (da, db, diag), ps in matches.items():
+        sp = sorted(ps)
+        start = prev = sp[0]
+        for p in sp[1:] + [None]:
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            out.add((da, db, start, start - diag, prev - start + k))
+            if p is not None:
+                start = prev = p
+    return out
+
+
+def _py_coverage(runs, k_unused=None) -> dict[int, int]:
+    """Reference interval-union length per doc over both run sides."""
+    iv: dict[int, list[tuple[int, int]]] = collections.defaultdict(list)
+    for da, db, sa, sb, ln in runs:
+        iv[da].append((sa, sa + ln))
+        iv[db].append((sb, sb + ln))
+    out = {}
+    for d, spans in iv.items():
+        spans.sort()
+        tot, cur_s, cur_e = 0, None, None
+        for s, e in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    tot += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        tot += cur_e - cur_s
+        out[d] = tot
+    return out
+
+
+def _spark_runs(spark, texts, k, max_df):
+    docs = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    return {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+        for r in repeated_substring_runs(docs, min_len=k, max_df=max_df).collect()
+    }
+
+
+def test_substring_runs_fixed_corpus(spark):
+    """Hand-checkable fixture: a 10-char passage shared by three docs
+    at different offsets (gram df 3 <= cap 3), a boilerplate word in
+    ALL four docs (df 4 > cap -> stop-listed, so it yields NO run),
+    and a periodic tail whose self-overlapping grams must still
+    collapse to one maximal run per doc pair."""
+    texts = {
+        1: "COMMONabcdefghij....zzzzzzzz",
+        2: "YCOMMONabcdefghijZ..zzzzzzzz",
+        3: "abcdefghij",
+        4: "COMMON only here....zzzzzzzz",
+    }
+    k = 4
+    got = _spark_runs(spark, texts, k, max_df=3)
+    want = _py_runs(texts, k, max_df=3)
+    assert got == want
+    # the full 16-char 'COMMONabcdefghij' passage is ONE maximal run
+    # for docs 1/2; docs 1/3 and 2/3 share only the 10-char core
+    assert (1, 2, 1, 2, 16) in got
+    assert (1, 3, 7, 1, 10) in got
+    assert (2, 3, 8, 1, 10) in got
+    # COMMON alone (df 3 grams, under the cap) matches docs 1/4
+    assert (1, 4, 1, 1, 6) in got
+    # the periodic z-tail self-overlaps: maximal runs exist on SEVERAL
+    # diagonals of the same pair (the declared per-diagonal maximality)
+    diags_12 = {r[2] - r[3] for r in got if r[:2] == (1, 2) and r[4] < 16}
+    assert len(diags_12) >= 3, sorted(got)
+    # tightening the cap to df<=2 stop-lists the df-3 grams: the
+    # COMMON run disappears and the 1/4 dot-tail run shrinks to the
+    # two surviving '....'/'...z' seed positions (length 5)
+    got2 = _spark_runs(spark, texts, k, max_df=2)
+    assert got2 == _py_runs(texts, k, max_df=2)
+    assert not any(r[:2] == (1, 4) and r[2] == 1 for r in got2), got2
+    assert (1, 4, 17, 17, 5) in got2
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 6),
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_substring_runs_match_python_on_random_corpora(spark, texts):
+    """Tiny alphabet -> dense gram collisions: the df stop-list,
+    multi-occurrence diagonals, and run merging all fire. The operator
+    must equal the brute-force model exactly."""
+    k, max_df = 3, 3
+    got = _spark_runs(spark, texts, k, max_df)
+    want = _py_runs(texts, k, max_df)
+    assert got == want
+    cov_rows = {
+        r.doc_id: r.dup_chars
+        for r in substring_dup_coverage(
+            spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"]),
+            min_len=k,
+            max_df=max_df,
+        ).collect()
+    }
+    assert cov_rows == _py_coverage(want)
