@@ -48,46 +48,39 @@ def streaming_minhash_dedup(
     parquet lakes — restarting from the checkpoint resumes with the
     index exactly as the completed batches left it."""
     def sink(batch_df, batch_id):
-        # foreachBatch hands the batch a CLONED SparkSession with its
-        # own conf — the dynamic-overwrite setting must go on THAT
-        # session (setting it on the outer session silently leaves the
-        # batch's writes in static mode, which full-overwrites the
-        # index; caught by the streaming==batch equality test)
+        # dynamic overwrite is a per-WRITE option, not a session-conf
+        # toggle: foreachBatch shares its (cloned) session with any
+        # concurrent streams, and a mid-batch observer must never see
+        # the flipped global setting (r7, ADVICE r6)
         spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            sigs = minhash_signatures(shingles(batch_df, k), num_hashes)
-            (
-                sigs.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(index_dir)
-            )
-            # re-read so history AND delta come from the committed
-            # index (one shingling pass per document, ever)
-            index = spark.read.parquet(index_dir)
-            hist = index.where(F.col("batch_id") < batch_id).drop("batch_id")
-            delta = index.where(F.col("batch_id") == batch_id).drop("batch_id")
-            _sigs, pairs = incremental_minhash_dedup(
-                hist,
-                None,
-                threshold=threshold,
-                num_hashes=num_hashes,
-                bands=bands,
-                delta_sigs=delta,
-            )
-            (
-                pairs.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(pairs_dir)
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        sigs = minhash_signatures(shingles(batch_df, k), num_hashes)
+        (
+            sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+        # re-read so history AND delta come from the committed
+        # index (one shingling pass per document, ever)
+        index = spark.read.parquet(index_dir)
+        hist = index.where(F.col("batch_id") < batch_id).drop("batch_id")
+        delta = index.where(F.col("batch_id") == batch_id).drop("batch_id")
+        _sigs, pairs = incremental_minhash_dedup(
+            hist,
+            None,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            delta_sigs=delta,
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(sink)

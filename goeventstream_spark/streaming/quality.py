@@ -65,39 +65,29 @@ def streaming_quality_gate(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch hands the batch a CLONED SparkSession — the
-        # dynamic-overwrite conf must go on THAT session (see
-        # streaming/dedup.py for the failure mode otherwise)
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            flags = quality_gate_flags(batch_df, id_col=id_col).withColumn(
-                "batch_id", F.lit(batch_id)
-            )
-            kept = flags.where(F.col("is_quality") | F.col("is_explore"))
-            rejects = flags.where(
-                ~(F.col("is_quality") | F.col("is_explore"))
-            )
-            (
-                kept.drop("is_quality", "is_explore")
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(kept_dir)
-            )
-            (
-                rejects.drop("is_quality", "is_explore")
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(rejects_dir)
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
+        # per-write dynamic overwrite (never a session-conf toggle a
+        # concurrent stream could observe — r7, see streaming/dedup.py)
+        flags = quality_gate_flags(batch_df, id_col=id_col).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        kept = flags.where(F.col("is_quality") | F.col("is_explore"))
+        rejects = flags.where(
+            ~(F.col("is_quality") | F.col("is_explore"))
+        )
+        (
+            kept.drop("is_quality", "is_explore")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(kept_dir)
+        )
+        (
+            rejects.drop("is_quality", "is_explore")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(rejects_dir)
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(sink)

@@ -29,22 +29,18 @@ def streaming_cms_build(
     and merge via operators.sketches.cms_merge."""
 
     def sink(batch_df, batch_id):
-        spark = batch_df.sparkSession  # CLONED session — conf goes here
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                cms_build(batch_df, key_col, depth, width)
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(cells_dir)
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-WRITE dynamic overwrite (not a session-conf toggle, which
+        # concurrent streams/queries on the same session could observe
+        # mid-batch — r7, ADVICE r6): only this batch's partitions are
+        # replaced on replay, everything else untouched
+        (
+            cms_build(batch_df, key_col, depth, width)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cells_dir)
+        )
 
     return (
         stream_items.writeStream.foreachBatch(sink)
@@ -232,32 +228,25 @@ def streaming_dsir_distribution(
     the test pins distribution equality."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            words = batch_df.select(
-                F.expr(f"CAST(({target_pred_sql}) AS INT)").alias("is_target"),
-                F.explode(F.split(F.col(text_col), " ")).alias("word"),
-            )
-            cells = words.select(
-                "is_target",
-                word_bucket(F.col("word"), n_buckets).alias("bucket"),
-            ).groupBy("bucket").agg(
-                F.sum("is_target").cast("long").alias("tc"),
-                F.count("*").cast("long").alias("rc"),
-            )
-            (
-                cells.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(cells_dir)
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        words = batch_df.select(
+            F.expr(f"CAST(({target_pred_sql}) AS INT)").alias("is_target"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        cells = words.select(
+            "is_target",
+            word_bucket(F.col("word"), n_buckets).alias("bucket"),
+        ).groupBy("bucket").agg(
+            F.sum("is_target").cast("long").alias("tc"),
+            F.count("*").cast("long").alias("rc"),
+        )
+        # per-write dynamic overwrite — see streaming_cms_build
+        (
+            cells.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cells_dir)
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(sink)
@@ -292,24 +281,17 @@ def streaming_kmv_index(
     from goeventstream_spark.operators.sketches import kmv_bottom_k, kmv_hash48
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            part = batch_df.select(key_col, kmv_hash48(id_col)).distinct()
-            (
-                kmv_bottom_k(part, key_col, k=k)
-                .select(key_col, "h")
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(cells_dir)
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        part = batch_df.select(key_col, kmv_hash48(id_col)).distinct()
+        # per-write dynamic overwrite — see streaming_cms_build
+        (
+            kmv_bottom_k(part, key_col, k=k)
+            .select(key_col, "h")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cells_dir)
+        )
 
     return (
         stream_items.writeStream.foreachBatch(sink)
