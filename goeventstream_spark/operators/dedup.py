@@ -1206,17 +1206,30 @@ def repeated_substring_runs(
     low-entropy class a Gopher-style quality gate drops upstream.
     """
     g = substring_gram_table(docs, min_len=min_len, id_col=id_col, text_col=text_col)
-    el = (
-        g.groupBy("gh")
-        .agg(F.count_distinct(id_col).alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .select("gh")
-    )
+    el = _substring_stoplist(g, max_df, id_col)
     ga = g.select(
         F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
     ).join(el, "gh")
     gb = g.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"), "gh")
     m = ga.join(gb, "gh").where(F.col("doc_a") < F.col("doc_b"))
+    return _matches_to_runs(m, min_len)
+
+
+def _substring_stoplist(grams: DataFrame, max_df: int, id_col: str) -> DataFrame:
+    """Grams seen in 2..max_df DISTINCT docs — the eligible seed set."""
+    return (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("gh")
+    )
+
+
+def _matches_to_runs(m: DataFrame, min_len: int) -> DataFrame:
+    """Gaps-and-islands over (doc_a, doc_b, pos_a, pos_b) gram-match
+    rows: maximal consecutive pos_a runs per (pair, diagonal) — shared
+    by the batch and the incremental substring-dedup paths so run
+    merging cannot drift between them."""
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     return (
         m.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
@@ -1234,6 +1247,73 @@ def repeated_substring_runs(
             "match_len",
         )
     )
+
+
+def incremental_substring_runs(
+    history_grams: DataFrame,
+    delta_docs: DataFrame | None,
+    min_len: int = 20,
+    max_df: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delta_grams: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact substring dedup: find every repeated-substring
+    run between a DELTA of new documents and a corpus represented ONLY
+    by its persisted gram table (substring_gram_table rows — the
+    production ingest shape, where re-gramming history per batch is a
+    non-starter; grams are position-local to their document, so the
+    persisted index is exactly sufficient). Returns ``(delta_grams,
+    runs)``: the delta's gram rows (append to the index) and every
+    maximal run touching at least one delta doc (delta-vs-history AND
+    delta-vs-delta), doc_a < doc_b canonical.
+
+    CONTRACT (pinned by test_incremental_substring_equals_full): the
+    result equals repeated_substring_runs over the FULL corpus-so-far
+    restricted to pairs touching the delta, for ANY history/delta
+    split — because the document-frequency stop-list is recomputed
+    over history+delta (one aggregate over compact index rows), not
+    frozen. Across MULTIPLE batches the union is therefore a SUPERSET
+    of the final-corpus recompute: df only grows as the corpus grows,
+    so a gram can cross the cap and stop seeding runs for LATER pairs,
+    but runs already emitted under an earlier, smaller corpus stand —
+    the ingest-time decision semantics (a pair judged duplicate when
+    its second member arrived). Equality holds exactly when no
+    supporting gram crosses the cap between batches; both directions
+    are pinned (test_streaming_substring_union_superset_on_df_drift).
+
+    Pass ``delta_grams`` instead of ``delta_docs`` when the delta's
+    grams are already materialized (the streaming sink does, to avoid
+    re-gramming the batch it just indexed).
+    """
+    if delta_grams is None:
+        delta_grams = substring_gram_table(
+            delta_docs, min_len=min_len, id_col=id_col, text_col=text_col
+        )
+    cols = [id_col, "pos", "gh"]
+    all_g = history_grams.select(*cols).unionByName(delta_grams.select(*cols))
+    el = _substring_stoplist(all_g, max_df, id_col)
+    da = delta_grams.select(
+        F.col(id_col).alias("id_d"), F.col("pos").alias("pos_d"), "gh"
+    ).join(el, "gh")
+    ot = all_g.select(
+        F.col(id_col).alias("id_o"), F.col("pos").alias("pos_o"), "gh"
+    )
+    lt = F.col("id_d") < F.col("id_o")
+    m = (
+        da.join(ot, "gh")
+        .where(F.col("id_d") != F.col("id_o"))
+        .select(
+            F.when(lt, F.col("id_d")).otherwise(F.col("id_o")).alias("doc_a"),
+            F.when(lt, F.col("pos_d")).otherwise(F.col("pos_o")).alias("pos_a"),
+            F.when(lt, F.col("id_o")).otherwise(F.col("id_d")).alias("doc_b"),
+            F.when(lt, F.col("pos_o")).otherwise(F.col("pos_d")).alias("pos_b"),
+        )
+        # delta-delta matches arrive in both orders; gram keys are
+        # (doc, pos)-unique so this distinct removes ONLY that symmetry
+        .distinct()
+    )
+    return delta_grams, _matches_to_runs(m, min_len)
 
 
 def substring_dup_coverage(

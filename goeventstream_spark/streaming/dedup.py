@@ -88,3 +88,63 @@ def streaming_minhash_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_substring_dedup(
+    stream_docs: DataFrame,
+    index_dir: str,
+    runs_dir: str,
+    checkpoint_dir: str,
+    min_len: int = 20,
+    max_df: int = 4,
+):
+    """Streaming twin of exact substring dedup: each micro-batch of
+    documents is gram-indexed ONCE (substring_gram_table rows appended
+    to a batch_id-partitioned lake), then its maximal repeated runs
+    against the corpus-so-far are computed from the committed index
+    (incremental_substring_runs) and appended to the runs lake in the
+    batch's own partition. Exactly-once on replay via per-write
+    dynamic partition overwrite, the streaming_minhash_dedup contract.
+
+    Invariant (pinned): each batch's partition equals the full
+    recompute over the corpus as of that batch, restricted to pairs
+    touching the batch — the ingest-time dedup decision. The union
+    over batches is a SUPERSET of the final-corpus recompute, equal
+    when no gram's document frequency crosses max_df between batches
+    (see incremental_substring_runs for why the drift is one-sided).
+    """
+    from goeventstream_spark.operators.dedup import (
+        incremental_substring_runs,
+        substring_gram_table,
+    )
+
+    def sink(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        grams = substring_gram_table(batch_df, min_len=min_len)
+        (
+            grams.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+        index = spark.read.parquet(index_dir)
+        hist = index.where(F.col("batch_id") < batch_id).drop("batch_id")
+        delta = index.where(F.col("batch_id") == batch_id).drop("batch_id")
+        _g, runs = incremental_substring_runs(
+            hist, None, min_len=min_len, max_df=max_df, delta_grams=delta
+        )
+        (
+            runs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(runs_dir)
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

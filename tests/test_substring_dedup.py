@@ -144,3 +144,163 @@ def test_substring_runs_match_python_on_random_corpora(spark, texts):
         ).collect()
     }
     assert cov_rows == _py_coverage(want)
+
+
+# ---------------------------------------------------------------------------
+# Incremental + streaming twins
+# ---------------------------------------------------------------------------
+
+
+def _empty_grams(spark):
+    from goeventstream_spark.operators.dedup import substring_gram_table
+
+    return substring_gram_table(
+        spark.createDataFrame([], "doc_id long, text string"), min_len=3
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 6),
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(0, 1),
+)
+def test_incremental_substring_equals_full(spark, texts, parity):
+    """For ANY history/delta split, dedup of the delta against the
+    persisted gram index (stop-list recomputed over history+delta)
+    must equal the full-corpus recompute restricted to pairs touching
+    the delta."""
+    from goeventstream_spark.operators.dedup import (
+        incremental_substring_runs,
+        repeated_substring_runs,
+        substring_gram_table,
+    )
+
+    k, max_df = 3, 3
+    hist_docs = {d: t for d, t in texts.items() if d % 2 == parity}
+    delta_docs = {d: t for d, t in texts.items() if d % 2 != parity}
+    if not delta_docs:
+        return
+    mk = lambda m: spark.createDataFrame(  # noqa: E731
+        sorted(m.items()), "doc_id long, text string"
+    )
+    hist_grams = (
+        substring_gram_table(mk(hist_docs), min_len=k)
+        if hist_docs
+        else _empty_grams(spark)
+    )
+    _g, runs = incremental_substring_runs(
+        hist_grams, mk(delta_docs), min_len=k, max_df=max_df
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+        for r in runs.collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+        for r in repeated_substring_runs(
+            mk(texts), min_len=k, max_df=max_df
+        ).collect()
+    }
+    want = {t for t in full if t[0] in delta_docs or t[1] in delta_docs}
+    assert got == want
+
+
+def test_incremental_substring_union_superset_on_df_drift(spark):
+    """The one-sided df drift, demonstrated: a gram under the cap when
+    a pair arrived stays judged duplicate (ingest-time semantics) even
+    after later documents push the gram over the cap — the union of
+    incremental batches is a STRICT superset of the final-corpus
+    recompute exactly then, and each batch still equals its own
+    corpus-so-far recompute."""
+    from goeventstream_spark.operators.dedup import (
+        incremental_substring_runs,
+        repeated_substring_runs,
+    )
+
+    k, max_df = 3, 2
+    b1 = {1: "XXshared", 2: "YYYshared"}
+    b2 = {3: "ZshardZshared"}
+    mk = lambda m: spark.createDataFrame(  # noqa: E731
+        sorted(m.items()), "doc_id long, text string"
+    )
+
+    g1, r1 = incremental_substring_runs(
+        _empty_grams(spark), mk(b1), min_len=k, max_df=max_df
+    )
+    g1 = g1.localCheckpoint(eager=True)
+    s1 = {tuple(r) for r in r1.collect()}
+    # batch 1 == its own corpus recompute (everything touches the delta)
+    assert s1 == {
+        tuple(r) for r in repeated_substring_runs(mk(b1), min_len=k, max_df=max_df).collect()
+    }
+    assert s1, "the shared passage must match in batch 1"
+
+    _g2, r2 = incremental_substring_runs(g1, mk(b2), min_len=k, max_df=max_df)
+    s2 = {tuple(r) for r in r2.collect()}
+    union = s1 | s2
+    final = {
+        tuple(r)
+        for r in repeated_substring_runs(
+            mk({**b1, **b2}), min_len=k, max_df=max_df
+        ).collect()
+    }
+    # 'shared' grams now sit in 3 docs > cap 2: the final recompute
+    # drops them, but the batch-1 verdict stands -> strict superset
+    assert final < union, (sorted(final), sorted(union))
+    assert s1 - final, "batch-1 runs must be the dropped evidence"
+
+
+def test_streaming_substring_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """3-micro-batch ingest over the fixture corpus with a cap the
+    fixture never crosses (max_df=50 > max fixture df 9): every batch
+    partition equals the corpus-so-far recompute restricted to pairs
+    touching the batch, and the union equals the full-corpus
+    recompute — each run exactly once, in its later doc's batch."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.dedup import repeated_substring_runs
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.streaming.dedup import streaming_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_substring_dedup(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        runs_dir=str(tmp_path / "runs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_len=20,
+        max_df=50,
+    )
+    q.awaitTermination(240)
+
+    got_runs = spark.read.parquet(str(tmp_path / "runs"))
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+        for r in got_runs.collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+        for r in repeated_substring_runs(docs, min_len=20, max_df=50).collect()
+    }
+    assert got == want
+    # each run exactly once across batch partitions
+    assert got_runs.count() == len(got)
+    # the index grams every document exactly once
+    index = spark.read.parquet(str(tmp_path / "index"))
+    n_docs_indexed = index.select("doc_id").distinct().count()
+    assert n_docs_indexed == docs.where(F.length("text") >= 20).count()
