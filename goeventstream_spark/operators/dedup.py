@@ -1348,6 +1348,16 @@ def substring_dup_coverage(
             (F.col("start_b") + F.col("match_len")).alias("e"),
         )
     )
+    return _interval_union_per_doc(iv, id_col, "dup_chars")
+
+
+def _interval_union_per_doc(
+    iv: DataFrame, id_col: str, out_col: str
+) -> DataFrame:
+    """Exact union length of (id, s, e) half-open intervals per id via
+    the running-max sweep (only the part of each interval past the max
+    end seen so far counts). Per-id window, bounded by that id's
+    interval count."""
     w = (
         Window.partitionBy(id_col)
         .orderBy("s", "e")
@@ -1360,5 +1370,32 @@ def substring_dup_coverage(
     return (
         iv.withColumn("_c", contrib)
         .groupBy(id_col)
-        .agg(F.sum("_c").cast("long").alias("dup_chars"))
+        .agg(F.sum("_c").cast("long").alias(out_col))
     )
+
+
+def substring_strip_savings(
+    docs: DataFrame,
+    min_len: int = 20,
+    max_df: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY half of exact substring dedup (Lee et al. 2022 §3:
+    remove every duplicated substring occurrence except one): per
+    document, the characters that WOULD be deleted keeping the
+    lowest-doc_id occurrence of each run canonical — i.e. the interval
+    union of the doc's doc_b sides only (doc_a < doc_b canonical, so
+    the lower id always keeps its copy; a doc can still lose chars it
+    keeps against one partner but loses against a lower one — the
+    union handles the overlap exactly). Output: (doc_id,
+    removed_chars); docs never on a b-side are absent."""
+    runs = repeated_substring_runs(
+        docs, min_len=min_len, max_df=max_df, id_col=id_col, text_col=text_col
+    )
+    iv = runs.select(
+        F.col("doc_b").alias(id_col),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_len")).alias("e"),
+    )
+    return _interval_union_per_doc(iv, id_col, "removed_chars")

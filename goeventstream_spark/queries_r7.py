@@ -11,8 +11,10 @@ registry previously only approximated with fixed-width span hashes
   the top-200 longest runs under a total tiebreak.
 - ``substring_dedup_coverage``: per-language duplicated-character
   costing — the exact union length of every run interval per document
-  (running-max sweep, no double counting), i.e. how many characters
-  substring dedup would delete.
+  (running-max sweep, no double counting): total duplicated mass.
+- ``substring_dedup_strip_report``: the APPLY half — characters
+  actually deleted when each run keeps its lowest-doc_id occurrence
+  canonical (doc_b-side interval union only), per language.
 
 Cross-engine determinism: gram keys are md5 of the raw 20-char
 substring (identical hex in both engines); positions, lengths, and
@@ -153,5 +155,70 @@ def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * coalesce(sum(dup_chars), 0)) div sum(_len)")
             .cast("long")
             .alias("dup_ppm"),
+        )
+    )
+
+
+@query(
+    "substring_dedup_strip_report",
+    f"""
+    WITH {_SUBSTR_RUNS_CTES},
+    iv AS (
+      SELECT doc_b AS doc_id, start_b AS s, start_b + match_len AS e FROM runs
+    ),
+    sw AS (SELECT doc_id, s, e,
+                  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pme
+           FROM iv),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(greatest(0, e - greatest(s, coalesce(pme, s)))) AS BIGINT)
+               AS removed_chars
+      FROM sw GROUP BY doc_id)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(p.doc_id) AS BIGINT) AS docs_stripped,
+           CAST(sum(length(d.text)) AS BIGINT) AS chars_before,
+           CAST(coalesce(sum(p.removed_chars), 0) AS BIGINT) AS chars_removed,
+           CAST(sum(length(d.text)) - coalesce(sum(p.removed_chars), 0)
+                AS BIGINT) AS chars_after,
+           CAST((1000000 * coalesce(sum(p.removed_chars), 0))
+                // sum(length(d.text)) AS BIGINT) AS removed_ppm
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q_substring_dedup_strip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of substring dedup, costed per language
+    (dedup.substring_strip_savings): characters deleted when every
+    duplicated run keeps only its lowest-doc_id occurrence — the
+    doc_b-side interval union per document, rolled up to (docs
+    stripped, chars before/removed/after, removed ppm). Differs from
+    substring_dedup_coverage (which counts BOTH sides — total
+    duplicated mass) in exactly the way Lee et al.'s dedup differs
+    from a duplication census: one canonical copy survives, so
+    chars_removed < dup_chars whenever a run's canonical side exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = dedup.substring_strip_savings(
+        docs, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF
+    )
+    return (
+        docs.select("doc_id", "lang", F.length("text").alias("_len"))
+        .join(per_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("removed_chars").cast("long").alias("docs_stripped"),
+            F.sum("_len").cast("long").alias("chars_before"),
+            F.coalesce(F.sum("removed_chars"), F.lit(0))
+            .cast("long")
+            .alias("chars_removed"),
+            (F.sum("_len") - F.coalesce(F.sum("removed_chars"), F.lit(0)))
+            .cast("long")
+            .alias("chars_after"),
+            F.expr("(1000000 * coalesce(sum(removed_chars), 0)) div sum(_len)")
+            .cast("long")
+            .alias("removed_ppm"),
         )
     )

@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 from goeventstream_spark.operators.dedup import (
     repeated_substring_runs,
     substring_dup_coverage,
+    substring_strip_savings,
 )
 
 
@@ -52,26 +53,28 @@ def _py_runs(texts: dict[int, str], k: int, max_df: int):
     return out
 
 
-def _py_coverage(runs, k_unused=None) -> dict[int, int]:
+def _py_union(spans: list[tuple[int, int]]) -> int:
+    """Reference union length of half-open integer intervals."""
+    spans = sorted(spans)
+    tot, cur_s, cur_e = 0, None, None
+    for s, e in spans:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                tot += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    tot += cur_e - cur_s
+    return tot
+
+
+def _py_coverage(runs) -> dict[int, int]:
     """Reference interval-union length per doc over both run sides."""
     iv: dict[int, list[tuple[int, int]]] = collections.defaultdict(list)
     for da, db, sa, sb, ln in runs:
         iv[da].append((sa, sa + ln))
         iv[db].append((sb, sb + ln))
-    out = {}
-    for d, spans in iv.items():
-        spans.sort()
-        tot, cur_s, cur_e = 0, None, None
-        for s, e in spans:
-            if cur_e is None or s > cur_e:
-                if cur_e is not None:
-                    tot += cur_e - cur_s
-                cur_s, cur_e = s, e
-            else:
-                cur_e = max(cur_e, e)
-        tot += cur_e - cur_s
-        out[d] = tot
-    return out
+    return {d: _py_union(spans) for d, spans in iv.items()}
 
 
 def _spark_runs(spark, texts, k, max_df):
@@ -144,6 +147,24 @@ def test_substring_runs_match_python_on_random_corpora(spark, texts):
         ).collect()
     }
     assert cov_rows == _py_coverage(want)
+    # the APPLY half: b-side-only union (the lowest-id copy survives)
+    strip_rows = {
+        r.doc_id: r.removed_chars
+        for r in substring_strip_savings(
+            spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"]),
+            min_len=k,
+            max_df=max_df,
+        ).collect()
+    }
+    b_side = collections.defaultdict(list)
+    for _da, db, _sa, sb, ln in want:
+        b_side[db].append((sb, sb + ln))
+    assert strip_rows == {d: _py_union(sp) for d, sp in b_side.items()}
+    # one canonical copy always survives: strip never removes more
+    # than the duplication census counts
+    for d, rm in strip_rows.items():
+        assert rm <= cov_rows[d], d
+
 
 
 # ---------------------------------------------------------------------------
