@@ -207,6 +207,9 @@ HEADLINE = [
     "link_prediction_ra_topk",
     "deterministic_walk_paths",
     "aqp_sample_estimates",
+    "substring_dedup_runs",
+    "substring_dedup_coverage",
+    "substring_dedup_strip_report",
 ]
 
 
