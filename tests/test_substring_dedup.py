@@ -325,3 +325,88 @@ def test_streaming_substring_dedup_matches_batch(spark, sf_dir, tmp_path):
     index = spark.read.parquet(str(tmp_path / "index"))
     n_docs_indexed = index.select("doc_id").distinct().count()
     assert n_docs_indexed == docs.where(F.length("text") >= 20).count()
+
+
+def test_substring_bucketed_gram_index_history_shuffle_free(spark, sf_dir, tmp_path):
+    """The 100 TB deployment shape of incremental_substring_runs made
+    concrete (the minhash bucketed-index discipline,
+    test_scale_patterns.py): persist the history gram index bucketed on
+    gh; the per-batch match join then scans history WITHOUT
+    re-shuffling it — exactly ONE gh exchange (the small delta side) —
+    and the run set equals the incremental operator's delta-vs-history
+    portion exactly."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark import plans
+    from goeventstream_spark.operators.dedup import (
+        _matches_to_runs,
+        _substring_stoplist,
+        incremental_substring_runs,
+        substring_gram_table,
+    )
+    from goeventstream_spark.sources import load_table
+
+    k, max_df = 20, 4
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist_docs = docs.where(F.col("doc_id") % 2 == 0)
+    delta_docs = docs.where(F.col("doc_id") % 2 == 1)
+    hist_grams = substring_gram_table(hist_docs, min_len=k)
+    spark.sql("DROP TABLE IF EXISTS gram_index_bkt")
+    hist_grams.write.bucketBy(8, "gh").sortBy("gh").option(
+        "path", str(tmp_path / "gram_index_bkt")
+    ).mode("overwrite").saveAsTable("gram_index_bkt")
+
+    delta_grams = substring_gram_table(delta_docs, min_len=k)
+    hist_bkt = spark.table("gram_index_bkt")
+    # the stop-list is maintained OUTSIDE the join under test (an
+    # additive per-gram census at deployment) — checkpoint it so its
+    # own census shuffles don't appear in the match-join plan, and
+    # broadcast it so the only shuffled relation is the delta
+    el = _substring_stoplist(
+        hist_bkt.unionByName(delta_grams), max_df, "doc_id"
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        da = delta_grams.join(F.broadcast(el), "gh").select(
+            F.col("doc_id").alias("id_d"), F.col("pos").alias("pos_d"), "gh"
+        )
+        ob = hist_bkt.select(
+            F.col("doc_id").alias("id_o"), F.col("pos").alias("pos_o"), "gh"
+        )
+        lt = F.col("id_d") < F.col("id_o")
+        m = (
+            da.join(ob, "gh")
+            .select(
+                F.when(lt, F.col("id_d")).otherwise(F.col("id_o")).alias("doc_a"),
+                F.when(lt, F.col("pos_d")).otherwise(F.col("pos_o")).alias("pos_a"),
+                F.when(lt, F.col("id_o")).otherwise(F.col("id_d")).alias("doc_b"),
+                F.when(lt, F.col("pos_o")).otherwise(F.col("pos_d")).alias("pos_b"),
+            )
+        )
+        runs_df = _matches_to_runs(m, k)
+        plan = plans.physical_plan(runs_df)
+        assert "gram_index_bkt" in plan and "SortMergeJoin" in plan, plan
+        gh_exchanges = [
+            seg
+            for seg in plan.split("Exchange hashpartitioning")[1:]
+            if seg.lstrip().startswith("(gh")
+        ]
+        assert len(gh_exchanges) == 1, plan
+        got = {
+            (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+            for r in runs_df.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS gram_index_bkt")
+    _g, want_runs = incremental_substring_runs(
+        hist_grams, delta_docs, min_len=k, max_df=max_df
+    )
+    want = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+        for r in want_runs.collect()
+        # the bucketed join is delta-vs-HISTORY only; drop delta-delta
+        if (r.doc_a % 2 == 0) or (r.doc_b % 2 == 0)
+    }
+    assert got == want
