@@ -410,3 +410,55 @@ def test_substring_bucketed_gram_index_history_shuffle_free(spark, sf_dir, tmp_p
         if (r.doc_a % 2 == 0) or (r.doc_b % 2 == 0)
     }
     assert got == want
+
+
+def test_substring_stoplist_bounds_viral_boilerplate(spark):
+    """Adversarial skew: one 40-char passage goes viral (verbatim in 60
+    of 200 docs). Without the df stop-list the match join would emit
+    >= C(60,2) = 1770 doc pairs PER GRAM POSITION (the quadratic
+    hot-gram blowup); with the declared 2..4 cap the viral grams are
+    stop-listed, the executed match volume stays at the sparse pairs
+    only, and the result still equals the python model exactly."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.dedup import (
+        _substring_stoplist,
+        substring_gram_table,
+    )
+
+    viral = "VIRAL-BOILERPLATE-PASSAGE-0123456789-END"
+    assert len(viral) == 40
+    texts = {}
+    for d in range(200):
+        filler = f"doc{d:03d}-" + "".join(
+            chr(97 + (d * 31 + j) % 26) for j in range(30)
+        )
+        texts[d] = (filler + viral) if d < 60 else (filler + f"tail{d:03d}")
+    # two sparse true duplicates that must survive the stop-list
+    texts[198] = texts[198] + "sparse-shared-needle-xyz"
+    texts[199] = texts[199] + "sparse-shared-needle-xyz"
+    k, max_df = 8, 4
+    got = _spark_runs(spark, texts, k, max_df)
+    want = _py_runs(texts, k, max_df)
+    assert got == want
+    # the viral passage yields NO run: all its grams have df 60 > 4
+    viral_docs = set(range(60))
+    assert not any(
+        r[0] in viral_docs and r[1] in viral_docs and r[4] >= len(viral) for r in got
+    ), sorted(got)[:5]
+    # the sparse needle DOES survive
+    assert any(r[:2] == (198, 199) for r in got), sorted(got)
+    # census: the viral grams really are over the cap (the guard binds)
+    docs_df = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    g = substring_gram_table(docs_df, min_len=k)
+    dfs = {
+        r.gh: r.df
+        for r in g.groupBy("gh").agg(F.count_distinct("doc_id").alias("df")).collect()
+    }
+    import hashlib
+
+    viral_gram_h = hashlib.md5(viral[:k].encode()).hexdigest()
+    assert dfs[viral_gram_h] == 60
+    # and the eligible seed relation holds none of them
+    el = {r.gh for r in _substring_stoplist(g, max_df, "doc_id").collect()}
+    assert viral_gram_h not in el
