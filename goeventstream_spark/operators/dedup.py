@@ -1149,8 +1149,20 @@ def substring_gram_table(
     (md5-collision-free at any realistic corpus size)."""
     k = min_len
     n = F.length(text_col) - (k - 1)
+    # Redistribute the PRE-explode relation: the explode fans out
+    # ~L rows (one 48-byte gram row per character), so generation
+    # parallelism must not depend on the input file layout (one small
+    # parquet file = one scan partition = single-threaded hashing, 6x
+    # the whole query's cost measured at sf0.1). This shuffle moves
+    # raw docs once — ~L x smaller than the gram-table shuffles that
+    # follow it, at every scale. The partition count is pinned to
+    # defaultParallelism because AQE would otherwise coalesce the
+    # (tiny pre-explode) shuffle back to one partition, re-serializing
+    # the L-x generation it exists to spread.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.where(F.length(text_col) >= k)
+        .repartition(n_parts, F.col(id_col))
         .select(
             F.col(id_col),
             F.col(text_col).alias("_t"),
@@ -1207,11 +1219,20 @@ def repeated_substring_runs(
     """
     g = substring_gram_table(docs, min_len=min_len, id_col=id_col, text_col=text_col)
     el = _substring_stoplist(g, max_df, id_col)
+    # Both joins are FORCED to sort-merge: every relation here is
+    # corpus-sized (the gram table is ~L rows per document; the
+    # stop-list is proportional to the corpus's repeated content, the
+    # duplicated_spans unbounded-at-100TB argument) — but Catalyst's
+    # static size estimate does not scale through Generate, so without
+    # the hint it plans a BroadcastHashJoin that ships the ENTIRE gram
+    # relation to every task (observed at sf0.1: a 67 MB broadcast of
+    # the 1.4M-row b-side, flaky driver OOM under default heap; fatal
+    # at any real scale). Merge is the spill-safe shape.
     ga = g.select(
         F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
-    ).join(el, "gh")
+    ).join(el.hint("merge"), "gh")
     gb = g.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"), "gh")
-    m = ga.join(gb, "gh").where(F.col("doc_a") < F.col("doc_b"))
+    m = ga.join(gb.hint("merge"), "gh").where(F.col("doc_a") < F.col("doc_b"))
     return _matches_to_runs(m, min_len)
 
 
@@ -1293,15 +1314,18 @@ def incremental_substring_runs(
     cols = [id_col, "pos", "gh"]
     all_g = history_grams.select(*cols).unionByName(delta_grams.select(*cols))
     el = _substring_stoplist(all_g, max_df, id_col)
+    # merge hints for the same reason as repeated_substring_runs: the
+    # stop-list and the full gram index are corpus-sized, and static
+    # estimates through Generate would otherwise broadcast them
     da = delta_grams.select(
         F.col(id_col).alias("id_d"), F.col("pos").alias("pos_d"), "gh"
-    ).join(el, "gh")
+    ).join(el.hint("merge"), "gh")
     ot = all_g.select(
         F.col(id_col).alias("id_o"), F.col("pos").alias("pos_o"), "gh"
     )
     lt = F.col("id_d") < F.col("id_o")
     m = (
-        da.join(ot, "gh")
+        da.join(ot.hint("merge"), "gh")
         .where(F.col("id_d") != F.col("id_o"))
         .select(
             F.when(lt, F.col("id_d")).otherwise(F.col("id_o")).alias("doc_a"),

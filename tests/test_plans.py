@@ -1045,3 +1045,12 @@ def test_substring_dedup_runs_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "NestedLoop" not in plan, plan
     assert "windowspecdefinition(doc_a" in plan, plan
+    # NOTHING in this pipeline may broadcast: the gram table, the
+    # stop-list, and the match sides are all corpus-sized, and
+    # Catalyst's static estimate through Generate once planned a
+    # 67 MB broadcast of the whole gram relation here (r7 regression;
+    # merge hints pin the spill-safe shape)
+    assert "BroadcastHashJoin" not in plan, plan
+    for name in ("substring_dedup_coverage", "substring_dedup_strip_report"):
+        p2 = plans.physical_plan(q.QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" not in p2, (name, p2)
