@@ -43,6 +43,7 @@ FLAGSHIPS = [
     "rolling_active_users_7d",
     "bloom_filter_fp_audit",
     "skyline_parts",
+    "substring_dedup_runs",
 ]
 
 
