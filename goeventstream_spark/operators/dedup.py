@@ -1142,10 +1142,12 @@ def substring_gram_table(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, pos, gh): every character position's ``min_len``-gram,
-    md5-keyed — the seed relation of exact substring dedup. Generated
-    map-side (one explode over 1..len-K+1, zero shuffle); hashing the
-    gram BEFORE any exchange shrinks shuffle payloads from K chars to
-    a fixed 32-hex key, the repo's span-hash contract
+    md5-keyed — the seed relation of exact substring dedup. One small
+    pre-explode repartition of the raw docs (the documented one-shuffle
+    contract — see the inline comment), then generation is map-side
+    (one explode over 1..len-K+1); hashing the gram BEFORE any further
+    exchange shrinks downstream shuffle payloads from K chars to a
+    fixed 32-hex key, the repo's span-hash contract
     (md5-collision-free at any realistic corpus size)."""
     k = min_len
     n = F.length(text_col) - (k - 1)
@@ -1202,7 +1204,13 @@ def repeated_substring_runs(
     each (doc_a, doc_b, diagonal = pos_a - pos_b): consecutive pos_a
     runs collapse to one maximal match (pos_a - row_number() is
     constant within a run). Two overlapping matched grams always sit
-    on the same diagonal, so maximality is exact, not heuristic.
+    on the same diagonal, so maximality is exact over the SURVIVING
+    (df <= ``max_df``) seed grams: a gram interior to a true shared
+    substring whose df exceeds ``max_df`` is stop-listed, which can
+    split one maximal run into shorter pieces (and, when the surviving
+    seeds gap by more than k-1 positions, undercount coverage). That
+    trade is the declared semantics — oracle and python model replay
+    the same stop-list rule.
 
     Output: (doc_a, doc_b, start_a, start_b, match_len), one row per
     maximal run, match_len >= min_len by construction. Cross-document

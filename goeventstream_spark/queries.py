@@ -553,7 +553,7 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(props) AS BIGINT) AS props_len,
            CAST(month(ts) AS BIGINT) AS month,
            CAST(year(ts) AS BIGINT) AS year,
-           date_trunc('day', ts) AS day_bucket
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_bucket
     FROM events
     """,
 )

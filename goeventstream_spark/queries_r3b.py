@@ -234,7 +234,7 @@ def q_changepoint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "recency_weighted_activity",
     """
-    SELECT event_type, date_trunc('day', ts) AS day,
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            CAST(sum(1::BIGINT << CAST(extract(hour FROM ts) AS INT)) AS BIGINT)
              AS recency_score,
            CAST(count(*) AS BIGINT) AS n_events
@@ -493,7 +493,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "survival_table",
     """
     WITH last_day AS (
-      SELECT user_id, date_trunc('day', max(ts)) AS churn_day
+      SELECT user_id, CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS churn_day
       FROM events GROUP BY user_id
     ),
     per_day AS (

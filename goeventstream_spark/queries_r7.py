@@ -122,7 +122,7 @@ def q_substring_dedup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(p.doc_id) AS BIGINT) AS docs_with_dup,
            CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
            CAST(coalesce(sum(p.dup_chars), 0) AS BIGINT) AS dup_chars,
-           CAST((1000000 * coalesce(sum(p.dup_chars), 0))
+           CAST((CAST(1000000 AS HUGEINT) * coalesce(sum(p.dup_chars), 0))
                 // sum(length(d.text)) AS BIGINT) AS dup_ppm
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     GROUP BY d.lang
@@ -152,7 +152,14 @@ def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("dup_chars"), F.lit(0))
             .cast("long")
             .alias("dup_chars"),
-            F.expr("(1000000 * coalesce(sum(dup_chars), 0)) div sum(_len)")
+            # 128-bit multiply (DECIMAL(38,0) here, HUGEINT in the oracle):
+            # 1e6 * sum(chars) overflows BIGINT past ~9.2 TB of text per
+            # language — squarely inside the 100 TB target. div truncates,
+            # // floors; both operands are non-negative so they agree.
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * coalesce(sum(dup_chars), 0))"
+                " div sum(_len)"
+            )
             .cast("long")
             .alias("dup_ppm"),
         )
@@ -183,7 +190,7 @@ def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(sum(p.removed_chars), 0) AS BIGINT) AS chars_removed,
            CAST(sum(length(d.text)) - coalesce(sum(p.removed_chars), 0)
                 AS BIGINT) AS chars_after,
-           CAST((1000000 * coalesce(sum(p.removed_chars), 0))
+           CAST((CAST(1000000 AS HUGEINT) * coalesce(sum(p.removed_chars), 0))
                 // sum(length(d.text)) AS BIGINT) AS removed_ppm
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     GROUP BY d.lang
@@ -217,7 +224,11 @@ def q_substring_dedup_strip_report(spark: SparkSession, sf_dir: str) -> DataFram
             (F.sum("_len") - F.coalesce(F.sum("removed_chars"), F.lit(0)))
             .cast("long")
             .alias("chars_after"),
-            F.expr("(1000000 * coalesce(sum(removed_chars), 0)) div sum(_len)")
+            # Same 128-bit-multiply overflow guard as dup_ppm above.
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * coalesce(sum(removed_chars),"
+                " 0)) div sum(_len)"
+            )
             .cast("long")
             .alias("removed_ppm"),
         )

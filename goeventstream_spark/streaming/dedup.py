@@ -32,6 +32,24 @@ from goeventstream_spark.operators.dedup import (
 )
 
 
+def _read_lake_or_empty(spark, lake_dir: str, template: DataFrame) -> DataFrame:
+    """Read the batch_id-partitioned lake, or an empty typed relation
+    when no batch has committed any data file yet. A first micro-batch
+    whose rows all fall below the operator's length floor (every doc
+    shorter than min_len=20 grams, or than the shingle k) writes ZERO
+    parquet files under dynamic overwrite, and a naive
+    spark.read.parquet then dies on schema inference, killing the
+    stream. The fallback schema is the template's (the locally
+    computed batch relation) plus the batch_id partition column."""
+    try:
+        return spark.read.parquet(lake_dir)
+    except Exception as exc:  # AnalysisException: no files / no path yet
+        msg = str(exc)
+        if "UNABLE_TO_INFER_SCHEMA" not in msg and "PATH_NOT_FOUND" not in msg:
+            raise
+        return template.limit(0).withColumn("batch_id", F.lit(0).cast("int"))
+
+
 def streaming_minhash_dedup(
     stream_docs: DataFrame,
     index_dir: str,
@@ -63,7 +81,7 @@ def streaming_minhash_dedup(
         )
         # re-read so history AND delta come from the committed
         # index (one shingling pass per document, ever)
-        index = spark.read.parquet(index_dir)
+        index = _read_lake_or_empty(spark, index_dir, sigs)
         hist = index.where(F.col("batch_id") < batch_id).drop("batch_id")
         delta = index.where(F.col("batch_id") == batch_id).drop("batch_id")
         _sigs, pairs = incremental_minhash_dedup(
@@ -128,7 +146,7 @@ def streaming_substring_dedup(
             .partitionBy("batch_id")
             .parquet(index_dir)
         )
-        index = spark.read.parquet(index_dir)
+        index = _read_lake_or_empty(spark, index_dir, grams)
         hist = index.where(F.col("batch_id") < batch_id).drop("batch_id")
         delta = index.where(F.col("batch_id") == batch_id).drop("batch_id")
         _g, runs = incremental_substring_runs(

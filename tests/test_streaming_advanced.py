@@ -616,6 +616,47 @@ def test_streaming_incremental_dedup_equals_batch(spark, sf_dir, tmp_path):
     assert index.select("doc_id").distinct().count() == docs.count()
 
 
+def test_streaming_minhash_survives_empty_first_batch(spark, tmp_path):
+    """ADVICE r7 (the minhash instance of the empty-first-batch trap):
+    a first micro-batch whose docs all have fewer than k=3 words
+    shingles to an empty signature relation and writes zero index
+    files; the guarded re-read must keep the stream alive and later
+    batches must dedup normally."""
+    from goeventstream_spark.operators import dedup as dedup_ops
+    from goeventstream_spark.streaming.dedup import streaming_minhash_dedup
+
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (10, near), (11, near + " extra")],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") < 10).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") >= 10).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_minhash_dedup(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_ops.minhash_near_dedup(docs).collect()
+    }
+    assert got == want and got
+
+
 def test_streaming_cms_partial_merge_equals_batch(spark, sf_dir, tmp_path):
     """Sketch accumulation over continuous ingest: per-micro-batch
     partial CMS cells, merged on read, must equal the full-corpus

@@ -462,3 +462,52 @@ def test_substring_stoplist_bounds_viral_boilerplate(spark):
     # and the eligible seed relation holds none of them
     el = {r.gh for r in _substring_stoplist(g, max_df, "doc_id").collect()}
     assert viral_gram_h not in el
+
+
+def test_streaming_substring_dedup_survives_empty_first_batch(spark, tmp_path):
+    """ADVICE r7: a first micro-batch whose documents are ALL shorter
+    than min_len (20) grams to an empty relation; under dynamic
+    overwrite that writes zero parquet files, and a naive re-read of
+    the index lake would die on schema inference and kill the stream.
+    Pin the guard: the stream survives the empty-index batch, later
+    batches dedup normally, and the runs lake equals the full
+    recompute over the long documents."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.dedup import repeated_substring_runs
+    from goeventstream_spark.streaming.dedup import streaming_substring_dedup
+
+    passage = "the shared twenty-plus-character passage that repeats"
+    long_docs = [(10, "A" * 7 + passage + "B" * 9), (11, "C" * 5 + passage + "D" * 3)]
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "short doc"), *long_docs], ["doc_id", "text"]
+    )
+    src = str(tmp_path / "src")
+    # file 1 = only sub-min_len docs -> empty gram batch; file 2 = the rest
+    docs.where(F.length("text") < 20).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.length("text") >= 20).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_substring_dedup(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        runs_dir=str(tmp_path / "runs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_len=20,
+        max_df=4,
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None, q.exception()
+
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+        for r in spark.read.parquet(str(tmp_path / "runs")).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+        for r in repeated_substring_runs(docs, min_len=20, max_df=4).collect()
+    }
+    assert got == want and got, got
