@@ -388,6 +388,74 @@ def hot_cell_detection_plans(base: DataFrame, k: int) -> tuple[DataFrame, DataFr
     return counts, seeds
 
 
+_SHARED_CAPPED_CACHE: "dict[tuple, DataFrame]" = {}
+_SHARED_CAPPED_CACHE_MAX = 16
+
+
+def shared_capped_cells(
+    emb: DataFrame,
+    cache_key: object,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    cap: int | None = None,
+    cap_frac: float | None = None,
+    max_levels: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Session-scoped memo over ivf_cell_assign_capped — the shared
+    materialized cell assignment its consumers join (VERDICT r7 #2).
+
+    The guard trajectory (hot-cell census + two-phase seed rank +
+    joint Lloyd rounds) is driver-coordinated fixed overhead, ~2.5 s
+    per construction regardless of corpus size; four registry queries
+    (knn_graph_within_label, embedding_near_dup_capped,
+    semantic_decontaminate, cluster_balanced_sample) block on the
+    IDENTICAL assignment, so in one session the trajectory is computed
+    once and the resulting plan — a pure literal-broadcast map pass
+    over the scan, zero joins — is reused. This is the in-session
+    analogue of the real-pipeline shape where the cell id is a
+    materialized column computed once per corpus snapshot.
+
+    ``cache_key`` IS the corpus identity (callers pass the sf_dir the
+    embeddings were loaded from); the memo key adds the session and
+    every trajectory parameter, so distinct sessions, corpora, or
+    configs never collide. The cache holds plain lazy DataFrames (no
+    persist()), is bounded FIFO at 16 entries, and assumes the
+    keyed input is immutable for the session's lifetime — the same
+    contract a materialized assignment column has."""
+    key = (
+        emb.sparkSession,
+        cache_key,
+        k,
+        iters,
+        scale,
+        cap,
+        cap_frac,
+        max_levels,
+        id_col,
+        vec_col,
+    )
+    df = _SHARED_CAPPED_CACHE.get(key)
+    if df is None:
+        df = ivf_cell_assign_capped(
+            emb,
+            k=k,
+            iters=iters,
+            scale=scale,
+            cap=cap,
+            cap_frac=cap_frac,
+            max_levels=max_levels,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        while len(_SHARED_CAPPED_CACHE) >= _SHARED_CAPPED_CACHE_MAX:
+            _SHARED_CAPPED_CACHE.pop(next(iter(_SHARED_CAPPED_CACHE)))
+        _SHARED_CAPPED_CACHE[key] = df
+    return df
+
+
 def ivf_cell_assign_capped(
     emb: DataFrame,
     k: int = 4,

@@ -893,6 +893,56 @@ def test_ivf_capped_noop_and_frac_on_fixture(spark, sf_dir):
     assert max(Counter(frac.values()).values()) < max(Counter(base.values()).values())
 
 
+def test_shared_capped_cells_memo(spark, sf_dir, monkeypatch):
+    """VERDICT r7 #2: the capped-IVF guard trajectory is paid ONCE per
+    (session, corpus key, params) — the four consumer queries share a
+    single assignment instead of re-running the ~2.5 s census + seed
+    rank + Lloyd rounds each. Pin: (a) the memo returns the identical
+    DataFrame for an identical key and never re-enters the trajectory;
+    (b) any parameter change is a different key; (c) the memoized
+    result is the direct construction, value-for-value."""
+    from goeventstream_spark.operators import clustering
+    from goeventstream_spark.sources import load_table
+
+    clustering._SHARED_CAPPED_CACHE.clear()
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = {
+        r.vec_id: r.cell
+        for r in clustering.ivf_cell_assign_capped(
+            emb, k=4, iters=2, cap_frac=0.26, max_levels=1
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+
+    calls = {"n": 0}
+    inner = clustering.ivf_cell_assign_capped
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return inner(*a, **kw)
+
+    monkeypatch.setattr(clustering, "ivf_cell_assign_capped", counting)
+    a = clustering.shared_capped_cells(
+        emb, sf_dir, k=4, iters=2, cap_frac=0.26, max_levels=1
+    )
+    b = clustering.shared_capped_cells(
+        emb, sf_dir, k=4, iters=2, cap_frac=0.26, max_levels=1
+    )
+    assert a is b and calls["n"] == 1
+    c = clustering.shared_capped_cells(
+        emb, sf_dir, k=4, iters=2, cap_frac=0.26, max_levels=2
+    )
+    d = clustering.shared_capped_cells(
+        emb, str(sf_dir) + "-other-corpus", k=4, iters=2,
+        cap_frac=0.26, max_levels=1,
+    )
+    assert c is not a and d is not a and calls["n"] == 3
+    got = {r.vec_id: r.cell for r in a.select("vec_id", "cell").collect()}
+    assert got == want
+    clustering._SHARED_CAPPED_CACHE.clear()
+
+
 def test_partitioned_lake_executed_scan_pruning(spark, sf_dir, tmp_path):
     """EXECUTED scan-pruning evidence for the (game, date)-partitioned
     event lake — files/partitions actually read, not plan text. A
