@@ -1278,6 +1278,24 @@ def _matches_to_runs(m: DataFrame, min_len: int) -> DataFrame:
     )
 
 
+def substring_census_update(
+    delta_grams: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The additive per-gram census partial for ONE batch: (gh, df)
+    where df counts the batch's distinct documents containing the
+    gram. Appending each batch's partial to a census lake maintains
+    the global document frequency as a sum of partials — exact
+    because document ids never straddle batches (each document is
+    ingested once), so per-batch distinct counts add. This is the
+    stop-list's O(delta)-per-batch maintenance shape (VERDICT r7 #1):
+    the only aggregate over raw gram rows reads the delta alone;
+    history is touched as pre-aggregated (gh, df) partials, the same
+    partial-merge contract the CMS lake pins."""
+    return delta_grams.groupBy("gh").agg(
+        F.count_distinct(id_col).cast("long").alias("df")
+    )
+
+
 def incremental_substring_runs(
     history_grams: DataFrame,
     delta_docs: DataFrame | None,
@@ -1286,6 +1304,7 @@ def incremental_substring_runs(
     id_col: str = "doc_id",
     text_col: str = "text",
     delta_grams: DataFrame | None = None,
+    history_census: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact substring dedup: find every repeated-substring
     run between a DELTA of new documents and a corpus represented ONLY
@@ -1314,6 +1333,23 @@ def incremental_substring_runs(
     Pass ``delta_grams`` instead of ``delta_docs`` when the delta's
     grams are already materialized (the streaming sink does, to avoid
     re-gramming the batch it just indexed).
+
+    Pass ``history_census`` — per-gram (gh, df) partials covering
+    exactly the history grams' documents, possibly many partial rows
+    per gh (substring_census_update per ingested batch, appended to a
+    census lake) — to replace the stop-list's full-index aggregate
+    with an ADDITIVE one: the delta's own census is one delta-only
+    aggregate, history df arrives pre-aggregated, and because only
+    grams PRESENT IN THE DELTA can seed a match (the match join is
+    delta-vs-corpus), the history partials are semi-joined down to the
+    delta's gram set before the merge sum — every per-batch aggregate
+    input is delta-bounded, O(delta) per micro-batch instead of the
+    O(corpus-so-far) full-index census (VERDICT r7 #1; plan-pinned by
+    test_incremental_census_aggregates_delta_only). The stop-list
+    value is IDENTICAL to the recompute (sums of per-batch distinct
+    counts equal global distinct counts — docs never straddle
+    batches), so the incremental==full and df-drift contracts are
+    unchanged.
     """
     if delta_grams is None:
         delta_grams = substring_gram_table(
@@ -1321,7 +1357,24 @@ def incremental_substring_runs(
         )
     cols = [id_col, "pos", "gh"]
     all_g = history_grams.select(*cols).unionByName(delta_grams.select(*cols))
-    el = _substring_stoplist(all_g, max_df, id_col)
+    if history_census is None:
+        el = _substring_stoplist(all_g, max_df, id_col)
+    else:
+        dc = substring_census_update(delta_grams, id_col)
+        # history partials pruned to the delta's gram set FIRST: the
+        # semi-join output is <= one row per (delta gram, history
+        # partial), so the merge sum's input is delta-sized. merge
+        # hints for the standing Generate-size-estimate reason.
+        hc = history_census.select("gh", "df").join(
+            dc.select("gh").hint("merge"), "gh", "left_semi"
+        )
+        el = (
+            hc.unionByName(dc)
+            .groupBy("gh")
+            .agg(F.sum("df").alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .select("gh")
+        )
     # merge hints for the same reason as repeated_substring_runs: the
     # stop-list and the full gram index are corpus-sized, and static
     # estimates through Generate would otherwise broadcast them

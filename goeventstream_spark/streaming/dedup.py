@@ -115,6 +115,7 @@ def streaming_substring_dedup(
     checkpoint_dir: str,
     min_len: int = 20,
     max_df: int = 4,
+    census_dir: str | None = None,
 ):
     """Streaming twin of exact substring dedup: each micro-batch of
     documents is gram-indexed ONCE (substring_gram_table rows appended
@@ -130,11 +131,22 @@ def streaming_substring_dedup(
     over batches is a SUPERSET of the final-corpus recompute, equal
     when no gram's document frequency crosses max_df between batches
     (see incremental_substring_runs for why the drift is one-sided).
+
+    The gram-df stop-list is maintained ADDITIVELY (VERDICT r7 #1): a
+    per-gram (gh, df) census partial for each batch is appended to
+    ``census_dir`` (default ``index_dir + "_census"``) under the same
+    batch_id-partitioned exactly-once contract, and each batch's
+    stop-list is derived from the history partials + the delta's own
+    census — O(delta) aggregate input per micro-batch, never a full
+    re-census of the gram index.
     """
     from goeventstream_spark.operators.dedup import (
         incremental_substring_runs,
+        substring_census_update,
         substring_gram_table,
     )
+
+    cdir = census_dir if census_dir is not None else index_dir + "_census"
 
     def sink(batch_df, batch_id):
         spark = batch_df.sparkSession
@@ -149,8 +161,26 @@ def streaming_substring_dedup(
         index = _read_lake_or_empty(spark, index_dir, grams)
         hist = index.where(F.col("batch_id") < batch_id).drop("batch_id")
         delta = index.where(F.col("batch_id") == batch_id).drop("batch_id")
+        # additive census maintenance: the batch's partial is written
+        # from the COMMITTED delta (one delta-only aggregate), then the
+        # stop-list reads history partials, never the history grams
+        delta_census = substring_census_update(delta)
+        (
+            delta_census.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cdir)
+        )
+        census = _read_lake_or_empty(spark, cdir, delta_census)
+        hist_census = census.where(F.col("batch_id") < batch_id).drop("batch_id")
         _g, runs = incremental_substring_runs(
-            hist, None, min_len=min_len, max_df=max_df, delta_grams=delta
+            hist,
+            None,
+            min_len=min_len,
+            max_df=max_df,
+            delta_grams=delta,
+            history_census=hist_census,
         )
         (
             runs.withColumn("batch_id", F.lit(batch_id))

@@ -325,6 +325,19 @@ def test_streaming_substring_dedup_matches_batch(spark, sf_dir, tmp_path):
     index = spark.read.parquet(str(tmp_path / "index"))
     n_docs_indexed = index.select("doc_id").distinct().count()
     assert n_docs_indexed == docs.where(F.length("text") >= 20).count()
+    # the additive census lake sums to the exact global gram df
+    census = spark.read.parquet(str(tmp_path / "index_census"))
+    got_df = {
+        r.gh: r.s
+        for r in census.groupBy("gh").agg(F.sum("df").alias("s")).collect()
+    }
+    want_df = {
+        r.gh: r.d
+        for r in index.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("d"))
+        .collect()
+    }
+    assert got_df == want_df
 
 
 def test_substring_bucketed_gram_index_history_shuffle_free(spark, sf_dir, tmp_path):
@@ -511,3 +524,112 @@ def test_streaming_substring_dedup_survives_empty_first_batch(spark, tmp_path):
         for r in repeated_substring_runs(docs, min_len=20, max_df=4).collect()
     }
     assert got == want and got, got
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 6),
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(0, 1),
+)
+def test_incremental_censused_equals_uncensused(spark, texts, parity):
+    """The additive-census stop-list (VERDICT r7 #1) is a pure
+    execution-shape change: for ANY history/delta split, the censused
+    path — history df arriving as per-batch (gh, df) partials, here
+    deliberately split into TWO partial batches to exercise the
+    sum-of-partials merge — must equal the full-index-aggregate path
+    row for row."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.dedup import (
+        incremental_substring_runs,
+        substring_census_update,
+        substring_gram_table,
+    )
+
+    k, max_df = 3, 3
+    hist_docs = {d: t for d, t in texts.items() if d % 2 == parity}
+    delta_docs = {d: t for d, t in texts.items() if d % 2 != parity}
+    if not delta_docs:
+        return
+    mk = lambda m: spark.createDataFrame(  # noqa: E731
+        sorted(m.items()), "doc_id long, text string"
+    )
+    hist_grams = (
+        substring_gram_table(mk(hist_docs), min_len=k)
+        if hist_docs
+        else _empty_grams(spark)
+    )
+    # two history partials (docs split by id quartile) accumulated in
+    # the lake, exactly the multi-batch census shape
+    h1 = hist_grams.where(F.col("doc_id") <= 3)
+    h2 = hist_grams.where(F.col("doc_id") > 3)
+    census = substring_census_update(h1).unionByName(substring_census_update(h2))
+
+    _g, want_runs = incremental_substring_runs(
+        hist_grams, mk(delta_docs), min_len=k, max_df=max_df
+    )
+    _g2, got_runs = incremental_substring_runs(
+        hist_grams, mk(delta_docs), min_len=k, max_df=max_df,
+        history_census=census,
+    )
+    want = {tuple(r) for r in want_runs.collect()}
+    got = {tuple(r) for r in got_runs.collect()}
+    assert got == want
+
+
+def test_incremental_census_aggregates_delta_only(spark, tmp_path):
+    """Plan pin for the additive census: with history grams AND the
+    census lake persisted as parquet, the censused runs plan scans the
+    history GRAM index exactly once (the match side) — the stop-list
+    no longer aggregates it — while the uncensused plan scans it
+    twice; the census partials enter through a LeftSemi prune on the
+    delta's gram set before the merge sum. And the two paths return
+    identical runs."""
+    from goeventstream_spark import plans
+    from goeventstream_spark.operators.dedup import (
+        incremental_substring_runs,
+        substring_census_update,
+        substring_gram_table,
+    )
+
+    k, max_df = 4, 4
+    hist = spark.createDataFrame(
+        [(1, "AAAAshared-passage-one...."), (2, "BBshared-passage-oneZZ")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(9, "XXshared-passage-oneYY")], "doc_id long, text string"
+    )
+    hist_dir = str(tmp_path / "gram_index")
+    census_dir = str(tmp_path / "census")
+    hg = substring_gram_table(hist, min_len=k)
+    hg.write.parquet(hist_dir)
+    substring_census_update(hg).write.parquet(census_dir)
+    hist_grams = spark.read.parquet(hist_dir)
+    census = spark.read.parquet(census_dir)
+
+    _g, runs_cen = incremental_substring_runs(
+        hist_grams, delta, min_len=k, max_df=max_df, history_census=census
+    )
+    _g2, runs_full = incremental_substring_runs(
+        hist_grams, delta, min_len=k, max_df=max_df
+    )
+    plan_cen = plans.physical_plan(runs_cen)
+    plan_full = plans.physical_plan(runs_full)
+    # scan signatures (plan Location strings truncate paths, and
+    # column pruning varies the gram scan's schema): any history
+    # gram-index scan starts with doc_id; the census lake is (gh, df)
+    gram_scan = "ReadSchema: struct<doc_id:bigint"
+    census_scan = "ReadSchema: struct<gh:string,df:bigint>"
+    assert plan_cen.count(gram_scan) == 1, plan_cen
+    assert plan_full.count(gram_scan) >= 2, plan_full
+    assert plan_cen.count(census_scan) == 1, plan_cen
+    assert "LeftSemi" in plan_cen, plan_cen
+    got = {tuple(r) for r in runs_cen.collect()}
+    want = {tuple(r) for r in runs_full.collect()}
+    assert got == want and got
