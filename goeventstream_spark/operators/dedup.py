@@ -1484,3 +1484,78 @@ def substring_strip_savings(
         (F.col("start_b") + F.col("match_len")).alias("e"),
     )
     return _interval_union_per_doc(iv, id_col, "removed_chars")
+
+
+def substring_dedup_apply(
+    docs: DataFrame,
+    min_len: int = 20,
+    max_df: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY of exact substring dedup as DATA, not a costing
+    report (Lee et al. 2022 §3, closing the detect -> cost ->
+    transform loop): every document with its doc_b-side run intervals
+    EXCISED — each duplicated run keeps only its lowest-doc_id
+    occurrence, exactly the rule substring_strip_savings costs.
+    Output: (id_col, text_after) for EVERY input document (docs never
+    on a b-side keep their text verbatim), so
+    length(text) - length(text_after) == removed_chars row for row.
+
+    Shape: doc_b run intervals are merged to disjoint islands with the
+    same running-max sweep as the costing (per-doc window, bounded by
+    the doc's run count, intervals each >= min_len so a doc holds at
+    most len/min_len islands); the kept segments are then rebuilt in
+    ONE fold over the doc's sorted island array (substr + concat,
+    JVM-side, no Python). This is the one substring-dedup operator
+    where text legitimately crosses a shuffle — the transform must
+    co-locate a doc's text with its islands (one merge join on the id;
+    forced merge, the standing Generate-estimate rule)."""
+    runs = repeated_substring_runs(
+        docs, min_len=min_len, max_df=max_df, id_col=id_col, text_col=text_col
+    )
+    iv = runs.select(
+        F.col("doc_b").alias(id_col),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_len")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        iv.withColumn("_pme", F.max("e").over(w_prev))
+        .withColumn(
+            "_new",
+            (F.col("_pme").isNull() | (F.col("s") > F.col("_pme"))).cast("int"),
+        )
+        .withColumn("_grp", F.sum("_new").over(w_run))
+        .groupBy(id_col, "_grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    ivs = merged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_ivs")
+    )
+    fold = (
+        "aggregate(_ivs, named_struct('p', CAST(1 AS BIGINT), 'acc', ''),"
+        " (st, iv) -> named_struct('p', iv.e, 'acc',"
+        f"   concat(st.acc, substr({text_col}, CAST(st.p AS INT),"
+        "     CAST(iv.s - st.p AS INT)))),"
+        f" st -> concat(st.acc, substr({text_col}, CAST(st.p AS INT))))"
+    )
+    return (
+        docs.select(id_col, text_col)
+        .join(ivs.hint("merge"), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_ivs").isNull(), F.col(text_col))
+            .otherwise(F.expr(fold))
+            .alias("text_after"),
+        )
+    )

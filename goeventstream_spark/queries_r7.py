@@ -233,3 +233,68 @@ def q_substring_dedup_strip_report(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("removed_ppm"),
         )
     )
+
+
+@query(
+    "substring_dedup_apply",
+    f"""
+    WITH {_SUBSTR_RUNS_CTES},
+    iv AS (
+      SELECT doc_b AS doc_id, start_b AS s, start_b + match_len AS e FROM runs
+    ),
+    sw AS (SELECT doc_id, s, e,
+                  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pme
+           FROM iv),
+    isl AS (SELECT doc_id, s, e,
+                   sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS grp
+            FROM sw),
+    merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+               FROM isl GROUP BY doc_id, grp),
+    segs AS (
+      SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+             s AS ke
+      FROM merged
+      UNION ALL
+      SELECT doc_id, max(e) AS ks, NULL AS ke FROM merged GROUP BY doc_id
+    ),
+    strip AS (
+      SELECT s.doc_id,
+             string_agg(substr(d.text, CAST(s.ks AS INT),
+                               CAST(coalesce(s.ke, length(d.text) + 1) - s.ks
+                                    AS INT)),
+                        '' ORDER BY s.ks) AS text_after
+      FROM segs s JOIN documents d USING (doc_id)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           md5(coalesce(st.text_after, d.text)) AS text_md5,
+           CAST(length(coalesce(st.text_after, d.text)) AS BIGINT) AS len_after
+    FROM documents d LEFT JOIN strip st USING (doc_id)
+    """,
+)
+def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY of substring dedup emitted as DATA
+    (dedup.substring_dedup_apply): every document with its doc_b-side
+    duplicated runs excised — one canonical (lowest-doc_id) occurrence
+    of each run survives the corpus, the Lee et al. 2022 transform
+    itself rather than its costing. Declared result is the
+    hash-comparable readout (doc_id, md5(text_after), length after):
+    the md5 pins the stripped text byte-for-byte cross-engine without
+    hashing megabytes of prose through the driver compare. Closes the
+    detect (substring_dedup_runs) -> cost (strip_report) -> transform
+    loop; length(text) - len_after equals substring_strip_savings'
+    removed_chars row for row (property-pinned in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stripped = dedup.substring_dedup_apply(
+        docs, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF
+    )
+    return stripped.select(
+        "doc_id",
+        F.md5("text_after").alias("text_md5"),
+        F.length("text_after").cast("long").alias("len_after"),
+    )

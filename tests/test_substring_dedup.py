@@ -633,3 +633,105 @@ def test_incremental_census_aggregates_delta_only(spark, tmp_path):
     got = {tuple(r) for r in runs_cen.collect()}
     want = {tuple(r) for r in runs_full.collect()}
     assert got == want and got
+
+
+def _py_strip(texts: dict[int, str], k: int, max_df: int) -> dict[int, str]:
+    """Reference apply: excise the union of doc_b-side run intervals
+    (1-based, half-open) from each document."""
+    iv: dict[int, list[tuple[int, int]]] = collections.defaultdict(list)
+    for _da, db, _sa, sb, ln in _py_runs(texts, k, max_df):
+        iv[db].append((sb, sb + ln))
+    out = {}
+    for d, t in texts.items():
+        keep, p = [], 1
+        for s, e in sorted(iv.get(d, [])):
+            if s > p:
+                keep.append(t[p - 1 : s - 1])
+            p = max(p, e)
+        keep.append(t[p - 1 :])
+        out[d] = "".join(keep)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 6),
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_substring_apply_matches_python_model(spark, texts):
+    """substring_dedup_apply == the pure-python strip on randomized
+    tiny-alphabet corpora (overlapping/nested/adjacent doc_b intervals
+    and whole-document excisions all fire here), byte for byte."""
+    from goeventstream_spark.operators.dedup import substring_dedup_apply
+
+    k, max_df = 3, 3
+    docs = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_after
+        for r in substring_dedup_apply(docs, min_len=k, max_df=max_df).collect()
+    }
+    assert got == _py_strip(texts, k, max_df)
+
+
+def test_substring_apply_consistency_and_no_surviving_dup(spark, sf_dir):
+    """On the fixture corpus: (a) length(text) - length(text_after)
+    equals substring_strip_savings' removed_chars row for row — the
+    transform and its costing cannot drift; (b) the one-canonical-copy
+    guarantee: every ORIGINAL occurrence of a 20-gram whose document
+    frequency is in the dedup band [2..max_df] is fully covered by a
+    removal interval in every doc except the gram's lowest-id doc.
+    (Stated on original positions deliberately: excision seams can
+    join two kept segments into a NEW 20-gram that coincidentally
+    equals a duplicated one — the fixture exhibits exactly one such
+    seam — so 'the stripped TEXT contains no band gram' is not the
+    operator's contract; canonical-copy-per-original-occurrence is.)"""
+    from goeventstream_spark.operators.dedup import (
+        repeated_substring_runs,
+        substring_dedup_apply,
+        substring_strip_savings,
+    )
+    from goeventstream_spark.sources import load_table
+
+    k, max_df = 20, 4
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stripped = {
+        r.doc_id: r.text_after
+        for r in substring_dedup_apply(docs, min_len=k, max_df=max_df).collect()
+    }
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    removed = {
+        r.doc_id: r.removed_chars
+        for r in substring_strip_savings(docs, min_len=k, max_df=max_df).collect()
+    }
+    assert set(stripped) == set(orig)
+    assert removed, "fixture regression: expected stripped documents"
+    for d, t in orig.items():
+        assert len(t) - len(stripped[d]) == removed.get(d, 0), d
+
+    # removal intervals from the ORACLE-PINNED runs operator (b sides)
+    iv: dict[int, list[tuple[int, int]]] = collections.defaultdict(list)
+    for r in repeated_substring_runs(docs, min_len=k, max_df=max_df).collect():
+        iv[r.doc_b].append((r.start_b, r.start_b + r.match_len))
+
+    def covered(d: int, pos: int) -> bool:
+        return any(s <= pos and pos + k <= e for s, e in iv.get(d, ()))
+
+    gram_occ: dict[str, list[tuple[int, int]]] = collections.defaultdict(list)
+    for d, t in orig.items():
+        for i in range(len(t) - k + 1):
+            gram_occ[t[i : i + k]].append((d, i + 1))
+    checked = 0
+    for g, occ in gram_occ.items():
+        ds = {d for d, _ in occ}
+        if not (2 <= len(ds) <= max_df):
+            continue
+        keeper = min(ds)
+        for d, pos in occ:
+            if d != keeper:
+                assert covered(d, pos), (g, d, pos)
+                checked += 1
+    assert checked, "fixture regression: no band grams exercised"
