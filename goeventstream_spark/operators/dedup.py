@@ -1559,3 +1559,64 @@ def substring_dedup_apply(
             .alias("text_after"),
         )
     )
+
+
+def repeated_substring_self_runs(
+    docs: DataFrame,
+    min_len: int = 20,
+    max_occ: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document exact repeated substrings — Lee et al. 2022
+    dedups self-repeats too (a crawl page repeating its own nav
+    boilerplate), which the registry previously covered only via
+    fixed-width winnowing shingles. Same machinery as
+    repeated_substring_runs with the pair predicate generalized to
+    doc_a == doc_b: matching ``min_len``-gram positions (pos_a <
+    pos_b, so each unordered position pair once; the diagonal
+    pos_a - pos_b is strictly negative, never 0) extend along
+    diagonals via the shared _matches_to_runs gaps-and-islands.
+    Output: (doc_id, start_a, start_b, match_len), one row per maximal
+    self-run, start_a < start_b, match_len >= min_len.
+
+    The stop-list analog is the PER-DOC occurrence band 2..``max_occ``
+    (cross-doc df is the wrong knob here — a gram can be corpus-rare
+    yet pathological within one low-entropy document): it bounds the
+    per-gram self-join fan-out at occ^2 PER DOCUMENT, the same
+    quadratic hazard the cross-doc cap bounds at df^2. Like max_df,
+    the cap is declared semantics, replayed by the oracle and the
+    python model. A periodic region (one gram at every position)
+    exceeds the band and is stop-listed outright — the degenerate
+    class the cross-doc docstring already routes to quality gates.
+
+    100 TB shape: everything is per-document after the gram table —
+    the occurrence census, the self-join (keyed on (id, gh)), and the
+    islands window all partition by doc; no relation ever holds a
+    corpus-cross pair. Both data-sized joins forced merge (the
+    standing Generate-estimate rule)."""
+    g = substring_gram_table(
+        docs, min_len=min_len, id_col=id_col, text_col=text_col
+    )
+    el = (
+        g.groupBy(id_col, "gh")
+        .agg(F.count("*").alias("_occ"))
+        .where((F.col("_occ") >= 2) & (F.col("_occ") <= max_occ))
+        .select(id_col, "gh")
+    )
+    occ_g = g.join(el.hint("merge"), [id_col, "gh"])
+    a = occ_g.select(F.col(id_col).alias("_id"), "gh", F.col("pos").alias("pos_a"))
+    b = occ_g.select(F.col(id_col).alias("_id"), "gh", F.col("pos").alias("pos_b"))
+    m = (
+        a.join(b.hint("merge"), ["_id", "gh"])
+        .where(F.col("pos_a") < F.col("pos_b"))
+        .select(
+            F.col("_id").alias("doc_a"),
+            F.col("_id").alias("doc_b"),
+            "pos_a",
+            "pos_b",
+        )
+    )
+    return _matches_to_runs(m, min_len).select(
+        F.col("doc_a").alias(id_col), "start_a", "start_b", "match_len"
+    )

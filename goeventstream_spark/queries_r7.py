@@ -15,6 +15,11 @@ registry previously only approximated with fixed-width span hashes
 - ``substring_dedup_strip_report``: the APPLY half — characters
   actually deleted when each run keeps its lowest-doc_id occurrence
   canonical (doc_b-side interval union only), per language.
+- ``substring_dedup_apply`` (r8): the transform itself — every
+  document with its doc_b-side runs excised, hashed byte-exact as
+  (doc_id, md5(text_after), len_after).
+- ``substring_self_runs`` (r8): WITHIN-document maximal repeats (the
+  self-dedup half of Lee et al.), per-doc occurrence band 2..4.
 
 Cross-engine determinism: gram keys are md5 of the raw 20-char
 substring (identical hex in both engines); positions, lengths, and
@@ -33,18 +38,22 @@ from goeventstream_spark.sources import load_table
 SUBSTR_MIN_LEN = 20
 SUBSTR_MAX_DF = 4
 
-# The shared trajectory both oracles replay: per-position md5 gram
-# keys, the 2..max_df document-frequency stop-list (BINDS on the
-# fixture — max df 9 at sf0.001 / 6 at sf0.01), the doc_a < doc_b
-# match join, and maximal diagonal runs via gaps-and-islands.
-_SUBSTR_RUNS_CTES = f"""pos AS (
+# The per-position gram relation shared by the cross-document AND
+# within-document oracles (md5 keys — identical hex in both engines).
+_SUBSTR_GRAM_CTES = f"""pos AS (
       SELECT doc_id, text,
              unnest(generate_series(1, length(text) - {SUBSTR_MIN_LEN - 1})) AS p
       FROM documents
     ),
     g AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
                  md5(substr(text, CAST(p AS INT), {SUBSTR_MIN_LEN})) AS gh
-          FROM pos),
+          FROM pos)"""
+
+# The shared trajectory both oracles replay: per-position md5 gram
+# keys, the 2..max_df document-frequency stop-list (BINDS on the
+# fixture — max df 9 at sf0.001 / 6 at sf0.01), the doc_a < doc_b
+# match join, and maximal diagonal runs via gaps-and-islands.
+_SUBSTR_RUNS_CTES = f"""{_SUBSTR_GRAM_CTES},
     el AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df
                            FROM g GROUP BY gh)
            WHERE df BETWEEN 2 AND {SUBSTR_MAX_DF}),
@@ -297,4 +306,60 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text_after").alias("text_md5"),
         F.length("text_after").cast("long").alias("len_after"),
+    )
+
+
+SELF_MAX_OCC = 4
+
+
+@query(
+    "substring_self_runs",
+    f"""
+    WITH {_SUBSTR_GRAM_CTES},
+    selfel AS (SELECT doc_id, gh
+               FROM (SELECT doc_id, gh, count(*) AS occ
+                     FROM g GROUP BY doc_id, gh)
+               WHERE occ BETWEEN 2 AND {SELF_MAX_OCC}),
+    m AS (SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b
+          FROM g a
+          JOIN selfel e ON a.doc_id = e.doc_id AND a.gh = e.gh
+          JOIN g b ON b.doc_id = a.doc_id AND b.gh = a.gh
+          WHERE a.pos < b.pos),
+    runs AS (
+      SELECT doc_id, CAST(min(pos_a) AS BIGINT) AS start_a,
+             CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+             CAST(max(pos_a) - min(pos_a) + {SUBSTR_MIN_LEN} AS BIGINT)
+               AS match_len
+      FROM (SELECT doc_id, pos_a - pos_b AS diag, pos_a,
+                   pos_a - row_number() OVER (PARTITION BY doc_id,
+                                                           pos_a - pos_b
+                                              ORDER BY pos_a) AS grp
+            FROM m)
+      GROUP BY doc_id, diag, grp)
+    SELECT doc_id, start_a, start_b, match_len
+    FROM runs
+    ORDER BY match_len DESC, doc_id, start_a, start_b
+    LIMIT 200
+    """,
+)
+def q_substring_self_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 longest WITHIN-document repeated substrings
+    (dedup.repeated_substring_self_runs, min_len=20, max_occ=4): each
+    row is one maximal self-repeat — both start offsets inside the
+    same document plus its length — the self-dedup half of Lee et al.
+    2022 that cross-doc runs deliberately exclude (doc_a < doc_b).
+    The per-doc occurrence band 2..4 is the stop-list analog (bounds
+    per-gram fan-out at occ^2 per document; the fixture's max
+    within-doc occurrence is 2, so the band is loose there — the
+    binding case is property-pinned in pytest). Total tiebreak
+    (match_len desc, doc_id, start_a, start_b — unique per run), so
+    the 200 boundary is deterministic cross-engine."""
+    return (
+        dedup.repeated_substring_self_runs(
+            load_table(spark, sf_dir, "documents"),
+            min_len=SUBSTR_MIN_LEN,
+            max_occ=SELF_MAX_OCC,
+        )
+        .orderBy(F.col("match_len").desc(), "doc_id", "start_a", "start_b")
+        .limit(200)
     )

@@ -735,3 +735,87 @@ def test_substring_apply_consistency_and_no_surviving_dup(spark, sf_dir):
                 assert covered(d, pos), (g, d, pos)
                 checked += 1
     assert checked, "fixture regression: no band grams exercised"
+
+
+def _py_self_runs(texts: dict[int, str], k: int, max_occ: int):
+    """Reference within-doc runs: per-doc gram position lists, the
+    2..max_occ occurrence band, position pairs pa < pb, maximal
+    consecutive runs per (doc, diagonal)."""
+    out = set()
+    for d, t in texts.items():
+        grams: dict[str, list[int]] = collections.defaultdict(list)
+        for i in range(len(t) - k + 1):
+            grams[t[i : i + k]].append(i + 1)
+        matches: dict[int, set[int]] = collections.defaultdict(set)
+        for ps in grams.values():
+            if not (2 <= len(ps) <= max_occ):
+                continue
+            for pa in ps:
+                for pb in ps:
+                    if pa < pb:
+                        matches[pa - pb].add(pa)
+        for diag, ps in matches.items():
+            sp = sorted(ps)
+            start = prev = sp[0]
+            for p in sp[1:] + [None]:
+                if p is not None and p == prev + 1:
+                    prev = p
+                    continue
+                out.add((d, start, start - diag, prev - start + k))
+                if p is not None:
+                    start = prev = p
+    return out
+
+
+def test_substring_self_runs_fixed_corpus(spark):
+    """Hand-checkable self-repeats: a doc repeating an 8-char passage
+    twice (one maximal run), a doc whose passage appears 5 times
+    (occ > max_occ=4 -> stop-listed, no runs), and a periodic region
+    (every gram at occ > band -> stop-listed outright, the declared
+    degenerate-class routing)."""
+    from goeventstream_spark.operators.dedup import repeated_substring_self_runs
+
+    k = 4
+    texts = {
+        1: "PASSAGE1..middle..PASSAGE1.",
+        2: "dup6dup6dup6dup6dup6dup6",  # every gram occ 5..6 > 4
+        3: "zzzzzzzzzzzz",  # periodic: 'zzzz' occ 9 > 4
+        4: "no repeats here at all",
+    }
+    docs = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.start_a, r.start_b, r.match_len)
+        for r in repeated_substring_self_runs(docs, min_len=k, max_occ=4).collect()
+    }
+    want = _py_self_runs(texts, k, max_occ=4)
+    assert got == want
+    # doc 1: the full 9-char 'PASSAGE1.' is ONE maximal run at (1, 19)
+    assert (1, 1, 19, 9) in got
+    # docs 2 and 3: every repeated gram is over the band -> silent
+    assert not any(r[0] in (2, 3, 4) for r in got), sorted(got)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 5),
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_substring_self_runs_match_python_on_random_corpora(spark, texts):
+    """Tiny alphabet: within-doc gram collisions everywhere, the occ
+    band binding constantly, self-overlapping diagonals merging. The
+    operator must equal the brute-force model exactly."""
+    from goeventstream_spark.operators.dedup import repeated_substring_self_runs
+
+    k, max_occ = 3, 4
+    docs = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.start_a, r.start_b, r.match_len)
+        for r in repeated_substring_self_runs(
+            docs, min_len=k, max_occ=max_occ
+        ).collect()
+    }
+    assert got == _py_self_runs(texts, k, max_occ)
