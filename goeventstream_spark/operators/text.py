@@ -889,3 +889,56 @@ def bpe_train_steps(docs: DataFrame, steps: int = 3, text_col: str = "text") -> 
             " (step, pair, pair_count, tokens_before, tokens_after)"
         )
     )
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    steps: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE with the trained BPE table — the consumer of
+    bpe_train_steps' learned merges, applied back over the corpus at
+    document granularity (the trainer proves training; this is the
+    tokenize-the-corpus pass a data pipeline actually runs). Each
+    word is rewritten through the same sentinel-replace chain the
+    trainer pins (merge i = replace(p_i -> char(i)), greedy
+    left-to-right, identical in both engines), so a word's token
+    count is exactly length(w_steps). Words containing a sentinel
+    control char are excluded from encoding precisely as the trainer
+    excludes them from the vocabulary (defensive; provably absent
+    from real text).
+
+    Output: one row per document with at least one word —
+    (id_col, n_words, chars_before, tokens_after). tokens_after <=
+    chars_before always; the difference is the number of merge
+    applications in that document.
+
+    100 TB shape: the merge table is a 1-row aggregate broadcast onto
+    the corpus word relation (map-side rewrite, no join on data keys);
+    the only shuffle is the per-document rollup. The vocabulary
+    trainer it embeds stays sublinear (distinct-word relation)."""
+    v = bpe_merged_vocab(docs, steps=steps, text_col=text_col)
+    merges = v.agg(
+        *[F.max(f"p{i}").alias(f"p{i}") for i in range(1, steps + 1)]
+    )
+    w = _words(docs, id_col=id_col, text_col=text_col)
+    for i in range(1, steps + 1):
+        w = w.where(~F.col("word").contains(chr(i)))
+    enc = "word"
+    for i in range(1, steps + 1):
+        enc = f"replace({enc}, p{i}, char({i}))"
+    return (
+        w.crossJoin(F.broadcast(merges))
+        .select(
+            id_col,
+            F.length("word").alias("_nc"),
+            F.length(F.expr(enc)).alias("_nt"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("_nc").cast("long").alias("chars_before"),
+            F.sum("_nt").cast("long").alias("tokens_after"),
+        )
+    )

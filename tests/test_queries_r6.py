@@ -785,3 +785,38 @@ def test_bpe_trainer_depth_adaptive_random_corpora(spark, words):
     want = _python_bpe(dict(wf), s)
     got = [(r.pair, r.pair_count, r.tokens_before, r.tokens_after) for r in rows]
     assert got == want
+
+
+def test_bpe_encode_report_matches_python(spark):
+    """The r8 ENCODE pass: per-language rollup of the corpus tokenized
+    with the learned merge table must equal the python model — merges
+    learned with the same sentinel tiebreak (_python_bpe_vocab), then
+    each document's words mapped to their merged forms and rolled up
+    by language."""
+    rows = {r.lang: r for r in QUERIES["bpe_encode_report"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    wf: collections.Counter = collections.Counter()
+    for d in docs:
+        for w in d.text.split(" "):
+            if w:
+                wf[w] += 1
+    word2merged = {w: mw for (mw, w), _f in _python_bpe_vocab(dict(wf), 3).items()}
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])  # docs, words, chars, toks
+    for d in docs:
+        a = agg[d.lang]
+        a[0] += 1
+        for w in d.text.split(" "):
+            if w:
+                a[1] += 1
+                a[2] += len(w)
+                a[3] += len(word2merged[w])
+    assert set(rows) == set(agg)
+    for lang, (nd, nw, nc, nt) in agg.items():
+        r = rows[lang]
+        assert (r.n_docs, r.n_words, r.chars_before, r.tokens_after) == (
+            nd, nw, nc, nt,
+        ), lang
+        assert r.merges_applied == nc - nt
+        assert r.tokens_per_doc_milli == (1000 * nt) // nd
+        # encoding strictly compresses on every fixture language
+        assert r.tokens_after < r.chars_before, lang
