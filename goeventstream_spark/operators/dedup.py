@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from goeventstream_spark.operators.lineage import materialize
+
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
 DEFAULT_SHINGLE_K = 3
@@ -687,6 +689,7 @@ def dedup_clusters(
     dst_col: str = "doc_b",
     id_col: str = "doc_id",
     max_iters: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every doc
     gets ``cluster_id`` = the minimum doc id reachable through pairs —
@@ -702,9 +705,11 @@ def dedup_clusters(
     (large-star/small-star, O(log n) rounds, property-tested equal to
     this propagation on random graphs).
 
-    Scale discipline: ``localCheckpoint`` truncates lineage each round
-    so the plan does not grow with iterations (on a cluster, swap for
-    reliable ``checkpoint``); convergence detection rides the round's
+    Scale discipline: each round's lineage is truncated so the plan
+    does not grow with iterations — ``localCheckpoint`` by default,
+    reliable ``checkpoint`` when ``checkpoint_dir`` is set (executor
+    loss then recomputes from durable storage instead of failing the
+    job; see operators.lineage); convergence detection rides the round's
     own shuffle — each vertex carries its previous label through the
     min-aggregation (``max(_prev)`` is exact: exactly one labels row
     per id contributes a non-null ``_prev``), so "did anything change"
@@ -723,7 +728,7 @@ def dedup_clusters(
     sym = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    edges = sym.localCheckpoint(eager=True)
+    edges = materialize(sym, checkpoint_dir)
     # Fused first round: from identity labels, round 1 would yield
     # lbl = min(id, min(neighbors)) — compute that directly in the
     # same shuffle that deduplicates vertices, saving one iteration.
@@ -731,8 +736,8 @@ def dedup_clusters(
         edges.groupBy("src")
         .agg(F.min("dst").alias("_mn"))
         .select(F.col("src").alias("id"), F.least("src", "_mn").alias("lbl"))
-        .localCheckpoint(eager=True)
     )
+    labels = materialize(labels, checkpoint_dir)
     lbl_type = dict(labels.dtypes)["lbl"]
     for _ in range(max_iters):
         msgs = edges.join(
@@ -750,12 +755,13 @@ def dedup_clusters(
         # checkpointed round output instead of a join against the
         # previous round. Works for any id/label type, unlike a
         # sum(label) probe (NULL for strings).
-        agged = (
+        agged = materialize(
             labels.withColumn("_prev", F.col("lbl"))
             .union(msgs)
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"), F.max("_prev").alias("_prev"))
-            .localCheckpoint(eager=False)
+            .agg(F.min("lbl").alias("lbl"), F.max("_prev").alias("_prev")),
+            checkpoint_dir,
+            eager=False,
         )
         changed = agged.where(~F.col("lbl").eqNullSafe(F.col("_prev"))).count()
         labels = agged.select("id", "lbl")
@@ -777,6 +783,7 @@ def dedup_clusters_contraction(
     id_col: str = "doc_id",
     max_iters: int = 40,
     rounds_out: list | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components in O(log n) rounds via alternating
     large-star / small-star edge contraction (Kiveris et al.,
@@ -801,16 +808,18 @@ def dedup_clusters_contraction(
     is edge (a, b) -> cluster(b) = a with no further iteration.
 
     ``rounds_out``, when given, receives the number of alternation
-    rounds used (test hook for the O(log n) bound).
+    rounds used (test hook for the O(log n) bound). ``checkpoint_dir``
+    switches per-round lineage truncation from localCheckpoint to
+    reliable checkpoint (operators.lineage.materialize).
     """
-    canon = (
+    canon = materialize(
         pairs.select(
             F.least(src_col, dst_col).alias("src"),
             F.greatest(src_col, dst_col).alias("dst"),
         )
         .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
 
     def _sym(e: DataFrame) -> DataFrame:
@@ -846,12 +855,15 @@ def dedup_clusters_contraction(
         # small-star: (v, m(u)) for v in Γ(u), v <= u, plus (u, m(u))
         sym2 = _sym(large)
         mins2 = _mins(sym2)
-        small = _canon(
-            sym2.where(F.col("dst") < F.col("src"))
-            .join(mins2, "src")
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .union(mins2.select("src", F.col("m").alias("dst")))
-        ).localCheckpoint(eager=True)
+        small = materialize(
+            _canon(
+                sym2.where(F.col("dst") < F.col("src"))
+                .join(mins2, "src")
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .union(mins2.select("src", F.col("m").alias("dst")))
+            ),
+            checkpoint_dir,
+        )
         if small.exceptAll(canon).count() == 0 and canon.exceptAll(small).count() == 0:
             canon = small
             break

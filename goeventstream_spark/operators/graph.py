@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from goeventstream_spark.operators.lineage import materialize
+
 SCALE = 1_000_000_000_000  # 1e12 fixed-point score scale
 W_SCALE = 1_000_000  # weights normalized to parts-per-million
 
@@ -288,7 +290,12 @@ def personalized_pagerank_fixed(
     return ranks.select("node", "rank")
 
 
-def kcore_peel_trajectory(edges: DataFrame, k: int = 3, rounds: int = 5) -> DataFrame:
+def kcore_peel_trajectory(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Bounded-round k-core peeling (Batagelj-Zaveršnik decomposition,
     distributed form): each round drops every node whose degree in the
     CURRENT graph is below ``k``, then drops edges that lost an
@@ -309,7 +316,9 @@ def kcore_peel_trajectory(edges: DataFrame, k: int = 3, rounds: int = 5) -> Data
     relation against the surviving-node relation — all equi-keyed
     shuffles that AQE can size; no collect, no windows, no cartesian.
     Rounds are a fixed small constant. Each round's edge relation is
-    materialized with an eager localCheckpoint: round r references
+    materialized (operators.lineage.materialize — eager localCheckpoint
+    by default, reliable checkpoint when ``checkpoint_dir`` is set so
+    executor loss recomputes instead of failing): round r references
     round r-1 three times (degree census + both semi-join probes), so
     an unbroken lineage grows ~5^rounds plan paths and stalls
     Catalyst's tree-walking rules (measured: round 5 never finishes
@@ -331,11 +340,11 @@ def kcore_peel_trajectory(edges: DataFrame, k: int = 3, rounds: int = 5) -> Data
             .where(F.col("d") >= k)
             .select("node")
         )
-        e = (
+        e = materialize(
             e.join(deg.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(deg.withColumnRenamed("node", "b"), "b", "left_semi")
-            .select("a", "b")
-            .localCheckpoint(eager=True)
+            .select("a", "b"),
+            checkpoint_dir,
         )
         row = (
             deg.agg(F.count("*").cast("long").alias("nodes_remaining"))

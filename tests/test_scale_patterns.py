@@ -1042,3 +1042,62 @@ def test_ivf_capped_fresh_ids_with_oversized_codebook(spark):
     # every split id must be >= len(centroids)=8, never colliding with
     # the live base id range 0..7 (the old bug handed out 4..7)
     assert all(c >= 8 for c in cells), cells
+
+
+def test_reliable_checkpoint_option_for_iterative_operators(spark, tmp_path):
+    """ADVICE r7 / VERDICT r7 #6: the iterative operators' per-round
+    lineage truncation accepts a cluster-shape ``checkpoint_dir`` —
+    reliable checkpoint() into durable storage, so on a real cluster
+    an executor loss mid-query recomputes instead of failing. Pin:
+    (a) results identical to the default localCheckpoint path for all
+    three operators; (b) checkpoint data actually lands under the
+    directory (the durability evidence)."""
+    import os
+
+    from goeventstream_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_contraction,
+    )
+    from goeventstream_spark.operators.graph import kcore_peel_trajectory
+
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (1, 22)],
+        ["doc_a", "doc_b"],
+    )
+    want = {
+        (r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()
+    }
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == want and got
+
+    want_c = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters_contraction(pairs).collect()
+    }
+    got_c = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters_contraction(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got_c == want_c == want
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 1), (2, 4)], ["a", "b"]
+    )
+    want_k = [tuple(r) for r in kcore_peel_trajectory(edges, k=2, rounds=3).collect()]
+    got_k = [
+        tuple(r)
+        for r in kcore_peel_trajectory(
+            edges, k=2, rounds=3, checkpoint_dir=ckpt
+        ).collect()
+    ]
+    assert got_k == want_k
+
+    # durable checkpoint data really landed under the directory
+    files = [
+        os.path.join(dp, f) for dp, _dn, fn in os.walk(ckpt) for f in fn
+    ]
+    assert files, "reliable checkpoint wrote nothing"
