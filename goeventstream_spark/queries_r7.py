@@ -95,8 +95,9 @@ def q_substring_dedup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays available as the operator (substring_dedup_coverage consumes
     it un-truncated)."""
     return (
-        dedup.repeated_substring_runs(
+        dedup.shared_substring_runs(
             load_table(spark, sf_dir, "documents"),
+            sf_dir,
             min_len=SUBSTR_MIN_LEN,
             max_df=SUBSTR_MAX_DF,
         )
@@ -148,7 +149,12 @@ def q_substring_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the corpus the dedup pass would delete."""
     docs = load_table(spark, sf_dir, "documents")
     per_doc = dedup.substring_dup_coverage(
-        docs, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF
+        docs,
+        min_len=SUBSTR_MIN_LEN,
+        max_df=SUBSTR_MAX_DF,
+        runs=dedup.shared_substring_runs(
+            docs, sf_dir, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF
+        ),
     )
     return (
         docs.select("doc_id", "lang", F.length("text").alias("_len"))
@@ -217,7 +223,12 @@ def q_substring_dedup_strip_report(spark: SparkSession, sf_dir: str) -> DataFram
     chars_removed < dup_chars whenever a run's canonical side exists."""
     docs = load_table(spark, sf_dir, "documents")
     per_doc = dedup.substring_strip_savings(
-        docs, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF
+        docs,
+        min_len=SUBSTR_MIN_LEN,
+        max_df=SUBSTR_MAX_DF,
+        runs=dedup.shared_substring_runs(
+            docs, sf_dir, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF
+        ),
     )
     return (
         docs.select("doc_id", "lang", F.length("text").alias("_len"))
@@ -300,7 +311,12 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed_chars row for row (property-pinned in pytest)."""
     docs = load_table(spark, sf_dir, "documents")
     stripped = dedup.substring_dedup_apply(
-        docs, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF
+        docs,
+        min_len=SUBSTR_MIN_LEN,
+        max_df=SUBSTR_MAX_DF,
+        runs=dedup.shared_substring_runs(
+            docs, sf_dir, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF
+        ),
     )
     return stripped.select(
         "doc_id",

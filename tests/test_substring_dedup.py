@@ -819,3 +819,38 @@ def test_substring_self_runs_match_python_on_random_corpora(spark, texts):
         ).collect()
     }
     assert got == _py_self_runs(texts, k, max_occ)
+
+
+def test_shared_substring_runs_memo(spark, sf_dir, monkeypatch):
+    """The detect-once/consume-many memo (the shared_capped_cells
+    discipline applied to substring detection): identical key returns
+    the identical persisted DataFrame without re-entering detection;
+    any parameter or corpus-key change is a different entry; the
+    memoized result equals direct detection row for row."""
+    from goeventstream_spark.operators import dedup as d
+    from goeventstream_spark.sources import load_table
+
+    d._SHARED_RUNS_CACHE.clear()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = {
+        tuple(r) for r in d.repeated_substring_runs(docs, 20, 4).collect()
+    }
+    calls = {"n": 0}
+    inner = d.repeated_substring_runs
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return inner(*a, **kw)
+
+    monkeypatch.setattr(d, "repeated_substring_runs", counting)
+    a = d.shared_substring_runs(docs, sf_dir, min_len=20, max_df=4)
+    b = d.shared_substring_runs(docs, sf_dir, min_len=20, max_df=4)
+    assert a is b and calls["n"] == 1
+    c = d.shared_substring_runs(docs, sf_dir, min_len=20, max_df=3)
+    e = d.shared_substring_runs(docs, str(sf_dir) + "-other", min_len=20, max_df=4)
+    assert c is not a and e is not a and calls["n"] == 3
+    assert {tuple(r) for r in a.collect()} == want and want
+    assert a.storageLevel.useMemory  # persisted: consumers share the compute
+    for df in d._SHARED_RUNS_CACHE.values():
+        df.unpersist()
+    d._SHARED_RUNS_CACHE.clear()
