@@ -1585,6 +1585,21 @@ def substring_dedup_apply(
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("match_len")).alias("e"),
     )
+    return _strip_intervals(docs, iv, id_col=id_col, text_col=text_col)
+
+
+def _strip_intervals(
+    docs: DataFrame,
+    iv: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise (id, s, e) half-open 1-based character intervals from
+    each document: merge to disjoint islands (running-max sweep), then
+    rebuild the kept text in one JVM-side fold. Shared by the batch
+    APPLY (substring_dedup_apply) and the streaming strip-on-ingest
+    sink so the transform cannot drift between them. Returns
+    (id_col, text_after) for EVERY doc in ``docs``."""
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("s", "e")

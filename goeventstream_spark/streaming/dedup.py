@@ -196,3 +196,116 @@ def streaming_substring_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_substring_strip(
+    stream_docs: DataFrame,
+    index_dir: str,
+    stripped_dir: str,
+    checkpoint_dir: str,
+    min_len: int = 20,
+    max_df: int = 4,
+    census_dir: str | None = None,
+    runs_dir: str | None = None,
+):
+    """Strip-on-ingest: the streaming twin of substring_dedup_apply.
+    Each micro-batch's documents are gram-indexed once, their maximal
+    repeated runs against the corpus-so-far computed incrementally
+    (gram index + additive census lakes, exactly the
+    streaming_substring_dedup machinery), and then every batch
+    document is emitted to ``stripped_dir`` with its doc_b-side run
+    intervals EXCISED — the Lee et al. transform applied at ingest,
+    when the text is already in hand, instead of as an after-the-fact
+    corpus pass. Runs are also appended to ``runs_dir`` when given
+    (audit trail). All sinks batch_id-partitioned under the standing
+    exactly-once dynamic-overwrite contract.
+
+    Semantics (ingest-time, one-sided like the runs drift): a batch
+    doc is stripped of every interval where it is the doc_b (higher
+    id) of a run against the corpus-so-far. When documents arrive in
+    non-decreasing doc_id order — the natural ingest order, ids being
+    assigned at ingest — every run touching the batch has its doc_b
+    IN the batch, and (absent df drift) the union of stripped batches
+    equals the full-corpus substring_dedup_apply exactly (pinned).
+    Out-of-order arrivals strip only the arriving side: a historical
+    doc that later turns out to be the doc_b of a lower-id newcomer is
+    not retro-edited — emitted data is immutable, the same
+    ingest-time-decision stance as the runs superset contract.
+    """
+    from goeventstream_spark.operators.dedup import (
+        _strip_intervals,
+        incremental_substring_runs,
+        substring_census_update,
+        substring_gram_table,
+    )
+
+    cdir = census_dir if census_dir is not None else index_dir + "_census"
+
+    def sink(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        grams = substring_gram_table(batch_df, min_len=min_len)
+        (
+            grams.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+        index = _read_lake_or_empty(spark, index_dir, grams)
+        hist = index.where(F.col("batch_id") < batch_id).drop("batch_id")
+        delta = index.where(F.col("batch_id") == batch_id).drop("batch_id")
+        delta_census = substring_census_update(delta)
+        (
+            delta_census.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cdir)
+        )
+        census = _read_lake_or_empty(spark, cdir, delta_census)
+        hist_census = census.where(F.col("batch_id") < batch_id).drop("batch_id")
+        _g, runs = incremental_substring_runs(
+            hist,
+            None,
+            min_len=min_len,
+            max_df=max_df,
+            delta_grams=delta,
+            history_census=hist_census,
+        )
+        if runs_dir is not None:
+            (
+                runs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(runs_dir)
+            )
+            runs = spark.read.parquet(runs_dir).where(
+                F.col("batch_id") == batch_id
+            )
+        # strip ONLY the batch's docs, only where the batch doc is the
+        # run's doc_b (the non-canonical side)
+        iv = runs.join(
+            batch_df.select(F.col("doc_id").alias("doc_b")).distinct(),
+            "doc_b",
+            "left_semi",
+        ).select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("match_len")).alias("e"),
+        )
+        stripped = _strip_intervals(batch_df.select("doc_id", "text"), iv)
+        (
+            stripped.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(stripped_dir)
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
