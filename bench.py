@@ -210,6 +210,9 @@ HEADLINE = [
     "substring_dedup_runs",
     "substring_dedup_coverage",
     "substring_dedup_strip_report",
+    "substring_dedup_apply",
+    "substring_self_runs",
+    "bpe_encode_report",
 ]
 
 

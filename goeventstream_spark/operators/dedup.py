@@ -1599,7 +1599,18 @@ def _strip_intervals(
     rebuild the kept text in one JVM-side fold. Shared by the batch
     APPLY (substring_dedup_apply) and the streaming strip-on-ingest
     sink so the transform cannot drift between them. Returns
-    (id_col, text_after) for EVERY doc in ``docs``."""
+    (id_col, text_after) for EVERY doc in ``docs``.
+
+    Intervals are DEDUPLICATED first (a union is a set operation):
+    duplicate (s, e) rows — the same span duplicated against several
+    partners — make the island sweep's (s, e) sort order ambiguous,
+    and an engine that evaluates the running-max and the island
+    running-sum in separate passes can order the ties differently and
+    nondeterministically merge adjacent islands (the DuckDB oracle
+    exhibited exactly this before its matching DISTINCT). Spark
+    evaluates both frames over one sort, but determinism here must not
+    depend on that physical detail."""
+    iv = iv.distinct()
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("s", "e")

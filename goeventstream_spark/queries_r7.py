@@ -260,7 +260,17 @@ def q_substring_dedup_strip_report(spark: SparkSession, sf_dir: str) -> DataFram
     f"""
     WITH {_SUBSTR_RUNS_CTES},
     iv AS (
-      SELECT doc_b AS doc_id, start_b AS s, start_b + match_len AS e FROM runs
+      -- DISTINCT is load-bearing: duplicate (s, e) intervals (the same
+      -- span duplicated against several partners) make the (s, e) sort
+      -- order ambiguous, and pme and the island running sum are
+      -- evaluated in SEPARATE window passes whose tie orders can
+      -- disagree, nondeterministically merging adjacent islands
+      -- (observed: DuckDB returned two different strips for the same
+      -- doc across runs). A union of intervals is a set operation, so
+      -- dedup is semantics-free and leaves no ties to order.
+      SELECT DISTINCT doc_b AS doc_id, start_b AS s,
+                      start_b + match_len AS e
+      FROM runs
     ),
     sw AS (SELECT doc_id, s, e,
                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
