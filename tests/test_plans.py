@@ -1038,7 +1038,14 @@ def test_substring_dedup_runs_plan_shape(spark, sf_dir):
     equi-joins on the gram hash (no cartesian/nested-loop), and the
     islands window partitions by (pair, diagonal) — never unpartitioned."""
     import goeventstream_spark.queries_r7  # noqa: F401
+    from goeventstream_spark.operators import dedup as _d
 
+    # this test pins the DETECTION pipeline's plan; a warm
+    # shared_substring_runs memo (populated by any earlier test that
+    # ran the queries) would replace it with an InMemoryTableScan
+    for _df in _d._SHARED_RUNS_CACHE.values():
+        _df.unpersist()
+    _d._SHARED_RUNS_CACHE.clear()
     df = q.QUERIES["substring_dedup_runs"](spark, sf_dir)
     plan = plans.physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
@@ -1052,5 +1059,8 @@ def test_substring_dedup_runs_plan_shape(spark, sf_dir):
     # merge hints pin the spill-safe shape)
     assert "BroadcastHashJoin" not in plan, plan
     for name in ("substring_dedup_coverage", "substring_dedup_strip_report"):
+        for _df in _d._SHARED_RUNS_CACHE.values():
+            _df.unpersist()
+        _d._SHARED_RUNS_CACHE.clear()  # pin the full pipeline, not the cache
         p2 = plans.physical_plan(q.QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" not in p2, (name, p2)
