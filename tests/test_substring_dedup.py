@@ -909,3 +909,68 @@ def test_streaming_substring_strip_matches_batch(spark, sf_dir, tmp_path):
     # and something was actually stripped (fixture regression guard)
     orig = {r.doc_id: r.text for r in docs.collect()}
     assert any(got[d] != orig[d] for d in got)
+
+
+def test_bucketed_census_lake_stoplist_shuffle_free_history(spark, sf_dir, tmp_path):
+    """Deployment shape of the additive census (the bucketed-gram-index
+    discipline applied to the stop-list): persist the census partials
+    bucketed on gh; the per-batch stop-list derivation (LeftSemi prune
+    on the delta's gram set + merge sum) then reads history census
+    WITHOUT re-shuffling it — the only gh exchange in the stop-list
+    plan is the delta-census side — and the derived stop-list equals
+    the full-index recompute exactly."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark import plans
+    from goeventstream_spark.operators.dedup import (
+        _substring_stoplist,
+        substring_census_update,
+        substring_gram_table,
+    )
+    from goeventstream_spark.sources import load_table
+
+    k, max_df = 20, 4
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist_docs = docs.where(F.col("doc_id") % 2 == 0)
+    delta_docs = docs.where(F.col("doc_id") % 2 == 1)
+    hist_grams = substring_gram_table(hist_docs, min_len=k)
+    spark.sql("DROP TABLE IF EXISTS census_bkt")
+    substring_census_update(hist_grams).write.bucketBy(8, "gh").sortBy(
+        "gh"
+    ).option("path", str(tmp_path / "census_bkt")).mode("overwrite").saveAsTable(
+        "census_bkt"
+    )
+    try:
+        delta_grams = substring_gram_table(delta_docs, min_len=k)
+        dc = substring_census_update(delta_grams).localCheckpoint(eager=True)
+        hc = spark.table("census_bkt").join(
+            dc.select("gh").hint("merge"), "gh", "left_semi"
+        )
+        el = (
+            hc.unionByName(dc)
+            .groupBy("gh")
+            .agg(F.sum("df").alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .select("gh")
+        )
+        plan = plans.physical_plan(el)
+        assert "census_bkt" in plan and "SortMergeJoin" in plan, plan
+        gh_exchanges = [
+            seg
+            for seg in plan.split("Exchange hashpartitioning")[1:]
+            if seg.lstrip().startswith("(gh")
+        ]
+        # ONE gh exchange for the semi-join probe (the checkpointed
+        # delta census) plus ONE for the union-merge aggregate's delta
+        # leg; the bucketed history census is NEVER re-shuffled
+        assert len(gh_exchanges) <= 2, plan
+        got = {r.gh for r in el.collect()}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS census_bkt")
+    cols = ["doc_id", "pos", "gh"]
+    all_g = hist_grams.select(*cols).unionByName(delta_grams.select(*cols))
+    full = {r.gh for r in _substring_stoplist(all_g, max_df, "doc_id").collect()}
+    # the censused stop-list is the full recompute RESTRICTED to the
+    # delta's gram set (only delta grams can seed incremental matches)
+    delta_ghs = {r.gh for r in dc.select("gh").collect()}
+    assert got == (full & delta_ghs) and got
