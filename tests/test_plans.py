@@ -1064,3 +1064,55 @@ def test_substring_dedup_runs_plan_shape(spark, sf_dir):
         _d._SHARED_RUNS_CACHE.clear()  # pin the full pipeline, not the cache
         p2 = plans.physical_plan(q.QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" not in p2, (name, p2)
+
+
+def test_substring_apply_and_self_runs_plan_shape(spark, sf_dir):
+    """Round-8 substring consumers keep the family's 100 TB plan
+    contract: no cartesian/nested-loop anywhere; the apply's
+    text-bearing joins are sort-merge (corpus-sized both sides —
+    Catalyst's static estimate through Generate must not broadcast
+    them); every window partitions by a document key; self-runs'
+    islands window partitions per doc (doc_a == doc_b)."""
+    from goeventstream_spark.operators import dedup as _d
+
+    for _df in _d._SHARED_RUNS_CACHE.values():
+        _df.unpersist()
+    _d._SHARED_RUNS_CACHE.clear()
+    df = q.QUERIES["substring_dedup_apply"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # interval merge + island grouping windows all partition by doc
+    assert "windowspecdefinition(doc_id" in plan, plan
+
+    df2 = q.QUERIES["substring_self_runs"](spark, sf_dir)
+    p2 = plans.physical_plan(df2)
+    assert "TakeOrderedAndProject" in p2, p2
+    assert "CartesianProduct" not in p2 and "NestedLoop" not in p2, p2
+    assert "BroadcastHashJoin" not in p2, p2
+    # the islands window partitions per (doc pair, diagonal) with
+    # doc_a == doc_b — never unpartitioned
+    assert "windowspecdefinition(doc_a" in p2, p2
+
+
+def test_bpe_encode_merge_table_broadcast_only(spark, sf_dir):
+    """bpe_encode_corpus's scale contract: the trained merge table is
+    the ONLY broadcast (a 1-row aggregate onto the corpus word
+    relation); the encode itself is a map-side rewrite — no join on a
+    data-sized key, no cartesian of data relations, every aggregation
+    keyed (word census / pair census / per-doc rollup)."""
+    df = q.QUERIES["bpe_encode_report"](spark, sf_dir)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # broadcasts: the 1-row merge table (BroadcastNestedLoopJoin over
+    # a single-row relation is the crossJoin-of-aggregate idiom) and
+    # the per-step 1-row winners; never a corpus relation
+    for seg in plan.split("BroadcastExchange")[1:]:
+        # every broadcast side must be rooted in an aggregate (1-row
+        # winners / merge table), not a scan of a data table
+        head = seg[:400]
+        assert (
+            "HashAggregate" in head
+            or "SortAggregate" in head
+            or "TakeOrderedAndProject" in head
+        ), head
