@@ -212,6 +212,7 @@ HEADLINE = [
     "substring_dedup_strip_report",
     "substring_dedup_apply",
     "substring_self_runs",
+    "substring_self_apply",
     "bpe_encode_report",
 ]
 

@@ -1712,3 +1712,32 @@ def repeated_substring_self_runs(
     return _matches_to_runs(m, min_len).select(
         F.col("doc_a").alias(id_col), "start_a", "start_b", "match_len"
     )
+
+
+def substring_self_apply(
+    docs: DataFrame,
+    min_len: int = 20,
+    max_occ: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    runs: DataFrame | None = None,
+) -> DataFrame:
+    """The within-document strip transform — the self half of Lee et
+    al.'s apply, completing detect -> transform for self-repeats the
+    way substring_dedup_apply does for cross-document runs: every
+    LATER occurrence interval of a self-run (start_b side; start_a <
+    start_b, so the document's FIRST copy survives) is excised via the
+    shared _strip_intervals sweep+fold. Chained repeats compose
+    correctly through the interval union: for k copies, every run
+    lands its start_b on copies 2..k, so exactly the first survives.
+    Output: (id_col, text_after) for EVERY input document."""
+    if runs is None:
+        runs = repeated_substring_self_runs(
+            docs, min_len=min_len, max_occ=max_occ, id_col=id_col, text_col=text_col
+        )
+    iv = runs.select(
+        F.col(id_col),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("match_len")).alias("e"),
+    )
+    return _strip_intervals(docs.select(id_col, text_col), iv, id_col, text_col)

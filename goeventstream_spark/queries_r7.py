@@ -20,6 +20,9 @@ registry previously only approximated with fixed-width span hashes
   (doc_id, md5(text_after), len_after).
 - ``substring_self_runs`` (r8): WITHIN-document maximal repeats (the
   self-dedup half of Lee et al.), per-doc occurrence band 2..4.
+- ``substring_self_apply`` (r8): the within-document strip — every
+  later occurrence excised, the first copy surviving, hashed like
+  substring_dedup_apply.
 
 Cross-engine determinism: gram keys are md5 of the raw 20-char
 substring (identical hex in both engines); positions, lengths, and
@@ -388,4 +391,88 @@ def q_substring_self_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("match_len").desc(), "doc_id", "start_a", "start_b")
         .limit(200)
+    )
+
+
+@query(
+    "substring_self_apply",
+    f"""
+    WITH {_SUBSTR_GRAM_CTES},
+    selfel AS (SELECT doc_id, gh
+               FROM (SELECT doc_id, gh, count(*) AS occ
+                     FROM g GROUP BY doc_id, gh)
+               WHERE occ BETWEEN 2 AND {SELF_MAX_OCC}),
+    m AS (SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b
+          FROM g a
+          JOIN selfel e ON a.doc_id = e.doc_id AND a.gh = e.gh
+          JOIN g b ON b.doc_id = a.doc_id AND b.gh = a.gh
+          WHERE a.pos < b.pos),
+    runs AS (
+      SELECT doc_id, CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+             CAST(max(pos_a) - min(pos_a) + {SUBSTR_MIN_LEN} AS BIGINT)
+               AS match_len
+      FROM (SELECT doc_id, pos_a - pos_b AS diag, pos_a,
+                   pos_a - row_number() OVER (PARTITION BY doc_id,
+                                                           pos_a - pos_b
+                                              ORDER BY pos_a) AS grp
+            FROM m)
+      GROUP BY doc_id, diag, grp),
+    iv AS (
+      -- DISTINCT: the island sweep's tie-order hazard (see
+      -- substring_dedup_apply); interval union is a set operation
+      SELECT DISTINCT doc_id, start_b AS s, start_b + match_len AS e
+      FROM runs
+    ),
+    sw AS (SELECT doc_id, s, e,
+                  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pme
+           FROM iv),
+    isl AS (SELECT doc_id, s, e,
+                   sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS grp
+            FROM sw),
+    merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+               FROM isl GROUP BY doc_id, grp),
+    segs AS (
+      SELECT doc_id,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS ks,
+             s AS ke
+      FROM merged
+      UNION ALL
+      SELECT doc_id, max(e) AS ks, NULL AS ke FROM merged GROUP BY doc_id
+    ),
+    strip AS (
+      SELECT s.doc_id,
+             string_agg(substr(d.text, CAST(s.ks AS INT),
+                               CAST(coalesce(s.ke, length(d.text) + 1) - s.ks
+                                    AS INT)),
+                        '' ORDER BY s.ks) AS text_after
+      FROM segs s JOIN documents d USING (doc_id)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           md5(coalesce(st.text_after, d.text)) AS text_md5,
+           CAST(length(coalesce(st.text_after, d.text)) AS BIGINT) AS len_after
+    FROM documents d LEFT JOIN strip st USING (doc_id)
+    """,
+)
+def q_substring_self_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WITHIN-document strip transform (dedup.substring_self_apply
+    over substring_self_runs): every later occurrence of a self-repeat
+    excised, the document's first copy surviving — the self half of
+    Lee et al.'s apply, hashed like substring_dedup_apply as
+    (doc_id, md5(text_after), len_after) so the transform is
+    byte-pinned cross-engine. Interval machinery is the shared
+    _strip_intervals sweep+fold; the oracle replays the self-run
+    trajectory plus the same DISTINCT-guarded island sweep."""
+    docs = load_table(spark, sf_dir, "documents")
+    stripped = dedup.substring_self_apply(
+        docs, min_len=SUBSTR_MIN_LEN, max_occ=SELF_MAX_OCC
+    )
+    return stripped.select(
+        "doc_id",
+        F.md5("text_after").alias("text_md5"),
+        F.length("text_after").cast("long").alias("len_after"),
     )

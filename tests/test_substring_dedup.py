@@ -974,3 +974,64 @@ def test_bucketed_census_lake_stoplist_shuffle_free_history(spark, sf_dir, tmp_p
     # delta's gram set (only delta grams can seed incremental matches)
     delta_ghs = {r.gh for r in dc.select("gh").collect()}
     assert got == (full & delta_ghs) and got
+
+
+def _py_self_strip(texts: dict[int, str], k: int, max_occ: int) -> dict[int, str]:
+    """Reference self-apply: excise the union of start_b-side self-run
+    intervals (the later occurrence of every self-repeat)."""
+    iv: dict[int, list[tuple[int, int]]] = collections.defaultdict(list)
+    for d, _sa, sb, ln in _py_self_runs(texts, k, max_occ):
+        iv[d].append((sb, sb + ln))
+    out = {}
+    for d, t in texts.items():
+        keep, p = [], 1
+        for s, e in sorted(iv.get(d, [])):
+            if s > p:
+                keep.append(t[p - 1 : s - 1])
+            p = max(p, e)
+        keep.append(t[p - 1 :])
+        out[d] = "".join(keep)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(1, 5),
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_substring_self_apply_matches_python_model(spark, texts):
+    """substring_self_apply == the pure-python self-strip on randomized
+    tiny-alphabet corpora (chained repeats, overlapping later-copy
+    intervals, whole-tail excisions), byte for byte."""
+    from goeventstream_spark.operators.dedup import substring_self_apply
+
+    k, max_occ = 3, 4
+    docs = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_after
+        for r in substring_self_apply(docs, min_len=k, max_occ=max_occ).collect()
+    }
+    assert got == _py_self_strip(texts, k, max_occ)
+
+
+def test_substring_self_apply_first_copy_survives(spark):
+    """Chained-repeat contract: with k copies of a passage in one doc,
+    exactly the FIRST survives (every run's start_b lands on copies
+    2..k) — and a doc with no in-band self-repeats is untouched."""
+    from goeventstream_spark.operators.dedup import substring_self_apply
+
+    k = 4
+    p = "UNIQpassage!"
+    texts = {1: p + "--" + p + "==" + p, 2: "completely clean text"}
+    docs = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_after
+        for r in substring_self_apply(docs, min_len=k, max_occ=4).collect()
+    }
+    assert got == _py_self_strip(texts, k, 4)
+    assert got[1].startswith(p) and got[1].count("UNIQ") == 1, got[1]
+    assert got[2] == texts[2]
