@@ -280,7 +280,11 @@ def streaming_substring_strip(
                 .partitionBy("batch_id")
                 .parquet(runs_dir)
             )
-            runs = spark.read.parquet(runs_dir).where(
+            # empty-first-batch guard (ADVICE r8): a batch with no
+            # duplicates writes ZERO files, and a naive read of the
+            # just-written lake dies on schema inference — same trap,
+            # same fix as the index/census reads above
+            runs = _read_lake_or_empty(spark, runs_dir, runs).where(
                 F.col("batch_id") == batch_id
             )
         # strip ONLY the batch's docs, only where the batch doc is the

@@ -911,6 +911,65 @@ def test_streaming_substring_strip_matches_batch(spark, sf_dir, tmp_path):
     assert any(got[d] != orig[d] for d in got)
 
 
+def test_streaming_substring_strip_survives_empty_first_runs_batch(spark, tmp_path):
+    """ADVICE r8: with ``runs_dir`` set, a first micro-batch with NO
+    duplicates (the common case — history is empty at batch 0) writes
+    ZERO run files, and the strip sink's audit-trail re-read of the
+    runs lake used to die on schema inference, killing the stream
+    (and its checkpoint replay). Pin the guard: the stream survives
+    the runs-empty batch — note the gram INDEX is nonempty here, so
+    the index/census guards alone don't cover it — later batches strip
+    normally, and the output equals the batch apply."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.dedup import substring_dedup_apply
+    from goeventstream_spark.streaming.dedup import streaming_substring_strip
+
+    passage = "the shared twenty-plus-character passage that repeats"
+    docs = spark.createDataFrame(
+        [
+            (1, "a first long document with entirely unrepeated prose xyz"),
+            (2, "another long document, also unique in every twenty-gram"),
+            (3, "B" * 4 + passage + "C" * 6),
+            (4, "D" * 9 + passage + "E" * 2),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "src")
+    # file 1 = long but duplicate-free docs -> nonempty index, EMPTY
+    # runs partition; file 2 = the duplicated pair
+    docs.where(F.col("doc_id") <= 2).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") >= 3).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_substring_strip(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        stripped_dir=str(tmp_path / "stripped"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_len=20,
+        max_df=4,
+        runs_dir=str(tmp_path / "runs"),
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None, q.exception()
+
+    got = {
+        r.doc_id: r.text_after
+        for r in spark.read.parquet(str(tmp_path / "stripped")).collect()
+    }
+    want = {
+        r.doc_id: r.text_after
+        for r in substring_dedup_apply(docs, min_len=20, max_df=4).collect()
+    }
+    assert got == want
+    # doc 4 (the doc_b side) actually lost the passage
+    assert passage not in got[4] and passage in got[3]
+
+
 def test_bucketed_census_lake_stoplist_shuffle_free_history(spark, sf_dir, tmp_path):
     """Deployment shape of the additive census (the bucketed-gram-index
     discipline applied to the stop-list): persist the census partials
