@@ -392,6 +392,19 @@ _SHARED_CAPPED_CACHE: "dict[tuple, DataFrame]" = {}
 _SHARED_CAPPED_CACHE_MAX = 16
 
 
+def clear_shared_capped_cache() -> int:
+    """Explicitly invalidate the shared_capped_cells memo (ADVICE r8:
+    the memo assumes the corpus behind each cache_key is immutable for
+    the session's lifetime — callers that regenerate a keyed corpus
+    mid-session MUST call this, or consumers silently reuse a stale
+    assignment). Returns the number of entries dropped. Entries are
+    lazy plans (never persisted), so dropping them frees no executor
+    memory — only the memoized trajectory literals."""
+    n = len(_SHARED_CAPPED_CACHE)
+    _SHARED_CAPPED_CACHE.clear()
+    return n
+
+
 def shared_capped_cells(
     emb: DataFrame,
     cache_key: object,
@@ -424,7 +437,9 @@ def shared_capped_cells(
     configs never collide. The cache holds plain lazy DataFrames (no
     persist()), is bounded FIFO at 16 entries, and assumes the
     keyed input is immutable for the session's lifetime — the same
-    contract a materialized assignment column has."""
+    contract a materialized assignment column has. If a keyed corpus
+    is regenerated mid-session, call clear_shared_capped_cache() /
+    operators.clear_shared_caches() to invalidate."""
     key = (
         emb.sparkSession,
         cache_key,

@@ -1260,6 +1260,21 @@ _SHARED_RUNS_CACHE: "dict[tuple, DataFrame]" = {}
 _SHARED_RUNS_CACHE_MAX = 8
 
 
+def clear_shared_runs_cache() -> int:
+    """Explicitly invalidate the shared_substring_runs memo,
+    unpersisting every cached relation (ADVICE r8: the memo assumes
+    the data behind each cache_key is immutable for the session's
+    lifetime — callers that regenerate or append to a keyed corpus
+    mid-session MUST call this, or consumers silently read the stale
+    persisted detection). Also the supported way for plan-shape tests
+    to pin the full pipeline instead of an InMemoryTableScan. Returns
+    the number of entries dropped."""
+    n = len(_SHARED_RUNS_CACHE)
+    while _SHARED_RUNS_CACHE:
+        _SHARED_RUNS_CACHE.popitem()[1].unpersist()
+    return n
+
+
 def shared_substring_runs(
     docs: DataFrame,
     cache_key: object,
@@ -1282,7 +1297,10 @@ def shared_substring_runs(
     detect-once / consume-many shape of a real Lee et al. pipeline.
     ``cache_key`` is the corpus identity (callers pass sf_dir); the
     memo key adds the session and every detection parameter; bounded
-    FIFO, evicted entries unpersisted."""
+    FIFO, evicted entries unpersisted. The keyed corpus is assumed
+    immutable for the session — if it is regenerated or appended to,
+    call clear_shared_runs_cache() / operators.clear_shared_caches()
+    or consumers silently read the stale persisted detection."""
     key = (docs.sparkSession, cache_key, min_len, max_df, id_col, text_col)
     df = _SHARED_RUNS_CACHE.get(key)
     if df is None:

@@ -18,6 +18,25 @@ Two materialization modes, chosen per call site via ``checkpoint_dir``:
   loss recomputes from durable storage instead of failing — the shape
   a 1000-executor run wants, at the cost of one write+read of the
   round relation per round (ADVICE r7 / VERDICT r7 #6).
+
+Operational caveats of the reliable mode (ADVICE r8):
+
+- The checkpoint directory is GLOBAL per SparkContext (last setting
+  wins). Two concurrent jobs materializing into different dirs on one
+  shared context will interleave their round files under whichever
+  dir was set last — give concurrent jobs per-job SUBDIRECTORIES of
+  one agreed base dir instead of distinct base dirs, or serialize
+  them. ``materialize`` only re-points the context when the requested
+  dir actually differs, so the common one-dir-per-session shape never
+  churns the setting (each setCheckpointDir call mints a fresh UUID
+  subdirectory — pointless churn when the dir is unchanged).
+- Spark does NOT clean non-streaming reliable checkpoints by default
+  (``spark.cleaner.referenceTracking.cleanCheckpoints`` is false): a
+  long-lived session accumulates one durable RDD per materialized
+  round per query indefinitely. Either set that conf to true
+  (best-effort GC-driven cleanup), or treat the per-job subdirectory
+  as a disposable artifact the caller deletes when the job's result
+  has been published.
 """
 
 from __future__ import annotations
@@ -30,10 +49,20 @@ def materialize(
 ) -> DataFrame:
     """Truncate ``df``'s lineage: ``localCheckpoint(eager)`` when
     ``checkpoint_dir`` is None (the default, unchanged behavior), else
-    reliable ``checkpoint(eager)`` into ``checkpoint_dir`` (set on the
-    SparkContext idempotently — last setting wins, the standard Spark
-    contract for a shared context)."""
+    reliable ``checkpoint(eager)`` into ``checkpoint_dir``. The
+    context's checkpoint dir is only (re)set when it differs from the
+    requested one — setCheckpointDir appends a fresh UUID subdir per
+    call, so an unconditional set would mint one empty dir per round.
+    See the module docstring for the shared-context concurrency and
+    cleanup contracts."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = df.sparkSession.sparkContext
+    cur = sc.getCheckpointDir()
+    # cur is the UUID CHILD dir of the last requested base (possibly
+    # scheme-qualified, e.g. file:/...), so "already set" means the
+    # requested base is a path prefix of it
+    want = checkpoint_dir.rstrip("/")
+    if cur is None or (want + "/") not in (cur + "/"):
+        sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)

@@ -1043,9 +1043,7 @@ def test_substring_dedup_runs_plan_shape(spark, sf_dir):
     # this test pins the DETECTION pipeline's plan; a warm
     # shared_substring_runs memo (populated by any earlier test that
     # ran the queries) would replace it with an InMemoryTableScan
-    for _df in _d._SHARED_RUNS_CACHE.values():
-        _df.unpersist()
-    _d._SHARED_RUNS_CACHE.clear()
+    _d.clear_shared_runs_cache()
     df = q.QUERIES["substring_dedup_runs"](spark, sf_dir)
     plan = plans.physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
@@ -1059,9 +1057,7 @@ def test_substring_dedup_runs_plan_shape(spark, sf_dir):
     # merge hints pin the spill-safe shape)
     assert "BroadcastHashJoin" not in plan, plan
     for name in ("substring_dedup_coverage", "substring_dedup_strip_report"):
-        for _df in _d._SHARED_RUNS_CACHE.values():
-            _df.unpersist()
-        _d._SHARED_RUNS_CACHE.clear()  # pin the full pipeline, not the cache
+        _d.clear_shared_runs_cache()  # pin the full pipeline, not the cache
         p2 = plans.physical_plan(q.QUERIES[name](spark, sf_dir))
         assert "BroadcastHashJoin" not in p2, (name, p2)
 
@@ -1075,9 +1071,7 @@ def test_substring_apply_and_self_runs_plan_shape(spark, sf_dir):
     islands window partitions per doc (doc_a == doc_b)."""
     from goeventstream_spark.operators import dedup as _d
 
-    for _df in _d._SHARED_RUNS_CACHE.values():
-        _df.unpersist()
-    _d._SHARED_RUNS_CACHE.clear()
+    _d.clear_shared_runs_cache()
     df = q.QUERIES["substring_dedup_apply"](spark, sf_dir)
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan

@@ -904,7 +904,7 @@ def test_shared_capped_cells_memo(spark, sf_dir, monkeypatch):
     from goeventstream_spark.operators import clustering
     from goeventstream_spark.sources import load_table
 
-    clustering._SHARED_CAPPED_CACHE.clear()
+    clustering.clear_shared_capped_cache()
     emb = load_table(spark, sf_dir, "embeddings")
     want = {
         r.vec_id: r.cell
@@ -940,7 +940,7 @@ def test_shared_capped_cells_memo(spark, sf_dir, monkeypatch):
     assert c is not a and d is not a and calls["n"] == 3
     got = {r.vec_id: r.cell for r in a.select("vec_id", "cell").collect()}
     assert got == want
-    clustering._SHARED_CAPPED_CACHE.clear()
+    clustering.clear_shared_capped_cache()
 
 
 def test_partitioned_lake_executed_scan_pruning(spark, sf_dir, tmp_path):
@@ -1101,3 +1101,35 @@ def test_reliable_checkpoint_option_for_iterative_operators(spark, tmp_path):
         os.path.join(dp, f) for dp, _dn, fn in os.walk(ckpt) for f in fn
     ]
     assert files, "reliable checkpoint wrote nothing"
+    # ADVICE r8: every setCheckpointDir call mints a fresh UUID child
+    # dir; materialize must re-point the context only when the
+    # requested dir differs, so the MANY rounds above share ONE child
+    assert len(os.listdir(ckpt)) == 1, os.listdir(ckpt)
+
+
+def test_clear_shared_caches_api(spark, sf_dir):
+    """ADVICE r8: the session memos assume immutable data behind each
+    cache_key; clear_shared_caches() is the exported invalidation for
+    callers that regenerate a keyed corpus mid-session (and for tests,
+    instead of reaching into private module dicts). Pin: entries are
+    dropped (runs entries unpersisted), and the next call re-enters
+    the underlying construction."""
+    from goeventstream_spark.operators import clear_shared_caches, clustering, dedup
+    from goeventstream_spark.sources import load_table
+
+    clear_shared_caches()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    runs = dedup.shared_substring_runs(docs, sf_dir, min_len=20, max_df=4)
+    cells = clustering.shared_capped_cells(
+        emb, sf_dir, k=4, iters=1, cap_frac=0.26, max_levels=1
+    )
+    dropped = clear_shared_caches()
+    assert dropped == {"substring_runs": 1, "capped_cells": 1}
+    assert not runs.storageLevel.useMemory  # unpersisted on invalidation
+    runs2 = dedup.shared_substring_runs(docs, sf_dir, min_len=20, max_df=4)
+    cells2 = clustering.shared_capped_cells(
+        emb, sf_dir, k=4, iters=1, cap_frac=0.26, max_levels=1
+    )
+    assert runs2 is not runs and cells2 is not cells
+    clear_shared_caches()

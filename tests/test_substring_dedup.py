@@ -830,7 +830,7 @@ def test_shared_substring_runs_memo(spark, sf_dir, monkeypatch):
     from goeventstream_spark.operators import dedup as d
     from goeventstream_spark.sources import load_table
 
-    d._SHARED_RUNS_CACHE.clear()
+    d.clear_shared_runs_cache()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     want = {
         tuple(r) for r in d.repeated_substring_runs(docs, 20, 4).collect()
@@ -851,9 +851,7 @@ def test_shared_substring_runs_memo(spark, sf_dir, monkeypatch):
     assert c is not a and e is not a and calls["n"] == 3
     assert {tuple(r) for r in a.collect()} == want and want
     assert a.storageLevel.useMemory  # persisted: consumers share the compute
-    for df in d._SHARED_RUNS_CACHE.values():
-        df.unpersist()
-    d._SHARED_RUNS_CACHE.clear()
+    assert d.clear_shared_runs_cache() >= 3  # the entries built above
 
 
 def test_streaming_substring_strip_matches_batch(spark, sf_dir, tmp_path):
