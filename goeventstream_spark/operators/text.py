@@ -782,16 +782,32 @@ def hashed_linear_scores(
 
 
 def bpe_merged_vocab(
-    docs: DataFrame, steps: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    steps: int = 3,
+    text_col: str = "text",
+    materialize_steps: bool = False,
 ) -> DataFrame:
     """The BPE trainer's working relation: the (word, freq) distinct
     vocabulary with one column per merge step — w0 is the raw word,
     w{i} is the tokenization after merge i (merged tokens written as
     the sentinel char(i)), plus the winning pair p{i} and its count
     c{i} replicated on every row (1-row broadcasts). Shared by
-    bpe_train_steps (the per-step trajectory) and the fertility
-    report (tokens-per-word distribution of the final tokenization).
-    See bpe_train_steps for the full semantics contract."""
+    bpe_train_steps (the per-step trajectory), the fertility report
+    (tokens-per-word distribution of the final tokenization), and the
+    depth-8 encode pass. See bpe_train_steps for the full semantics
+    contract.
+
+    ``materialize_steps``: truncate lineage after each merge
+    (lineage.materialize, the iterative-operator discipline). Without
+    it each step's top-1 census subplan re-executes the ENTIRE prior
+    chain — O(steps^2) recompute, fine at the trainer's declared
+    depth 3 (one Catalyst plan, zero construction-time jobs) but a
+    measured 10-20x slowdown at the encode's depth 8. With it, each
+    step's census reads the previous step's materialized vocabulary
+    once; the vocabulary is DISTINCT-word-sized (corpus-sublinear),
+    so the per-step materialization is cheap at any corpus scale."""
+    from goeventstream_spark.operators.lineage import materialize
+
     vocab = _words(docs, text_col=text_col)
     for i in range(1, steps + 1):
         vocab = vocab.where(~F.col("word").contains(chr(i)))
@@ -820,6 +836,8 @@ def bpe_merged_vocab(
         v = v.crossJoin(F.broadcast(top)).withColumn(
             f"w{i}", F.expr(f"replace(w{i - 1}, p{i}, char({i}))")
         )
+        if materialize_steps:
+            v = materialize(v)
     return v
 
 
@@ -917,8 +935,14 @@ def bpe_encode_corpus(
     100 TB shape: the merge table is a 1-row aggregate broadcast onto
     the corpus word relation (map-side rewrite, no join on data keys);
     the only shuffle is the per-document rollup. The vocabulary
-    trainer it embeds stays sublinear (distinct-word relation)."""
-    v = bpe_merged_vocab(docs, steps=steps, text_col=text_col)
+    trainer it embeds stays sublinear (distinct-word relation) and is
+    trained with per-step lineage truncation (materialize_steps) so
+    the step-k census never re-executes the chain below it — the
+    O(steps^2) recompute that made the depth-8 table 10-20x slower
+    than depth 3 before r9."""
+    v = bpe_merged_vocab(
+        docs, steps=steps, text_col=text_col, materialize_steps=True
+    )
     merges = v.agg(
         *[F.max(f"p{i}").alias(f"p{i}") for i in range(1, steps + 1)]
     )

@@ -477,10 +477,15 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_v3_ctes() -> str:
-    """Shared oracle CTE chain: the distinct vocabulary rewritten
-    through 3 learned merges (v3 carries w0..w3, p1..p3, c1..c3) —
-    composed by both the trainer trajectory and the fertility report."""
+def _bpe_ctes(steps: int = 3) -> str:
+    """Shared oracle CTE chain generalized to depth-k (VERDICT r8 #3):
+    the distinct vocabulary rewritten through ``steps`` learned merges
+    (v{steps} carries w0..w{steps}, p1..p{steps}, c1..c{steps}) —
+    composed by the trainer trajectory and the fertility report at the
+    declared depth 3, and by the encode report at the trainer's proven
+    depth 8. Merge i's sentinel is chr(i); the v0 filter excludes
+    every sentinel the chain will mint, exactly mirroring
+    text.bpe_merged_vocab's defensive filter."""
 
     def pc(i: int) -> str:
         return f"""
@@ -495,13 +500,22 @@ def _bpe_v3_ctes() -> str:
     v{i} AS (SELECT v{i - 1}.*, replace(w{i - 1}, p{i}, chr({i})) AS w{i}, p{i}, c{i}
              FROM v{i - 1}, t{i})"""
 
+    filt = "\n        AND ".join(
+        f"strpos(word, chr({i})) = 0" for i in range(1, steps + 1)
+    )
+    chain = ",".join(pc(i) for i in range(1, steps + 1))
     return f"""v0 AS (
       SELECT word AS w0, CAST(count(*) AS BIGINT) AS freq FROM (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents
-      ) WHERE word <> '' AND strpos(word, chr(1)) = 0
-        AND strpos(word, chr(2)) = 0 AND strpos(word, chr(3)) = 0
+      ) WHERE word <> '' AND {filt}
       GROUP BY 1
-    ),{pc(1)},{pc(2)},{pc(3)}"""
+    ),{chain}"""
+
+
+def _bpe_v3_ctes() -> str:
+    """The depth-3 instantiation (the trainer's and fertility report's
+    declared depth — their hashes are pinned at 3)."""
+    return _bpe_ctes(3)
 
 
 def _bpe_steps_sql() -> str:

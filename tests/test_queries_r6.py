@@ -788,11 +788,14 @@ def test_bpe_trainer_depth_adaptive_random_corpora(spark, words):
 
 
 def test_bpe_encode_report_matches_python(spark):
-    """The r8 ENCODE pass: per-language rollup of the corpus tokenized
-    with the learned merge table must equal the python model — merges
-    learned with the same sentinel tiebreak (_python_bpe_vocab), then
-    each document's words mapped to their merged forms and rolled up
-    by language."""
+    """The r8 ENCODE pass, declared at the trainer's proven depth 8
+    (VERDICT r8 #3): per-language rollup of the corpus tokenized with
+    the full learned merge table must equal the python model — all 8
+    merges learned with the same sentinel tiebreak (_python_bpe_vocab),
+    then each document's words mapped to their merged forms and rolled
+    up by language. Also pins that the fixture genuinely trains PAST
+    depth 3: the depth-8 tokenization is strictly smaller than the
+    depth-3 one, so the deeper table is exercised, not vacuous."""
     rows = {r.lang: r for r in QUERIES["bpe_encode_report"](spark, SF).collect()}
     docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
     wf: collections.Counter = collections.Counter()
@@ -800,7 +803,11 @@ def test_bpe_encode_report_matches_python(spark):
         for w in d.text.split(" "):
             if w:
                 wf[w] += 1
-    word2merged = {w: mw for (mw, w), _f in _python_bpe_vocab(dict(wf), 3).items()}
+    word2merged = {w: mw for (mw, w), _f in _python_bpe_vocab(dict(wf), 8).items()}
+    word2merged3 = {w: mw for (mw, w), _f in _python_bpe_vocab(dict(wf), 3).items()}
+    toks8 = sum(len(word2merged[w]) * f for w, f in wf.items())
+    toks3 = sum(len(word2merged3[w]) * f for w, f in wf.items())
+    assert toks8 < toks3  # merges 4..8 genuinely fire on the fixture
     agg = collections.defaultdict(lambda: [0, 0, 0, 0])  # docs, words, chars, toks
     for d in docs:
         a = agg[d.lang]
