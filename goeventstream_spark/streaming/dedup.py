@@ -108,6 +108,167 @@ def streaming_minhash_dedup(
     )
 
 
+def _compact_recover(lake_dir: str) -> None:
+    """Crash recovery for a previous compact_substring_lakes swap:
+    if the publish renamed the live lake away but died before renaming
+    the compacted build in, restore the original; if it died after the
+    publish but before cleanup, drop the leftover pre-image."""
+    import os
+    import shutil
+
+    pre = lake_dir + "__precompact"
+    if os.path.exists(pre):
+        if os.path.exists(lake_dir):
+            shutil.rmtree(pre)
+        else:
+            os.rename(pre, lake_dir)
+
+
+def _compact_one_lake(
+    spark,
+    lake_dir: str,
+    merge_census: bool,
+    upto_batch_id: int | None,
+    target_files: int,
+) -> dict:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    _compact_recover(lake_dir)
+    tmp = lake_dir + "__compact_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # leftover from a crashed build — never live
+    if not os.path.exists(lake_dir):
+        return {"compacted_batches": 0, "rows": 0}
+    lake = spark.read.parquet(lake_dir)
+    bids = [r.b for r in lake.select(F.col("batch_id").alias("b")).distinct().collect()]
+    upto = max(bids) if upto_batch_id is None else upto_batch_id
+    todo = sorted(b for b in bids if b <= upto)
+    if not todo:
+        return {"compacted_batches": 0, "rows": 0}
+    base = lake.where(F.col("batch_id") <= upto).drop("batch_id")
+    rest = lake.where(F.col("batch_id") > upto)
+    if merge_census:
+        merged = base.groupBy("gh").agg(F.sum("df").cast("long").alias("df"))
+    else:
+        merged = base
+    merged = (
+        merged.repartition(target_files, F.col("gh"))
+        .sortWithinPartitions("gh")
+        .withColumn("batch_id", F.lit(int(max(todo))).cast("int"))
+    )
+    out = merged.unionByName(rest.select(*merged.columns))
+    # build the full replacement lake OFF to the side (reads the live
+    # lake, writes tmp — no read-after-rename hazard), then swap
+    out.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    n_rows = spark.read.parquet(tmp).count()
+    pre = lake_dir + "__precompact"
+    os.rename(lake_dir, pre)
+    os.rename(tmp, lake_dir)
+    shutil.rmtree(pre)
+    return {"compacted_batches": len(todo), "rows": n_rows}
+
+
+def compact_substring_lakes(
+    spark,
+    index_dir: str | None = None,
+    census_dir: str | None = None,
+    upto_batch_id: int | None = None,
+    target_files: int = 8,
+) -> dict:
+    """Compact the streaming substring lakes (VERDICT r8 #1): the
+    census lake accumulates one (gh, df) partial per (batch, gram)
+    forever, and every micro-batch re-reads the WHOLE lake just to
+    LeftSemi-prune it — after 10^4 micro-batches a hot gram has 10^4
+    census rows. This operator folds all partials of batches <=
+    ``upto_batch_id`` (default: every batch present) into EXACTLY ONE
+    row per gh (sums of per-batch distinct counts equal global
+    distinct counts — the additive-census invariant), and rewrites the
+    gram-index partitions of the same range into ``target_files``
+    gh-clustered files (small-file coalescing + scan locality for the
+    match join's merge sort). Compacted rows carry batch_id = the
+    highest folded batch, so the sinks' history filter
+    (batch_id < current) is untouched and later, uncompacted batches
+    ride along verbatim.
+
+    Publish contract: the replacement lake is fully built in a side
+    directory while the live lake stays readable, then swapped in via
+    two directory renames — a reader never observes a half-compacted
+    lake. The swap itself is crash-SAFE rather than atomic (POSIX
+    cannot exchange directories): a crash between the renames leaves a
+    ``__precompact`` pre-image that the next call (or the next
+    compaction of the same lake) restores before doing anything else.
+    Run it between micro-batches of a QUIESCED stream (availableNow
+    terminated cleanly) — the deployment cadence — not concurrently
+    with an active batch, and not after a crash that may have left a
+    lake write uncheckpointed (a replayed batch would re-append rows
+    the compaction already folded; the dynamic-overwrite replay
+    contract only protects partitions that still exist). Idempotent:
+    re-running folds an already-1-row-per-gh census to itself.
+
+    PLAIN-parquet lakes only: a ``bucketed=True`` sink's lake is an
+    external TABLE whose bucket metadata lives in the catalog —
+    rewriting its files path-side would silently void the bucketing
+    contract; compact a bucketed census with table-level
+    INSERT OVERWRITE instead.
+
+    Returns {"index": {...}, "census": {...}} with per-lake compacted
+    batch and row counts."""
+    out: dict = {}
+    if index_dir is not None:
+        out["index"] = _compact_one_lake(
+            spark, index_dir, False, upto_batch_id, target_files
+        )
+    if census_dir is not None:
+        out["census"] = _compact_one_lake(
+            spark, census_dir, True, upto_batch_id, target_files
+        )
+    return out
+
+
+def lake_table_name(kind: str, path: str) -> str:
+    """Deterministic catalog name for a bucketed lake table rooted at
+    ``path`` — the sink and its readers must agree on it without a
+    side channel, and two lakes must never collide."""
+    import hashlib
+
+    return f"substr_{kind}_{hashlib.md5(path.encode()).hexdigest()[:10]}"
+
+
+def _write_bucketed_partition(
+    spark, df: DataFrame, table: str, path: str, n_buckets: int
+) -> None:
+    """Commit one batch_id partition of a bucketBy(gh) lake table.
+    First write creates the external table (partitioned by batch_id,
+    bucketed+sorted on gh); subsequent batches insertInto under
+    DYNAMIC partition overwrite so a replayed batch overwrites exactly
+    its own partition — the plain-parquet sinks' exactly-once
+    contract, preserved. insertInto has no per-write
+    partitionOverwriteMode option (unlike path writes), so the session
+    conf is flipped for exactly this insert and restored in finally;
+    foreachBatch runs its sink body serially on the stream's own
+    cloned session, so no concurrent observer of this session exists
+    inside the window."""
+    if not spark.catalog.tableExists(table):
+        (
+            df.write.partitionBy("batch_id")
+            .bucketBy(n_buckets, "gh")
+            .sortBy("gh")
+            .option("path", path)
+            .saveAsTable(table)
+        )
+        return
+    cols = spark.table(table).columns  # insertInto is positional
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.select(*cols).write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def streaming_substring_dedup(
     stream_docs: DataFrame,
     index_dir: str,
@@ -116,6 +277,8 @@ def streaming_substring_dedup(
     min_len: int = 20,
     max_df: int = 4,
     census_dir: str | None = None,
+    bucketed: bool = False,
+    n_buckets: int = 8,
 ):
     """Streaming twin of exact substring dedup: each micro-batch of
     documents is gram-indexed ONCE (substring_gram_table rows appended
@@ -139,6 +302,20 @@ def streaming_substring_dedup(
     stop-list is derived from the history partials + the delta's own
     census — O(delta) aggregate input per micro-batch, never a full
     re-census of the gram index.
+
+    ``bucketed`` (VERDICT r8 #2): write the index and census lakes as
+    bucketBy(``n_buckets``, gh), sortBy(gh) EXTERNAL TABLES (catalog
+    names from lake_table_name, data at the same dirs) and read history
+    back through the catalog — the per-batch match join and the
+    stop-list merge sum then scan history WITHOUT re-shuffling it
+    (exactly one gh exchange: the delta side), the layout the
+    bucketed-index proof tests previously demonstrated only on
+    hand-built fixture tables. Same exactly-once replay contract
+    (dynamic overwrite of the batch's own partition via insertInto).
+    compact_substring_lakes applies to the PLAIN-parquet layout only —
+    rewriting a bucketed table's files behind the catalog's back would
+    break its bucket metadata; compact a bucketed census with
+    table-level INSERT OVERWRITE instead.
     """
     from goeventstream_spark.operators.dedup import (
         incremental_substring_runs,
@@ -147,32 +324,42 @@ def streaming_substring_dedup(
     )
 
     cdir = census_dir if census_dir is not None else index_dir + "_census"
+    idx_tbl = lake_table_name("idx", index_dir)
+    cen_tbl = lake_table_name("cen", cdir)
 
     def sink(batch_df, batch_id):
         spark = batch_df.sparkSession
         grams = substring_gram_table(batch_df, min_len=min_len)
-        (
-            grams.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(index_dir)
-        )
-        index = _read_lake_or_empty(spark, index_dir, grams)
+        stamped = grams.withColumn("batch_id", F.lit(batch_id))
+        if bucketed:
+            _write_bucketed_partition(spark, stamped, idx_tbl, index_dir, n_buckets)
+            index = spark.table(idx_tbl)
+        else:
+            (
+                stamped.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(index_dir)
+            )
+            index = _read_lake_or_empty(spark, index_dir, grams)
         hist = index.where(F.col("batch_id") < batch_id).drop("batch_id")
         delta = index.where(F.col("batch_id") == batch_id).drop("batch_id")
         # additive census maintenance: the batch's partial is written
         # from the COMMITTED delta (one delta-only aggregate), then the
         # stop-list reads history partials, never the history grams
         delta_census = substring_census_update(delta)
-        (
-            delta_census.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(cdir)
-        )
-        census = _read_lake_or_empty(spark, cdir, delta_census)
+        cstamped = delta_census.withColumn("batch_id", F.lit(batch_id))
+        if bucketed:
+            _write_bucketed_partition(spark, cstamped, cen_tbl, cdir, n_buckets)
+            census = spark.table(cen_tbl)
+        else:
+            (
+                cstamped.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(cdir)
+            )
+            census = _read_lake_or_empty(spark, cdir, delta_census)
         hist_census = census.where(F.col("batch_id") < batch_id).drop("batch_id")
         _g, runs = incremental_substring_runs(
             hist,

@@ -909,6 +909,305 @@ def test_streaming_substring_strip_matches_batch(spark, sf_dir, tmp_path):
     assert any(got[d] != orig[d] for d in got)
 
 
+def test_compact_substring_lakes_contracts(spark, sf_dir, tmp_path):
+    """VERDICT r8 #1 — lake compaction between micro-batches: after
+    ingesting two batches, compact the census lake to EXACTLY one row
+    per gh and the gram index into few gh-clustered files, then resume
+    the stream for a third batch. Pins: (a) one-row-per-gh census with
+    values equal to the pre-compaction partial sums; (b) the gram
+    index's row set is unchanged; (c) the resumed stream's
+    incremental==full runs contract is unchanged by compaction; (d)
+    compaction is idempotent on re-run; (e) the index lake's data file
+    count shrinks to <= target_files."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.dedup import repeated_substring_runs
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.streaming.dedup import (
+        compact_substring_lakes,
+        streaming_substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    idx, cen = str(tmp_path / "index"), str(tmp_path / "census")
+    runs_dir, ckpt = str(tmp_path / "runs"), str(tmp_path / "ckpt")
+    for i in range(2):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return streaming_substring_dedup(
+            stream, index_dir=idx, runs_dir=runs_dir, checkpoint_dir=ckpt,
+            min_len=20, max_df=50, census_dir=cen,
+        )
+
+    q = start()
+    q.awaitTermination(240)
+    assert q.exception() is None, q.exception()
+
+    pre_census = {
+        r.gh: r.s
+        for r in spark.read.parquet(cen)
+        .groupBy("gh").agg(F.sum("df").alias("s")).collect()
+    }
+    pre_index = {
+        (r.doc_id, r.pos, r.gh) for r in spark.read.parquet(idx).collect()
+    }
+    res = compact_substring_lakes(
+        spark, index_dir=idx, census_dir=cen, target_files=4
+    )
+    assert res["census"]["compacted_batches"] == 2
+    assert res["index"]["compacted_batches"] == 2
+    census = spark.read.parquet(cen)
+    # (a) exactly one row per gh, values = the pre-compaction sums
+    assert census.count() == census.select("gh").distinct().count()
+    assert {r.gh: r.df for r in census.collect()} == pre_census
+    # compacted rows carry the highest folded batch id
+    assert {r.batch_id for r in census.select("batch_id").distinct().collect()} == {1}
+    # (b) the gram index rows are untouched as a set
+    assert {
+        (r.doc_id, r.pos, r.gh) for r in spark.read.parquet(idx).collect()
+    } == pre_index
+    # (e) few, gh-clustered files
+    assert len(glob.glob(f"{idx}/batch_id=*/[!.]*.parquet")) <= 4
+
+    # (d) idempotent: a second compaction is a fixpoint
+    res2 = compact_substring_lakes(
+        spark, index_dir=idx, census_dir=cen, target_files=4
+    )
+    assert res2["census"]["rows"] == len(pre_census)
+    assert {r.gh: r.df for r in spark.read.parquet(cen).collect()} == pre_census
+
+    # (c) resume the stream on a third batch: the union over batches
+    # still equals the full-corpus recompute (no df drift at cap 50)
+    docs.where(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    q.awaitTermination(240)
+    assert q.exception() is None, q.exception()
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+        for r in spark.read.parquet(runs_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+        for r in repeated_substring_runs(docs, min_len=20, max_df=50).collect()
+    }
+    assert got == want and got
+    # and the census lake still sums to the exact global gram df
+    got_df = {
+        r.gh: r.s
+        for r in spark.read.parquet(cen)
+        .groupBy("gh").agg(F.sum("df").alias("s")).collect()
+    }
+    want_df = {
+        r.gh: r.d
+        for r in spark.read.parquet(idx)
+        .groupBy("gh").agg(F.count_distinct("doc_id").alias("d"))
+        .collect()
+    }
+    assert got_df == want_df
+
+
+def test_compact_substring_lakes_crash_recovery(spark, tmp_path):
+    """The publish is crash-safe: a pre-image left by a crash between
+    the two swap renames (lake gone, __precompact present) is restored
+    before compacting; a leftover __compact_tmp build is swept; and a
+    pre-image orphaned AFTER a successful publish is dropped without
+    touching the live lake."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.dedup import (
+        substring_census_update,
+        substring_gram_table,
+    )
+    from goeventstream_spark.streaming.dedup import compact_substring_lakes
+
+    docs = spark.createDataFrame(
+        [(1, "a shared twenty-char passage!xyz"), (2, "zz shared twenty-char passage!")],
+        ["doc_id", "text"],
+    )
+    cen = str(tmp_path / "census")
+    grams = substring_gram_table(docs, min_len=20)
+    for b in (0, 1):
+        (
+            substring_census_update(grams.where(F.col("doc_id") == b + 1))
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("append").partitionBy("batch_id").parquet(cen)
+        )
+    want = {
+        r.gh: r.s
+        for r in spark.read.parquet(cen)
+        .groupBy("gh").agg(F.sum("df").alias("s")).collect()
+    }
+    # crash mid-swap: lake renamed away, replacement never moved in
+    os.rename(cen, cen + "__precompact")
+    os.makedirs(cen + "__compact_tmp")  # plus a junk half-built tmp
+    res = compact_substring_lakes(spark, census_dir=cen, target_files=2)
+    assert res["census"]["compacted_batches"] == 2
+    after = spark.read.parquet(cen)
+    assert {r.gh: r.df for r in after.collect()} == want
+    assert after.count() == len(want)  # one row per gh
+    assert not os.path.exists(cen + "__precompact")
+    assert not os.path.exists(cen + "__compact_tmp")
+    # orphaned pre-image AFTER a successful publish: dropped, lake kept
+    shutil.copytree(cen, cen + "__precompact")
+    res2 = compact_substring_lakes(spark, census_dir=cen, target_files=2)
+    assert not os.path.exists(cen + "__precompact")
+    assert {r.gh: r.df for r in spark.read.parquet(cen).collect()} == want
+
+
+def test_bucketed_sink_lake_history_join_shuffle_free(spark, sf_dir, tmp_path):
+    """VERDICT r8 #2 — the shuffle-free pin asserted on the SINK's own
+    output, not a hand-built fixture table: run
+    streaming_substring_dedup(bucketed=True) over two micro-batches,
+    then (a) the runs and census values equal the plain-parquet sink's
+    exactly (layout is physical, not semantic); (b) a next batch's
+    match join against the sink-written index TABLE scans history
+    bucketed — exactly ONE gh exchange, the delta side; (c) a replayed
+    insert overwrites only its own partition (exactly-once kept)."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark import plans
+    from goeventstream_spark.operators.dedup import (
+        _matches_to_runs,
+        _substring_stoplist,
+        substring_gram_table,
+    )
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.streaming.dedup import (
+        lake_table_name,
+        streaming_substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    t1 = n // 2
+    hist_docs = docs.where(F.col("doc_id") < t1)
+    next_docs = docs.where(F.col("doc_id") >= t1)
+    src = str(tmp_path / "src")
+    hist_docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    hist_docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    idx, cen = str(tmp_path / "index"), str(tmp_path / "census")
+    idx_tbl = lake_table_name("idx", idx)
+    cen_tbl = lake_table_name("cen", cen)
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_substring_dedup(
+            stream,
+            index_dir=idx,
+            runs_dir=str(tmp_path / "runs"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            min_len=20,
+            max_df=50,
+            census_dir=cen,
+            bucketed=True,
+        )
+        q.awaitTermination(240)
+        assert q.exception() is None, q.exception()
+
+        # (a) semantics identical to the plain sink: runs == the
+        # corpus-so-far recompute's per-batch union (reuse the batch
+        # operator as the reference, max_df uncrossed on the fixture)
+        from goeventstream_spark.operators.dedup import repeated_substring_runs
+
+        got = {
+            (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+            for r in spark.read.parquet(str(tmp_path / "runs")).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+            for r in repeated_substring_runs(
+                hist_docs, min_len=20, max_df=50
+            ).collect()
+        }
+        assert got == want and got
+        # census lake (via the catalog) sums to the exact global df
+        got_df = {
+            r.gh: r.s
+            for r in spark.table(cen_tbl)
+            .groupBy("gh").agg(F.sum("df").alias("s")).collect()
+        }
+        want_df = {
+            r.gh: r.d
+            for r in spark.table(idx_tbl)
+            .groupBy("gh").agg(F.count_distinct("doc_id").alias("d"))
+            .collect()
+        }
+        assert got_df == want_df
+
+        # (c) replayed insert = per-partition overwrite, not duplication
+        from goeventstream_spark.streaming.dedup import _write_bucketed_partition
+
+        b1 = spark.table(idx_tbl).where(F.col("batch_id") == 1)
+        n_before = spark.table(idx_tbl).count()
+        _write_bucketed_partition(spark, b1, idx_tbl, idx, 8)
+        assert spark.table(idx_tbl).count() == n_before
+
+        # (b) the next batch's match join: history scanned from the
+        # sink's bucketed table, no history re-shuffle — ONE gh
+        # exchange (the delta), the test_substring_bucketed_* proof
+        # shape now on sink-written data
+        k, max_df = 20, 4
+        delta_grams = substring_gram_table(next_docs, min_len=k)
+        hist_bkt = spark.table(idx_tbl).drop("batch_id")
+        el = _substring_stoplist(
+            hist_bkt.unionByName(delta_grams), max_df, "doc_id"
+        ).localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            da = delta_grams.join(F.broadcast(el), "gh").select(
+                F.col("doc_id").alias("id_d"), F.col("pos").alias("pos_d"), "gh"
+            )
+            ob = hist_bkt.select(
+                F.col("doc_id").alias("id_o"), F.col("pos").alias("pos_o"), "gh"
+            )
+            lt = F.col("id_d") < F.col("id_o")
+            m = da.join(ob, "gh").select(
+                F.when(lt, F.col("id_d")).otherwise(F.col("id_o")).alias("doc_a"),
+                F.when(lt, F.col("pos_d")).otherwise(F.col("pos_o")).alias("pos_a"),
+                F.when(lt, F.col("id_o")).otherwise(F.col("id_d")).alias("doc_b"),
+                F.when(lt, F.col("pos_o")).otherwise(F.col("pos_d")).alias("pos_b"),
+            )
+            runs_df = _matches_to_runs(m, k)
+            plan = plans.physical_plan(runs_df)
+            assert idx_tbl in plan and "SortMergeJoin" in plan, plan
+            gh_exchanges = [
+                seg
+                for seg in plan.split("Exchange hashpartitioning")[1:]
+                if seg.lstrip().startswith("(gh")
+            ]
+            assert len(gh_exchanges) == 1, plan
+            assert runs_df.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {cen_tbl}")
+
+
 def test_streaming_substring_strip_survives_empty_first_runs_batch(spark, tmp_path):
     """ADVICE r8: with ``runs_dir`` set, a first micro-batch with NO
     duplicates (the common case — history is empty at batch 0) writes
