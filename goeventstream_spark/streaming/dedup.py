@@ -417,7 +417,14 @@ def streaming_substring_strip(
     Out-of-order arrivals strip only the arriving side: a historical
     doc that later turns out to be the doc_b of a lower-id newcomer is
     not retro-edited — emitted data is immutable, the same
-    ingest-time-decision stance as the runs superset contract.
+    ingest-time-decision stance as the runs superset contract. The
+    reordered case is pinned EXACTLY
+    (test_streaming_substring_strip_out_of_order_contract): each
+    batch's emission equals the apply against the corpus-as-of-
+    emission; under an uncrossed cap the emission-time intervals are a
+    subset of the final apply's (pairwise runs are prefix-stable), so
+    emitted text is never shorter than the final strip and equals it
+    whenever no lower-id partner arrived late.
     """
     from goeventstream_spark.operators.dedup import (
         _strip_intervals,

@@ -1267,6 +1267,102 @@ def test_streaming_substring_strip_survives_empty_first_runs_batch(spark, tmp_pa
     assert passage not in got[4] and passage in got[3]
 
 
+def test_streaming_substring_strip_out_of_order_contract(spark, sf_dir, tmp_path):
+    """VERDICT r8 #7 — the reordered-arrival contract made exact. For
+    a PERMUTED batch schedule (ids interleaved across batches, so
+    arrival is not doc_id-monotone):
+
+    (1) each batch's emitted text_after equals substring_dedup_apply
+        over the corpus-AS-OF-EMISSION restricted to the batch's docs —
+        the ingest-time decision, exactly;
+    (2) with no df drift, emission-time strip intervals are a SUBSET
+        of the final-corpus apply's (pairwise runs are prefix-stable:
+        a shared gram of a co-present pair is band-eligible in every
+        enclosing corpus under an uncrossed cap), so
+        len(emitted) >= len(final apply) per doc; and whenever every
+        lower-id partner of a doc arrived no later than the doc
+        itself, emitted == final — both directions of the
+        superset-of-final-strip analogue of the runs df-drift
+        contract;
+    (3) the schedule genuinely exercises the late-partner branch: some
+        doc's emitted text is strictly longer than its final strip
+        (emitted data is immutable — no retro-editing)."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.dedup import (
+        repeated_substring_runs,
+        substring_dedup_apply,
+    )
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.streaming.dedup import streaming_substring_strip
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    order = (2, 0, 1)  # modulo classes: interleaved, non-monotone
+    src = str(tmp_path / "src")
+    for j in order:
+        docs.where(F.col("doc_id") % 3 == j).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_substring_strip(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        stripped_dir=str(tmp_path / "stripped"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        min_len=20,
+        max_df=50,
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None, q.exception()
+    out = spark.read.parquet(str(tmp_path / "stripped"))
+
+    # (1) per-batch equality vs the corpus-as-of-emission apply
+    emitted: dict[int, str] = {}
+    arrival: dict[int, int] = {}
+    for i in range(3):
+        prefix_mods = [order[j] for j in range(i + 1)]
+        prefix = docs.where((F.col("doc_id") % 3).isin(prefix_mods))
+        want_i = {
+            r.doc_id: r.text_after
+            for r in substring_dedup_apply(prefix, min_len=20, max_df=50).collect()
+            if r.doc_id % 3 == order[i]
+        }
+        got_i = {
+            r.doc_id: r.text_after
+            for r in out.where(F.col("batch_id") == i).collect()
+        }
+        assert got_i == want_i, f"batch {i}"
+        emitted.update(got_i)
+        for d in got_i:
+            arrival[d] = i
+
+    # (2) vs the FINAL apply: one-sided, with exact equality when no
+    # partner arrived late
+    final = {
+        r.doc_id: r.text_after
+        for r in substring_dedup_apply(docs, min_len=20, max_df=50).collect()
+    }
+    partners = collections.defaultdict(set)
+    for r in repeated_substring_runs(docs, min_len=20, max_df=50).collect():
+        partners[r.doc_b].add(r.doc_a)
+    late_branch = 0
+    for d, t in emitted.items():
+        assert len(t) >= len(final[d]), d
+        if all(arrival[p] <= arrival[d] for p in partners[d]):
+            assert t == final[d], d
+        if t != final[d]:
+            late_branch += 1
+            assert any(arrival[p] > arrival[d] for p in partners[d]), d
+    # (3) the permutation really created late partners
+    assert late_branch > 0
+
+
 def test_bucketed_census_lake_stoplist_shuffle_free_history(spark, sf_dir, tmp_path):
     """Deployment shape of the additive census (the bucketed-gram-index
     discipline applied to the stop-list): persist the census partials
