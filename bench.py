@@ -214,6 +214,8 @@ HEADLINE = [
     "substring_self_runs",
     "substring_self_apply",
     "bpe_encode_report",
+    "substring_apply_audit",
+    "curate_corpus_substring",
 ]
 
 
