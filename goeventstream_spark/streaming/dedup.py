@@ -211,8 +211,7 @@ def compact_substring_lakes(
     PLAIN-parquet lakes only: a ``bucketed=True`` sink's lake is an
     external TABLE whose bucket metadata lives in the catalog —
     rewriting its files path-side would silently void the bucketing
-    contract; compact a bucketed census with table-level
-    INSERT OVERWRITE instead.
+    contract; use compact_bucketed_census for that layout.
 
     Returns {"index": {...}, "census": {...}} with per-lake compacted
     batch and row counts."""
@@ -269,6 +268,46 @@ def _write_bucketed_partition(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def compact_bucketed_census(spark, table: str) -> int:
+    """Census compaction for the ``bucketed=True`` lake layout — the
+    table-level counterpart of compact_substring_lakes' census fold
+    (which is PLAIN-parquet only: rewriting a bucketed table's files
+    path-side would void its catalog bucket metadata). Folds every
+    per-(batch, gram) partial to one row per gh with batch_id = the
+    highest batch present (one partition after compaction), then
+    replaces the table's content under a STATIC-overwrite insertInto —
+    the bucket spec lives in the catalog, so the compacted lake is
+    still scanned bucketed (shuffle-free history reads preserved).
+
+    The aggregate is materialized (eager localCheckpoint) before the
+    overwrite because Spark refuses to overwrite a table its plan is
+    reading from; the census is one row per distinct gram — the
+    bounded relation compaction exists to reach. Same cadence contract
+    as compact_substring_lakes: run between micro-batches of a
+    QUIESCED stream (table-level overwrite is not atomic under plain
+    files). Returns the compacted row count."""
+    from pyspark.sql import functions as F
+
+    cur = spark.table(table)
+    mx = cur.agg(F.max("batch_id")).collect()[0][0]
+    if mx is None:
+        return 0
+    folded = (
+        cur.groupBy("gh")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .withColumn("batch_id", F.lit(int(mx)).cast("int"))
+        .select(*cur.columns)
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        folded.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return folded.count()
+
+
 def streaming_substring_dedup(
     stream_docs: DataFrame,
     index_dir: str,
@@ -314,8 +353,8 @@ def streaming_substring_dedup(
     (dynamic overwrite of the batch's own partition via insertInto).
     compact_substring_lakes applies to the PLAIN-parquet layout only —
     rewriting a bucketed table's files behind the catalog's back would
-    break its bucket metadata; compact a bucketed census with
-    table-level INSERT OVERWRITE instead.
+    break its bucket metadata; use compact_bucketed_census for this
+    layout's census fold.
     """
     from goeventstream_spark.operators.dedup import (
         incremental_substring_runs,

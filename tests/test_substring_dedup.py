@@ -1208,6 +1208,86 @@ def test_bucketed_sink_lake_history_join_shuffle_free(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {cen_tbl}")
 
 
+def test_compact_bucketed_census_table(spark, sf_dir, tmp_path):
+    """Census compaction for the bucketed lake layout: after two
+    bucketed-sink batches, fold the census TABLE to one row per gh via
+    the catalog (table-level overwrite — never path-side, which would
+    void the bucket metadata). Pins: value-preserving one-row-per-gh
+    fold; the compacted table still scans BUCKETED (groupBy(gh) plans
+    no exchange); a resumed third batch keeps the census sums exact."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark import plans
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.streaming.dedup import (
+        compact_bucketed_census,
+        lake_table_name,
+        streaming_substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    idx, cen = str(tmp_path / "index"), str(tmp_path / "census")
+    idx_tbl, cen_tbl = lake_table_name("idx", idx), lake_table_name("cen", cen)
+    for i in range(2):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return streaming_substring_dedup(
+            stream, index_dir=idx, runs_dir=str(tmp_path / "runs"),
+            checkpoint_dir=str(tmp_path / "ckpt"), min_len=20, max_df=50,
+            census_dir=cen, bucketed=True,
+        )
+
+    try:
+        q = start()
+        q.awaitTermination(240)
+        assert q.exception() is None, q.exception()
+        want = {
+            r.gh: r.s
+            for r in spark.table(cen_tbl)
+            .groupBy("gh").agg(F.sum("df").alias("s")).collect()
+        }
+        n = compact_bucketed_census(spark, cen_tbl)
+        after = spark.table(cen_tbl)
+        assert n == after.count() == len(want)
+        assert {r.gh: r.df for r in after.collect()} == want
+        assert {r.batch_id for r in after.select("batch_id").distinct().collect()} == {1}
+        # still bucketed: a gh aggregate over the compacted table
+        # plans NO exchange
+        plan = plans.physical_plan(after.groupBy("gh").agg(F.sum("df")))
+        assert "Exchange" not in plan, plan
+        # resumed stream: census stays exact
+        docs.where(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start()
+        q.awaitTermination(240)
+        assert q.exception() is None, q.exception()
+        got_df = {
+            r.gh: r.s
+            for r in spark.table(cen_tbl)
+            .groupBy("gh").agg(F.sum("df").alias("s")).collect()
+        }
+        want_df = {
+            r.gh: r.d
+            for r in spark.table(idx_tbl)
+            .groupBy("gh").agg(F.count_distinct("doc_id").alias("d"))
+            .collect()
+        }
+        assert got_df == want_df
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {cen_tbl}")
+
+
 def test_streaming_substring_strip_survives_empty_first_runs_batch(spark, tmp_path):
     """ADVICE r8: with ``runs_dir`` set, a first micro-batch with NO
     duplicates (the common case — history is empty at batch 0) writes
