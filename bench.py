@@ -216,6 +216,7 @@ HEADLINE = [
     "bpe_encode_report",
     "substring_apply_audit",
     "curate_corpus_substring",
+    "substring_apply_round2",
 ]
 
 

@@ -15,6 +15,10 @@
   pairs -> connected components, keep the lowest-id representative) ->
   SemDeDup semantic prune, reported as per-stage survivor counts
   (docs + chars), the funnel-shape readout a pipeline dashboard shows.
+- ``substring_apply_round2``: the fixed-point ITERATION — detection
+  and the strip run a second time over the pass-1 output, reporting
+  per-language second-pass removal beside pass-1 state; the
+  convergence evidence the audit's residual motivates.
 
 Cross-engine determinism: gram keys are md5 of the raw 20-char
 substring; counts are BIGINT; the one ratio is the 128-bit
@@ -33,16 +37,17 @@ from goeventstream_spark.queries_r7 import SUBSTR_MAX_DF, SUBSTR_MIN_LEN
 from goeventstream_spark.sources import load_table
 
 
-def _detect_and_strip_ctes(src: str) -> str:
+def _detect_and_strip_ctes(src: str, p: str = "") -> str:
     """The full detect -> strip oracle chain over relation ``src``
-    (doc_id, text), emitting ``after(doc_id, ta)`` with ta = the
+    (doc_id, text), emitting ``{p}after(doc_id, ta)`` with ta = the
     stripped text for EVERY src document — the substring_dedup_apply
     trajectory (queries_r7) parameterized on its source so the audit
-    (src=documents) and the funnel (src=the Gopher-gated subset) replay
-    the identical transform. DISTINCT on iv is the tie-order guard
-    pinned in r8 (duplicate intervals make separate window passes
-    nondeterministic in DuckDB)."""
-    return f"""pos AS (
+    (src=documents), the funnel (src=the Gopher-gated subset), and the
+    second-pass strip (src=the pass-1 output, CTE names prefixed with
+    ``p``) replay the identical transform. DISTINCT on iv is the
+    tie-order guard pinned in r8 (duplicate intervals make separate
+    window passes nondeterministic in DuckDB)."""
+    body = f"""pos AS (
       SELECT doc_id, text,
              unnest(generate_series(1, length(text) - {SUBSTR_MIN_LEN - 1})) AS p
       FROM {src}
@@ -105,6 +110,19 @@ def _detect_and_strip_ctes(src: str) -> str:
       SELECT d.doc_id, coalesce(st.text_after, d.text) AS ta
       FROM {src} d LEFT JOIN strip st USING (doc_id)
     )"""
+    if not p:
+        return body
+    import re
+
+    # rename every chain-internal CTE: declarations and references are
+    # whole-word occurrences (column names like pos_a / text_after have
+    # no word boundary at the prefix, so they are untouched)
+    for name in (
+        "pos", "g", "el", "m", "runs", "iv", "sw",
+        "isl", "merged", "segs", "strip", "after",
+    ):
+        body = re.sub(rf"\b{name}\b", f"{p}{name}", body)
+    return body
 
 
 @query(
@@ -427,4 +445,111 @@ def q_curate_corpus_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "substring_strip", stripped, "text_after"))
         .unionByName(stage(4, "near_dedup", kept3, "text_after"))
         .unionByName(stage(5, "semdedup", kept4, "text_after"))
+    )
+
+
+@query(
+    "substring_apply_round2",
+    f"""
+    WITH {_detect_and_strip_ctes("documents")},
+    docs2 AS (SELECT doc_id, ta AS text FROM after),
+    {_detect_and_strip_ctes("docs2", "r2")},
+    rr AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS residual_runs
+           FROM r2runs r JOIN documents d ON r.doc_b = d.doc_id
+           GROUP BY d.lang)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(a1.ta)) AS BIGINT) AS chars_after_pass1,
+           CAST(sum(length(a1.ta)) - sum(length(a2.ta)) AS BIGINT)
+             AS chars_removed_pass2,
+           CAST(sum(length(a2.ta)) AS BIGINT) AS chars_after_pass2,
+           CAST(coalesce(max(rr.residual_runs), 0) AS BIGINT) AS residual_runs,
+           CAST((CAST(1000000 AS HUGEINT)
+                 * (sum(length(a1.ta)) - sum(length(a2.ta))))
+                // sum(length(a1.ta)) AS BIGINT) AS removed2_ppm
+    FROM documents d
+    JOIN after a1 USING (doc_id)
+    JOIN r2after a2 USING (doc_id)
+    LEFT JOIN rr ON rr.lang = d.lang
+    GROUP BY d.lang
+    """,
+)
+def q_substring_apply_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND pass of exact substring dedup — the fixed-point
+    iteration the audit's residual motivates (substring_apply_audit
+    proves one pass leaves seeds; this query runs detection AND the
+    strip AGAIN over the pass-1 output and reports what the iteration
+    actually recovers): per language, chars after pass 1, chars a
+    second apply removes, chars after pass 2, the second-pass run
+    count, and removed2 ppm relative to the pass-1 corpus. Pass-2
+    removal is bounded above by the audit's residual mass and is
+    typically far smaller than pass 1 — the convergence evidence for
+    stopping after one pass at 100 TB (or iterating when it isn't).
+    Both engines replay the identical chain twice (the oracle's pass-2
+    CTEs are the pass-1 chain renamed), so a drift in either pass
+    breaks the hash. Plan shape: pass 2 is the same corpus-linear
+    detection over the (smaller) stripped corpus; both strips' text
+    crosses exactly one merge join each; the stripped intermediates
+    are lazily checkpointed for their two consumers."""
+    docs = load_table(spark, sf_dir, "documents")
+    stripped1 = dedup.substring_dedup_apply(
+        docs,
+        min_len=SUBSTR_MIN_LEN,
+        max_df=SUBSTR_MAX_DF,
+        runs=dedup.shared_substring_runs(
+            docs, sf_dir, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF
+        ),
+    ).localCheckpoint(eager=False)
+    docs2 = stripped1.select("doc_id", F.col("text_after").alias("text"))
+    runs2 = dedup.shared_substring_runs(
+        docs2,
+        f"{sf_dir}#apply-pass2",
+        min_len=SUBSTR_MIN_LEN,
+        max_df=SUBSTR_MAX_DF,
+    )
+    stripped2 = dedup.substring_dedup_apply(
+        docs2, min_len=SUBSTR_MIN_LEN, max_df=SUBSTR_MAX_DF, runs=runs2
+    ).localCheckpoint(eager=False)
+    langs = docs.select("doc_id", "lang")
+    rr = (
+        runs2.join(
+            langs.select(F.col("doc_id").alias("doc_b"), "lang"), "doc_b"
+        )
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("residual_runs"))
+    )
+    per_doc = (
+        stripped1.select("doc_id", F.length("text_after").alias("_l1"))
+        .join(
+            stripped2.select("doc_id", F.length("text_after").alias("_l2")),
+            "doc_id",
+        )
+        .join(langs, "doc_id")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_l1").cast("long").alias("chars_after_pass1"),
+            (F.sum("_l1") - F.sum("_l2")).cast("long").alias("chars_removed_pass2"),
+            F.sum("_l2").cast("long").alias("chars_after_pass2"),
+        )
+        .join(rr, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "chars_after_pass1",
+            "chars_removed_pass2",
+            "chars_after_pass2",
+            F.coalesce("residual_runs", F.lit(0))
+            .cast("long")
+            .alias("residual_runs"),
+            # the standing 128-bit ppm pattern
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * chars_removed_pass2)"
+                " div chars_after_pass1"
+            )
+            .cast("long")
+            .alias("removed2_ppm"),
+        )
     )

@@ -15,7 +15,11 @@ from tests.conftest import SF_DIR as SF
 
 
 def test_r9_queries_registered_with_oracles():
-    for name in ["substring_apply_audit", "curate_corpus_substring"]:
+    for name in [
+        "substring_apply_audit",
+        "curate_corpus_substring",
+        "substring_apply_round2",
+    ]:
         assert name in QUERIES and name in ORACLES
 
 
@@ -114,3 +118,48 @@ def test_curate_corpus_substring_funnel_stages(spark, sf_dir):
     gate = gopher_quality_flags(docs).where(F.col("gopher_pass") == 1)
     n_gated = gate.count()
     assert gop.n_docs == n_gated
+
+
+def test_substring_apply_round2_matches_python_double_strip(spark, sf_dir):
+    """The second-pass strip recomputed in pure python (detect+strip
+    applied twice, the same brute-force model that pins pass 1): per
+    language, chars after each pass, second-pass removal, and the
+    second-pass run count must match exactly. Convergence evidence
+    pinned: pass 2 removes strictly less than pass 1 corpus-wide, and
+    — since any residual band gram IS a length->=20 run — the audit's
+    nonzero residual implies residual_runs > 0 here."""
+    from goeventstream_spark.sources import load_table
+    from tests.test_substring_dedup import _py_runs, _py_strip
+
+    k, max_df = 20, 4
+    docs = load_table(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    strip1 = _py_strip(texts, k, max_df)
+    runs2 = _py_runs(strip1, k, max_df)
+    strip2 = _py_strip(strip1, k, max_df)
+
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])  # docs, l1, l2, runs
+    for d in texts:
+        a = agg[lang[d]]
+        a[0] += 1
+        a[1] += len(strip1[d])
+        a[2] += len(strip2[d])
+    for _da, db, _sa, _sb, _ln in runs2:
+        agg[lang[db]][3] += 1
+
+    rows = {
+        r.lang: r for r in QUERIES["substring_apply_round2"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(agg)
+    for lg, (nd, l1, l2, nr) in agg.items():
+        r = rows[lg]
+        assert (r.n_docs, r.chars_after_pass1, r.chars_after_pass2) == (nd, l1, l2), lg
+        assert r.chars_removed_pass2 == l1 - l2, lg
+        assert r.residual_runs == nr, lg
+        assert r.removed2_ppm == (1_000_000 * (l1 - l2)) // l1, lg
+    # convergence: the iteration shrinks — pass 2 removes strictly less
+    removed1 = sum(len(texts[d]) - len(strip1[d]) for d in texts)
+    removed2 = sum(len(strip1[d]) - len(strip2[d]) for d in texts)
+    assert 0 < removed2 < removed1
+    assert sum(a[3] for a in agg.values()) > 0
