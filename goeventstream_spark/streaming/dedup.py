@@ -433,6 +433,8 @@ def streaming_substring_strip(
     max_df: int = 4,
     census_dir: str | None = None,
     runs_dir: str | None = None,
+    bucketed: bool = False,
+    n_buckets: int = 8,
 ):
     """Strip-on-ingest: the streaming twin of substring_dedup_apply.
     Each micro-batch's documents are gram-indexed once, their maximal
@@ -464,6 +466,11 @@ def streaming_substring_strip(
     subset of the final apply's (pairwise runs are prefix-stable), so
     emitted text is never shorter than the final strip and equals it
     whenever no lower-id partner arrived late.
+
+    ``bucketed``/``n_buckets``: same index/census lake layout option
+    as streaming_substring_dedup (bucketBy(gh) external tables,
+    history read through the catalog, shuffle-free history joins);
+    the stripped output and runs audit trail stay plain parquet.
     """
     from goeventstream_spark.operators.dedup import (
         _strip_intervals,
@@ -473,29 +480,39 @@ def streaming_substring_strip(
     )
 
     cdir = census_dir if census_dir is not None else index_dir + "_census"
+    idx_tbl = lake_table_name("idx", index_dir)
+    cen_tbl = lake_table_name("cen", cdir)
 
     def sink(batch_df, batch_id):
         spark = batch_df.sparkSession
         grams = substring_gram_table(batch_df, min_len=min_len)
-        (
-            grams.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(index_dir)
-        )
-        index = _read_lake_or_empty(spark, index_dir, grams)
+        stamped = grams.withColumn("batch_id", F.lit(batch_id))
+        if bucketed:
+            _write_bucketed_partition(spark, stamped, idx_tbl, index_dir, n_buckets)
+            index = spark.table(idx_tbl)
+        else:
+            (
+                stamped.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(index_dir)
+            )
+            index = _read_lake_or_empty(spark, index_dir, grams)
         hist = index.where(F.col("batch_id") < batch_id).drop("batch_id")
         delta = index.where(F.col("batch_id") == batch_id).drop("batch_id")
         delta_census = substring_census_update(delta)
-        (
-            delta_census.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(cdir)
-        )
-        census = _read_lake_or_empty(spark, cdir, delta_census)
+        cstamped = delta_census.withColumn("batch_id", F.lit(batch_id))
+        if bucketed:
+            _write_bucketed_partition(spark, cstamped, cen_tbl, cdir, n_buckets)
+            census = spark.table(cen_tbl)
+        else:
+            (
+                cstamped.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(cdir)
+            )
+            census = _read_lake_or_empty(spark, cdir, delta_census)
         hist_census = census.where(F.col("batch_id") < batch_id).drop("batch_id")
         _g, runs = incremental_substring_runs(
             hist,

@@ -1347,6 +1347,67 @@ def test_streaming_substring_strip_survives_empty_first_runs_batch(spark, tmp_pa
     assert passage not in got[4] and passage in got[3]
 
 
+def test_streaming_substring_strip_bucketed_equals_plain(spark, tmp_path):
+    """The strip sink's bucketed lake layout is physical, not
+    semantic: bucketed=True emits byte-identical stripped text to the
+    plain-parquet run on the same 2-batch schedule (including a
+    duplicate-free first batch — the lake guards hold through the
+    catalog path too)."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.streaming.dedup import (
+        lake_table_name,
+        streaming_substring_strip,
+    )
+
+    passage = "the shared twenty-plus-character passage that repeats"
+    docs = spark.createDataFrame(
+        [
+            (1, "a first long document with entirely unrepeated prose xyz"),
+            (2, "B" * 4 + passage + "C" * 6),
+            (3, "D" * 9 + passage + "E" * 2),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") <= 1).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") >= 2).coalesce(1).write.mode("append").parquet(src)
+
+    outs = {}
+    for mode in ("plain", "bucketed"):
+        base = tmp_path / mode
+        idx, cen = str(base / "index"), str(base / "census")
+        try:
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = streaming_substring_strip(
+                stream,
+                index_dir=idx,
+                stripped_dir=str(base / "stripped"),
+                checkpoint_dir=str(base / "ckpt"),
+                min_len=20,
+                max_df=4,
+                census_dir=cen,
+                runs_dir=str(base / "runs"),
+                bucketed=(mode == "bucketed"),
+            )
+            q.awaitTermination(240)
+            assert q.exception() is None, q.exception()
+            outs[mode] = {
+                (r.doc_id, r.batch_id): r.text_after
+                for r in spark.read.parquet(str(base / "stripped")).collect()
+            }
+        finally:
+            if mode == "bucketed":
+                spark.sql(f"DROP TABLE IF EXISTS {lake_table_name('idx', idx)}")
+                spark.sql(f"DROP TABLE IF EXISTS {lake_table_name('cen', cen)}")
+    assert outs["plain"] == outs["bucketed"] and len(outs["plain"]) == 3
+    assert passage not in outs["plain"][(3, 1)]
+
+
 def test_streaming_substring_strip_out_of_order_contract(spark, sf_dir, tmp_path):
     """VERDICT r8 #7 — the reordered-arrival contract made exact. For
     a PERMUTED batch schedule (ids interleaved across batches, so
