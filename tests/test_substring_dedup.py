@@ -1019,6 +1019,68 @@ def test_compact_substring_lakes_contracts(spark, sf_dir, tmp_path):
     assert got_df == want_df
 
 
+def test_compact_substring_lakes_partial_upto(spark, tmp_path):
+    """Partial compaction — the deployment cadence where only batches
+    older than the active window are folded: with partials from
+    batches 0..2 and upto_batch_id=1, batches 0-1 fold to one row per
+    gh at batch_id=1 while batch 2's partials ride along VERBATIM;
+    global sums are unchanged; a later full compaction folds the rest
+    to a single partition."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.operators.dedup import (
+        substring_census_update,
+        substring_gram_table,
+    )
+    from goeventstream_spark.streaming.dedup import compact_substring_lakes
+
+    passage = "a shared twenty-char passage!!"
+    docs = spark.createDataFrame(
+        [(1, passage + "one"), (2, "two " + passage), (3, passage + " three")],
+        ["doc_id", "text"],
+    )
+    cen = str(tmp_path / "census")
+    grams = substring_gram_table(docs, min_len=20)
+    for b in (0, 1, 2):
+        (
+            substring_census_update(grams.where(F.col("doc_id") == b + 1))
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("append").partitionBy("batch_id").parquet(cen)
+        )
+    want = {
+        r.gh: r.s
+        for r in spark.read.parquet(cen)
+        .groupBy("gh").agg(F.sum("df").alias("s")).collect()
+    }
+    batch2_rows = {
+        (r.gh, r.df)
+        for r in spark.read.parquet(cen).where(F.col("batch_id") == 2).collect()
+    }
+    res = compact_substring_lakes(
+        spark, census_dir=cen, upto_batch_id=1, target_files=2
+    )
+    assert res["census"]["compacted_batches"] == 2
+    lake = spark.read.parquet(cen)
+    # folded range lives at batch_id=1; batch 2 untouched row-for-row
+    assert {r.b for r in lake.select(F.col("batch_id").alias("b")).distinct().collect()} == {1, 2}
+    assert {
+        (r.gh, r.df) for r in lake.where(F.col("batch_id") == 2).collect()
+    } == batch2_rows
+    folded = lake.where(F.col("batch_id") == 1)
+    assert folded.count() == folded.select("gh").distinct().count()
+    # sums preserved through the partial fold
+    assert {
+        r.gh: r.s
+        for r in lake.groupBy("gh").agg(F.sum("df").alias("s")).collect()
+    } == want
+    # a later FULL compaction folds everything to one partition
+    compact_substring_lakes(spark, census_dir=cen, target_files=2)
+    lake2 = spark.read.parquet(cen)
+    assert {r.b for r in lake2.select(F.col("batch_id").alias("b")).distinct().collect()} == {2}
+    assert lake2.count() == len(want)
+    assert {r.gh: r.df for r in lake2.collect()} == want
+
+
 def test_compact_substring_lakes_crash_recovery(spark, tmp_path):
     """The publish is crash-safe: a pre-image left by a crash between
     the two swap renames (lake gone, __precompact present) is restored
