@@ -493,15 +493,22 @@ def capped_cells_lake(
     ``emb`` with the ``cell`` column joined on — the same relation
     shape consumers get from shared_capped_cells.
 
-    Publish is crash/concurrency-safe: the assignment is written to a
-    side directory and renamed into place; a concurrent builder of the
-    same lake loses the rename and adopts the winner's assignment
-    (both computed the same deterministic trajectory). ``_params.json``
-    records the trajectory parameters and a mismatch on read raises —
-    a lake must never silently serve an assignment built under
-    different knobs. The corpus behind ``lake_dir`` is assumed
-    immutable (the materialized-column contract); regenerating it
-    means deleting the lake.
+    Publish is crash/concurrency-safe: the assignment is written to an
+    ATTEMPT-PRIVATE staging dir (mkdtemp — concurrent builders never
+    share a tmp path, so none can delete or clobber another's
+    half-written build) and renamed into place; a concurrent builder
+    of the same lake loses the rename and adopts the winner's
+    assignment (both computed the same deterministic trajectory). A
+    builder that crashes mid-write leaves a ``<lake>__build_*`` dir
+    the operator never reads — safe to delete any time. A lake_dir
+    that exists WITHOUT the _SUCCESS marker (partial or foreign data)
+    is refused loudly with the delete-to-rebuild instruction, never
+    published over or silently adopted. ``_params.json`` records the
+    trajectory parameters and a mismatch on read raises — a lake must
+    never silently serve an assignment built under different knobs.
+    The corpus behind ``lake_dir`` is assumed immutable (the
+    materialized-column contract); regenerating it means deleting the
+    lake.
 
     100 TB shape: the join back is one exchange on the id key (or zero
     with an id-bucketed lake + emb layout); the trajectory cost —
@@ -521,13 +528,29 @@ def capped_cells_lake(
     }
     pfile = os.path.join(lake_dir, "_params.json")
     if not os.path.exists(os.path.join(lake_dir, "_SUCCESS")):
+        if os.path.exists(lake_dir):
+            # a directory without _SUCCESS is a partial/foreign state we
+            # must never publish over (rename would fail forever) nor
+            # silently adopt — refuse with the recovery instruction
+            raise ValueError(
+                f"capped_cells_lake at {lake_dir} exists but has no "
+                "_SUCCESS marker (partial or foreign data) — delete the "
+                "directory to rebuild"
+            )
         cells = ivf_cell_assign_capped(
             emb, k=k, iters=iters, scale=scale, cap=cap, cap_frac=cap_frac,
             max_levels=max_levels, id_col=id_col, vec_col=vec_col,
         )
-        tmp = lake_dir.rstrip("/") + "__build_tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)  # crashed build — never published
+        # attempt-private staging dir: concurrent builders of the same
+        # lake must never share a tmp path (one would rmtree/rename the
+        # other's half-written build — the write_idempotent discipline)
+        import tempfile
+
+        parent = os.path.dirname(os.path.abspath(lake_dir)) or "."
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(
+            prefix=os.path.basename(lake_dir.rstrip("/")) + "__build_", dir=parent
+        )
         cells.select(id_col, "cell").write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_params.json"), "w") as fh:
             json.dump(params, fh)

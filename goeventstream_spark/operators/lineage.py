@@ -59,10 +59,19 @@ def materialize(
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     cur = sc.getCheckpointDir()
-    # cur is the UUID CHILD dir of the last requested base (possibly
-    # scheme-qualified, e.g. file:/...), so "already set" means the
-    # requested base is a path prefix of it
-    want = checkpoint_dir.rstrip("/")
-    if cur is None or (want + "/") not in (cur + "/"):
+    # cur is the UUID CHILD dir of the last requested base (scheme-
+    # qualified, e.g. file:/...), so "already set" means the requested
+    # base is a PATH-COMPONENT prefix of cur's path — a substring test
+    # would wrongly match '/ckpt' inside '/data/ckpt/<uuid>' and skip
+    # the re-point, landing this job's checkpoints in another job's dir
+    already = False
+    if cur is not None:
+        from urllib.parse import urlparse
+
+        cur_path = urlparse(cur).path or cur
+        want = checkpoint_dir.rstrip("/")
+        want_path = urlparse(want).path or want
+        already = cur_path == want_path or cur_path.startswith(want_path + "/")
+    if not already:
         sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)

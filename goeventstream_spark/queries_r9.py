@@ -246,33 +246,17 @@ def q_substring_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Gopher gate fragment over raw `documents` (mirrors
-# text.gopher_quality_flags' exact integer cross-multiplications —
-# the queries_r3 _GOPHER_PASS_CTE shape, self-contained here so the
-# funnel's CTE names cannot collide with the shingle fragments).
-_STOP_SQL = ", ".join(f"'{s}'" for s in text.STOPWORDS)
-_GOPHER_GATED = f"""gpw AS (
-      SELECT doc_id, word, count(*) AS cnt FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-      ) WHERE word <> '' GROUP BY doc_id, word
-    ),
-    gpd AS (
-      SELECT doc_id,
-             sum(cnt) AS n_words,
-             sum(cnt * length(word)) AS n_chars,
-             max(cnt) AS max_word_cnt,
-             sum(CASE WHEN word IN ({_STOP_SQL}) THEN cnt ELSE 0 END) AS stopword_cnt,
-             sum(CASE WHEN regexp_matches(word, '[A-Za-z]') THEN cnt ELSE 0 END) AS alpha_cnt
-      FROM gpw GROUP BY doc_id
-    ),
-    gq AS (
-      SELECT doc_id FROM gpd
-      WHERE n_words BETWEEN 10 AND 100000
-        AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
-        AND stopword_cnt >= 2
-        AND 5 * alpha_cnt >= 4 * n_words
-        AND 5 * max_word_cnt <= n_words
-    ),
+# Gopher gate over raw `documents`: ONE definition — the published
+# queries_r3 fragment (itself shared with curate_corpus_semantic and
+# classifier_calibration_report) composed over the queries_llm words
+# CTE, so the gate thresholds cannot silently diverge across queries
+# (a hand copy here was review-flagged as the third copy of the
+# threshold block).
+from goeventstream_spark.queries_llm import _WORDS  # noqa: E402
+from goeventstream_spark.queries_r3 import _GOPHER_PASS_CTE  # noqa: E402
+
+_GOPHER_GATED = f"""{_WORDS},
+    {_GOPHER_PASS_CTE},
     gated AS (SELECT d.doc_id, d.text FROM documents d JOIN gq USING (doc_id))"""
 
 

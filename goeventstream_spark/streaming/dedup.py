@@ -142,7 +142,16 @@ def _compact_one_lake(
         shutil.rmtree(tmp)  # leftover from a crashed build — never live
     if not os.path.exists(lake_dir):
         return {"compacted_batches": 0, "rows": 0}
-    lake = spark.read.parquet(lake_dir)
+    try:
+        lake = spark.read.parquet(lake_dir)
+    except Exception as exc:
+        # a lake whose batches all wrote ZERO files (every doc below
+        # the length floor — the state _read_lake_or_empty guards in
+        # the sinks) has nothing to compact
+        msg = str(exc)
+        if "UNABLE_TO_INFER_SCHEMA" in msg or "PATH_NOT_FOUND" in msg:
+            return {"compacted_batches": 0, "rows": 0}
+        raise
     bids = [r.b for r in lake.select(F.col("batch_id").alias("b")).distinct().collect()]
     upto = max(bids) if upto_batch_id is None else upto_batch_id
     todo = sorted(b for b in bids if b <= upto)
@@ -215,6 +224,18 @@ def compact_substring_lakes(
 
     Returns {"index": {...}, "census": {...}} with per-lake compacted
     batch and row counts."""
+    # the plain-layout-only precondition is ENFORCED, not just
+    # documented: a dir backing a registered bucketed lake table is
+    # refused — rewriting its files behind the catalog would silently
+    # void the bucket metadata and corrupt later bucketed reads
+    for kind, d in (("idx", index_dir), ("cen", census_dir)):
+        if d is not None and spark.catalog.tableExists(lake_table_name(kind, d)):
+            raise ValueError(
+                f"{d} backs the bucketed lake table "
+                f"{lake_table_name(kind, d)} — path-side compaction would "
+                "void its bucket metadata; use compact_bucketed_census "
+                "(census) or a table-level rewrite instead"
+            )
     out: dict = {}
     if index_dir is not None:
         out["index"] = _compact_one_lake(
@@ -249,16 +270,46 @@ def _write_bucketed_partition(
     conf is flipped for exactly this insert and restored in finally;
     foreachBatch runs its sink body serially on the stream's own
     cloned session, so no concurrent observer of this session exists
-    inside the window."""
+    inside the window.
+
+    RESTART-SAFE: saveAsTable metadata lives in the session catalog,
+    which for a plain (non-Hive) application is in-memory and dies
+    with the process — but a checkpointed stream is designed to resume
+    in a NEW process. When the table is missing from the catalog while
+    the lake path already holds data, the definition (schema + bucket
+    spec) is recreated OVER the existing files and the batch
+    partitions recovered, so the resumed stream keeps its full history
+    instead of crashing on create-over-nonempty-path (or silently
+    dropping pre-restart batches)."""
+    import os
+
     if not spark.catalog.tableExists(table):
-        (
-            df.write.partitionBy("batch_id")
-            .bucketBy(n_buckets, "gh")
-            .sortBy("gh")
-            .option("path", path)
-            .saveAsTable(table)
+        has_data = os.path.isdir(path) and any(
+            fn.endswith(".parquet")
+            for _dp, _dn, fns in os.walk(path)
+            for fn in fns
         )
-        return
+        if has_data:
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {table} ({cols}) USING PARQUET "
+                f"PARTITIONED BY (batch_id) "
+                f"CLUSTERED BY (gh) SORTED BY (gh) INTO {n_buckets} BUCKETS "
+                f"LOCATION '{os.path.abspath(path)}'"
+            )
+            spark.catalog.recoverPartitions(table)
+        else:
+            (
+                df.write.partitionBy("batch_id")
+                .bucketBy(n_buckets, "gh")
+                .sortBy("gh")
+                .option("path", path)
+                .saveAsTable(table)
+            )
+            return
     cols = spark.table(table).columns  # insertInto is positional
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -1116,7 +1116,9 @@ def test_capped_cells_lake_matches_memo_and_skips_guard(
     lake provably does NOT re-run the guard trajectory (the
     constructor is poisoned and never called); (c) a parameter
     mismatch against the recorded manifest refuses rather than serving
-    a stale assignment; (d) a leftover crashed build dir is swept."""
+    a stale assignment; (d) a leftover crashed build dir (attempt-
+    private, never read) doesn't block a fresh build, and a lake dir
+    that exists WITHOUT the _SUCCESS marker is refused loudly."""
     import os
 
     import pytest
@@ -1132,7 +1134,7 @@ def test_capped_cells_lake_matches_memo_and_skips_guard(
             emb, k=4, iters=2, cap_frac=0.26, max_levels=1
         ).select("vec_id", "cell").collect()
     }
-    os.makedirs(lake + "__build_tmp")  # (d) crashed-build leftover
+    os.makedirs(lake + "__build_crashed")  # (d) crashed-build leftover
     got = {
         r.vec_id: r.cell
         for r in clustering.capped_cells_lake(
@@ -1140,7 +1142,16 @@ def test_capped_cells_lake_matches_memo_and_skips_guard(
         ).select("vec_id", "cell").collect()
     }
     assert got == want and got
-    assert not os.path.exists(lake + "__build_tmp")
+    # the foreign leftover neither blocked the build nor was adopted
+    assert os.path.exists(lake + "__build_crashed")
+    assert os.path.exists(os.path.join(lake, "_SUCCESS"))
+    # a partial lake (no _SUCCESS) is refused, not published over
+    partial = str(tmp_path / "partial_lake")
+    os.makedirs(partial)
+    with pytest.raises(ValueError, match="no _SUCCESS"):
+        clustering.capped_cells_lake(
+            emb, partial, k=4, iters=2, cap_frac=0.26, max_levels=1
+        )
     # (b) fresh-session shape: the guard must never run when the lake
     # exists — poison the constructor
     def boom(*a, **kw):

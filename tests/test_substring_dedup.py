@@ -1081,6 +1081,144 @@ def test_compact_substring_lakes_partial_upto(spark, tmp_path):
     assert {r.gh: r.df for r in lake2.collect()} == want
 
 
+def test_bucketed_sink_survives_catalog_loss_restart(spark, sf_dir, tmp_path):
+    """Restart-safety of the bucketed lakes (review catch): saveAsTable
+    metadata lives in the in-memory session catalog and dies with the
+    application, but a checkpointed stream resumes in a NEW process.
+    Simulate the restart by DROPping both tables between runs (files
+    stay on disk): the resumed stream must recreate the definitions
+    OVER the existing lakes (schema + bucket spec + recovered
+    partitions) and keep full history — the runs union still equals
+    the full-corpus recompute, and the recreated table scan is still
+    bucketed."""
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark import plans
+    from goeventstream_spark.operators.dedup import repeated_substring_runs
+    from goeventstream_spark.sources import load_table
+    from goeventstream_spark.streaming.dedup import (
+        lake_table_name,
+        streaming_substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    idx, cen = str(tmp_path / "index"), str(tmp_path / "census")
+    idx_tbl, cen_tbl = lake_table_name("idx", idx), lake_table_name("cen", cen)
+    for i in range(2):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return streaming_substring_dedup(
+            stream, index_dir=idx, runs_dir=str(tmp_path / "runs"),
+            checkpoint_dir=str(tmp_path / "ckpt"), min_len=20, max_df=50,
+            census_dir=cen, bucketed=True,
+        )
+
+    try:
+        q = start()
+        q.awaitTermination(240)
+        assert q.exception() is None, q.exception()
+        # application restart: the in-memory catalog is gone
+        spark.sql(f"DROP TABLE IF EXISTS {idx_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {cen_tbl}")
+        docs.where(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start()
+        q.awaitTermination(240)
+        assert q.exception() is None, q.exception()
+        got = {
+            (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+            for r in spark.read.parquet(str(tmp_path / "runs")).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b, r.start_a, r.start_b, r.match_len)
+            for r in repeated_substring_runs(docs, min_len=20, max_df=50).collect()
+        }
+        assert got == want and got
+        # pre-restart history survived into the recreated table
+        assert {
+            r.b
+            for r in spark.table(idx_tbl)
+            .select(F.col("batch_id").alias("b")).distinct().collect()
+        } == {0, 1, 2}
+        # and the recreated definition still scans bucketed
+        plan = plans.physical_plan(
+            spark.table(idx_tbl).groupBy("gh").agg(F.count("*"))
+        )
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {cen_tbl}")
+
+
+def test_compact_refuses_bucketed_lake_and_tolerates_zero_file_lake(
+    spark, tmp_path
+):
+    """Two review catches: (a) compact_substring_lakes pointed at a
+    directory backing a REGISTERED bucketed lake table refuses loudly
+    (path-side rewrite would void the catalog's bucket metadata);
+    (b) a lake whose batches all wrote zero files (every doc below the
+    length floor) compacts to a clean no-op instead of dying on schema
+    inference."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from goeventstream_spark.streaming.dedup import (
+        compact_substring_lakes,
+        lake_table_name,
+        streaming_substring_dedup,
+    )
+
+    # (b) zero-file lake: stream over only sub-min_len docs
+    docs = spark.createDataFrame([(1, "tiny"), (2, "short doc")], ["doc_id", "text"])
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx, cen = str(tmp_path / "index"), str(tmp_path / "census")
+    q = streaming_substring_dedup(
+        stream, index_dir=idx, runs_dir=str(tmp_path / "runs"),
+        checkpoint_dir=str(tmp_path / "ckpt"), min_len=20, max_df=4,
+        census_dir=cen,
+    )
+    q.awaitTermination(240)
+    assert q.exception() is None, q.exception()
+    assert os.path.isdir(idx)
+    res = compact_substring_lakes(spark, index_dir=idx, census_dir=cen)
+    assert res == {
+        "index": {"compacted_batches": 0, "rows": 0},
+        "census": {"compacted_batches": 0, "rows": 0},
+    }
+
+    # (a) a dir registered as a bucketed lake table is refused
+    bdir = str(tmp_path / "bucketed_census")
+    tbl = lake_table_name("cen", bdir)
+    try:
+        spark.createDataFrame(
+            [("aa", 1, 0)], ["gh", "df", "batch_id"]
+        ).write.partitionBy("batch_id").bucketBy(4, "gh").option(
+            "path", bdir
+        ).saveAsTable(tbl)
+        with pytest.raises(ValueError, match="bucket"):
+            compact_substring_lakes(spark, census_dir=bdir)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_compact_substring_lakes_crash_recovery(spark, tmp_path):
     """The publish is crash-safe: a pre-image left by a crash between
     the two swap renames (lake gone, __precompact present) is restored
