@@ -79,29 +79,48 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 3) -> DataFrame:
     bounded); every join below is broadcast-sized. No .collect(), no
     global windows — the scalar n travels as a crossJoin of a 1-row agg.
     """
+    # Materialize the iteration-invariant relations once (lazy local
+    # checkpoint): the unrolled plan otherwise embeds the whole edge
+    # derivation (for the declared nation graph: a lineitem×orders×
+    # dims join tree) once per reference — ~89 scans / ~87 exchanges in
+    # nation_pagerank's round-start plan, with Catalyst planning time
+    # itself a large share of the runtime (guide §3.3: very large
+    # plans; materialize intermediates to truncate). Values unchanged;
+    # edges is node-pair bounded so the materialization is tiny.
+    edges = edges.localCheckpoint(eager=False)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     norm = (
         edges.join(out_w, "src")
         .select("src", "dst", F.expr(f"(w * {W_SCALE}) DIV out_w").alias("wn"))
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_df = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.expr(f"{SCALE} DIV n").alias("rank")
     )
     for _ in range(iterations):
+        # broadcast hints: ranks/contrib are node-bounded (the
+        # operator's documented size assumption) but the localCheckpoint
+        # leaves hide size statistics, so without the hint the planner
+        # falls back to sort-merge and pays two exchanges per iteration
         contrib = (
-            norm.join(ranks.withColumnRenamed("node", "src"), "src")
+            norm.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
             .select("dst", F.expr(f"(rank * wn) DIV {W_SCALE}").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
         ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            nodes.join(
+                F.broadcast(contrib.withColumnRenamed("dst", "node")),
+                "node",
+                "left",
+            )
             .crossJoin(F.broadcast(n_df))
             .select(
                 "node",
@@ -231,10 +250,13 @@ def personalized_pagerank_fixed(
     relation, broadcast-sized iteration joins, scalars via 1-row cross
     joins, no collect.
     """
+    # same iteration-invariant materialization as pagerank_fixed_point
+    # (plan truncation only — values unchanged, relations tiny)
+    edges = edges.localCheckpoint(eager=False)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     norm = edges.join(out_w, "src").select(
         "src", "dst", F.expr(f"(w * {W_SCALE}) DIV out_w").alias("wn")
-    )
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -244,7 +266,9 @@ def personalized_pagerank_fixed(
         F.broadcast(seeds.select(F.col("node"), F.lit(1).alias("is_seed"))),
         "node",
         "left",
-    ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    ).select(
+        "node", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
+    ).localCheckpoint(eager=False)
     ns_df = seed_marked.agg(F.sum("is_seed").cast("long").alias("ns")).select(
         F.when(
             F.col("ns") > 0, F.col("ns")
@@ -265,9 +289,12 @@ def personalized_pagerank_fixed(
         ),
     )
     for _ in range(iterations):
+        # broadcast hints: same node-bounded-relations rationale (and
+        # checkpoint-hides-statistics caveat) as pagerank_fixed_point
         contrib = (
             norm.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
+                F.broadcast(ranks.select(F.col("node").alias("src"), "rank")),
+                "src",
             )
             .select("dst", F.expr(f"(rank * wn) DIV {W_SCALE}").alias("c"))
             .groupBy("dst")
@@ -275,7 +302,9 @@ def personalized_pagerank_fixed(
         )
         ranks = (
             seed_marked.join(
-                contrib.withColumnRenamed("dst", "node"), "node", "left"
+                F.broadcast(contrib.withColumnRenamed("dst", "node")),
+                "node",
+                "left",
             )
             .crossJoin(F.broadcast(ns_df))
             .select(

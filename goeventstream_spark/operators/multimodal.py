@@ -455,7 +455,13 @@ def ahash_neardup_pairs(media: DataFrame, max_hamming: int = 2) -> DataFrame:
             "ahash_neardup_pairs: 3 segments guarantee exact recall "
             f"only for hamming <= 2, got {max_hamming}"
         )
-    segs = ahash_segments(media)
+    # materialize once: both self-join sides consume the segment table,
+    # and the executed plan showed ReuseExchange does NOT fire across
+    # the aliased sides — without this the decode+hash Python pass runs
+    # twice per execution (round-9 opt: 2.65 s -> measured below /
+    # OPTIMIZATION_r09.md; guide §4 — don't recompute the expensive
+    # Python boundary)
+    segs = ahash_segments(media).localCheckpoint(eager=False)
     a = segs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hi").alias("hi_a"),
@@ -551,7 +557,9 @@ def audio_envelope_neardup_pairs(media: DataFrame, max_hamming: int = 2) -> Data
             "audio_envelope_neardup_pairs: 3 segments guarantee exact "
             f"recall only for hamming <= 2, got {max_hamming}"
         )
-    segs = audio_envelope_segments(media)
+    # materialize once: same non-firing ReuseExchange story as
+    # ahash_neardup_pairs — without this the WAV decode pass runs twice
+    segs = audio_envelope_segments(media).localCheckpoint(eager=False)
     a = segs.select(
         F.col("doc_id").alias("doc_a"), F.col("hv").alias("hv_a"),
         "seg_id", "seg_val",

@@ -165,9 +165,15 @@ def weighted_sample_topk(
     # A-Res semantics: weight <= 0 means probability 0 — excluded
     # outright (also keeps the flat form's ungated first lane and the
     # fallback's sequence() from fabricating draws for w=0).
-    tagged = df.withColumn("_w", F.col(weight_col).cast("int")).where(
-        F.col("_w") > 0
-    )
+    # Fan out an undersized scan first: the md5 draw battery is the
+    # whole cost of this operator, and a single-split input would run
+    # it on one core (measured −1.4 s on the declared lineitem query;
+    # no-op when the input is already parallel).
+    from goeventstream_spark.sources.tables import scan_fanout_for
+
+    tagged = scan_fanout_for(df, *key_cols).withColumn(
+        "_w", F.col(weight_col).cast("int")
+    ).where(F.col("_w") > 0)
     if keys_unique:
         # Caller asserts key_cols is a unique key (e.g. the table PK):
         # the dedup-merge groupBy is an identity there, so skip its

@@ -15,6 +15,7 @@ fixtures are single files, but no operator in this package assumes that.
 
 from __future__ import annotations
 
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +32,103 @@ TABLES = (
     "documents",
     "embeddings",
 )
+
+
+# Scan fan-out (optimization round 9, guide §2.5 "input skew: one huge
+# unsplittable file … repartition immediately after the read"): the sf
+# fixtures are single parquet files with ONE row group, so Spark reads
+# each as ONE input split and every pre-shuffle operator (Python codec
+# passes, shingle/gram explodes, map-side partial aggregation) runs on
+# one core of local[N]. When the estimated split count of a scan is
+# below the session's parallelism, hash-repartition the scan output by
+# the table's primary key — deterministic (no round-robin sort, no
+# RNG), spread-safe (key cardinality >> partitions), and Catalyst still
+# pushes filters/pruning through RepartitionByExpression into the scan
+# (verified: PushedFilters/ReadSchema unchanged). Downstream groupBy /
+# joins on the same key REUSE the partitioning (no second exchange).
+#
+# Scale honesty: the condition is derived from input size vs
+# spark.sql.files.maxPartitionBytes × defaultParallelism, so on a real
+# table (many splits) this is a no-op — it never adds a shuffle at
+# 100 TB, and at the driver's lower-core bench runs the target adapts
+# to defaultParallelism. Disable with SPARK_GRAFT_SCAN_FANOUT=0.
+# Only the payload tables whose consumers are compute-heavy per row
+# (text shingling/gram hashing/codec passes; vector distance math) fan
+# out at load time: interleaved A/B at sf0.1 measured documents-based
+# heavy operators at −0.4..−1.8 s each (winnowing −1.84, minhash −1.25,
+# url_canonical −0.77) against a ≤ +0.3 s exchange tax on the trivial
+# consumers, while events/orders/lineitem scans showed a net TAX
+# (+0.4 s on every events query: their map work is too light to pay
+# for the extra stage). Operators with heavy map compute over the
+# relational tables opt in explicitly via ``scan_fanout_for`` (e.g.
+# sampling.weighted_sample_topk: −1.4 s).
+_FANOUT_KEY = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+_FANOUT_MIN_BYTES = 256 << 10  # below this, single-task is the right plan
+
+
+def _input_bytes(path: str, cap: int) -> int:
+    """Total bytes under ``path`` (file or directory), walking with an
+    early exit once ``cap`` is exceeded — listing a production-scale
+    table stops after a handful of files."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                continue
+            if total > cap:
+                return total
+    return total
+
+
+def _split_bytes(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    low = raw.lower().rstrip("b")
+    if low and low[-1] in mult:
+        return int(low[:-1]) * mult[low[-1]]
+    return int(low)
+
+
+def _scan_fanout(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") == "0":
+        return df
+    key = _FANOUT_KEY.get(name)
+    if key is None:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    split = _split_bytes(spark)
+    size = _input_bytes(path, cap=split * target)
+    est_splits = -(-size // split) if size else 1
+    if size < _FANOUT_MIN_BYTES or est_splits >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
+def scan_fanout_for(df: DataFrame, *keys: str) -> DataFrame:
+    """Operator-level fan-out: hash-repartition ``df`` by ``keys`` when
+    its current plan has fewer partitions than the session parallelism.
+
+    For operators whose per-row map work is heavy (hash batteries,
+    weighted draws, codec passes) but whose input is a relational table
+    that must NOT fan out globally (the extra exchange is a measured
+    net tax on that table's cheap consumers). The partition probe costs
+    one physical planning of ``df`` and runs no job; at production
+    scale the scan already has >= parallelism splits and this is a
+    no-op. Same kill switch as the load-time fan-out."""
+    if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") == "0":
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,13 +157,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # not depend on the caller session's timezone conf — the driver
     # passes its own SparkSession. Pin UTC (runtime-settable).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _scan_fanout(spark, spark.read.parquet(path), path, name)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return _ntz_to_instant(df)
-    return _ntz_to_instant(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return _ntz_to_instant(_scan_fanout(spark, spark.read.parquet(path), path, name))
 
 
 def _ntz_to_instant(df: DataFrame) -> DataFrame:
