@@ -135,7 +135,11 @@ def lsh_candidate_pairs(
             f"by bands={bands} — trailing signature components would be "
             "silently left out of every band"
         )
-    banded = _banded(sig, num_hashes, bands, id_col)
+    # materialize once: both self-join sides consume the banded table
+    # and ReuseExchange is not guaranteed across the aliased sides —
+    # without this the shingle->signature agg chain executes twice per
+    # run (round-9 opt; same fix as the multimodal pair operators)
+    banded = _banded(sig, num_hashes, bands, id_col).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     # est_jaccard is computed BEFORE the distinct, so only 3 columns
@@ -302,6 +306,10 @@ def prefix_filter_jaccard_join(
             <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
         .select(id_col, "shingle", "n_sh")
+        # materialize once: the candidate self-join consumes pref on
+        # both sides and would otherwise re-run the two window
+        # exchanges per side (round-9 opt)
+        .localCheckpoint(eager=False)
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (

@@ -1120,10 +1120,13 @@ def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, i.e. runs of ~2(w+k-1) or two separate shared runs)."""
     from goeventstream_spark.operators import dedup
 
+    # materialized once: both self-join sides consume fps (round-9 opt
+    # — the window-heavy fingerprint build ran twice per execution)
     fps = (
         dedup.winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
         .select("doc_id", "h")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a, b = fps.alias("a"), fps.alias("b")
     return (
@@ -1858,7 +1861,9 @@ def q_basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEVER by catalog size; support counting is one map-side-combinable
     aggregation. The global top-20 plans as TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # materialized once: three consumers (n_orders, item, both join
+    # sides) re-ran the distinct shuffle per reference (round-9 opt)
+    baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n")
     )

@@ -325,9 +325,10 @@ def q_edge_strength_ra_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; top-25 is TakeOrderedAndProject.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # materialized once for the wedge self-join sides (round-9 opt)
     baskets = li.select(
         F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     a, b = baskets.alias("a"), baskets.alias("b")
     edges = (
         a.join(
