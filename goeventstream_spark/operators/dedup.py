@@ -437,7 +437,11 @@ def edit_distance_qgram_join(
     )
     # stage 1: distinct (text, blocks) groups; _rep = min id is unique
     # per group (ids are unique, group id-sets are disjoint)
-    grp = base.groupBy("_txt", "_len", *blocks).agg(F.min("_id").alias("_rep"))
+    # materialized once (round-9 opt): grp feeds the gram explode, the
+    # short stratum, and the member-expansion join
+    grp = base.groupBy("_txt", "_len", *blocks).agg(
+        F.min("_id").alias("_rep")
+    ).localCheckpoint(eager=False)
     grams = grp.where(F.col("_len") >= q).select(
         "_rep",
         "_txt",
@@ -457,6 +461,9 @@ def edit_distance_qgram_join(
         .withColumn("pos", F.row_number().over(w_rank))
         .where(F.col("pos") <= kq + 1)
         .select("_rep", "_txt", "_len", "gram", *blocks)
+        # materialized once for the candidate self-join sides (round-9
+        # opt; same measured-winner shape as prefix_filter's pref)
+        .localCheckpoint(eager=False)
     )
     a = pref.select(
         F.col("_rep").alias("rep_a"),

@@ -378,7 +378,12 @@ def q_curate_corpus_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gopher_pass") == 1)
         .select("doc_id")
     )
-    gated = docs.select("doc_id", "text").join(gate, "doc_id")
+    # materialized once (round-9 opt): gated feeds BOTH the strip
+    # derivation and the stage-2 readout — without this the whole
+    # Gopher word-level gate (~0.75 s at sf0.1) executes twice
+    gated = docs.select("doc_id", "text").join(gate, "doc_id").localCheckpoint(
+        eager=False
+    )
     # lazy checkpoint: three consumers (pair generation, the kept3
     # join, the stage-3 readout) must not re-run the strip transform —
     # the queries_r3 sigs discipline for shared mid-funnel relations

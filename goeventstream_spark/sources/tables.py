@@ -59,12 +59,12 @@ TABLES = (
 # url_canonical −0.77) against a ≤ +0.3 s exchange tax on the trivial
 # consumers, while events/orders/lineitem scans showed a net TAX
 # (+0.4 s on every events query: their map work is too light to pay
-# for the extra stage). Operators with heavy map compute over the
-# relational tables opt in explicitly via ``scan_fanout_for`` (e.g.
-# sampling.weighted_sample_topk: −1.4 s).
+# for the extra stage; +0.1..+0.9 s on every embeddings query — 2000
+# bounded-vector rows never need 32 partitions). Operators with heavy
+# map compute over the other tables opt in explicitly via
+# ``scan_fanout_for`` (e.g. sampling.weighted_sample_topk: −1.4 s).
 _FANOUT_KEY = {
     "documents": "doc_id",
-    "embeddings": "vec_id",
 }
 _FANOUT_MIN_BYTES = 256 << 10  # below this, single-task is the right plan
 
