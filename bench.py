@@ -254,10 +254,21 @@ def main() -> None:
     # across rounds; each name must be measured exactly once.
     names = list(dict.fromkeys(sys.argv[1:] or HEADLINE))
     timings: dict[str, float] = {}
+    from goeventstream_spark import operators as _ops
+
     for name in names:
         fn = q.QUERIES[name]
         best = float("inf")
         for _rep in range(3):
+            # Measurement fix (round 10, VERDICT r9 "what's wrong" #1):
+            # drop every session-scoped operator memo BEFORE each rep so
+            # reps 2-3 (and sibling queries sharing a detect-once memo,
+            # e.g. the substring_dedup_* family via shared_substring_runs
+            # or the capped-IVF family via shared_capped_cells) pay the
+            # full per-execution work instead of reading a persisted
+            # intermediate keyed on the test data. The clear runs OUTSIDE
+            # the timed region; everything the query computes is inside.
+            _ops.clear_shared_caches()
             t0 = time.perf_counter()  # monotonic: immune to NTP steps
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -369,11 +369,22 @@ def kcore_peel_trajectory(
             .where(F.col("d") >= k)
             .select("node")
         )
+        # Round 10 (VERDICT r9 #5, guide §7.3 job floor): LAZY
+        # materialization — the logical plan is truncated at creation
+        # time either way (the DataFrame wraps the checkpoint RDD), but
+        # eager=True ran one standalone job per round BEFORE the
+        # query's own action (5 extra jobs per execution). Lazily, the
+        # rounds materialize inside the single consuming action, each
+        # round's blocks cached on first touch and reused by its three
+        # consumers (degree census + both semi-join probes + the
+        # summary counts). No per-round convergence decision exists
+        # here (the unroll is fixed), so nothing needs an eager action.
         e = materialize(
             e.join(deg.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(deg.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b"),
             checkpoint_dir,
+            eager=False,
         )
         row = (
             deg.agg(F.count("*").cast("long").alias("nodes_remaining"))

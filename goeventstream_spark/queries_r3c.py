@@ -921,13 +921,28 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = cust
-    for col, order in (
-        ("r", [F.asc("recency_days"), F.asc("o_custkey")]),
-        ("f", [F.desc("frequency"), F.asc("o_custkey")]),
-        ("m", [F.desc("monetary_cents"), F.asc("o_custkey")]),
+    # Round 10 (VERDICT r9 #3, guide §2.3/§2.4): the three ntile passes
+    # are INDEPENDENT functions of the customer rollup — run each over
+    # a narrow (key, metric) projection of the shared evaluate-once
+    # base and join the bucket columns back, instead of chaining three
+    # range-repartitions of the full (and growing) relation through
+    # three serial checkpoints. Ranks are unchanged (exact_global_ntile
+    # is order-exact for any tie-free order regardless of input
+    # partitioning or extra columns), so buckets — and the oracle hash
+    # — are identical; only the exchange width and the serial barrier
+    # chain shrink. The joins are customer-keyed equi-joins AQE sizes
+    # (broadcast at bench scale, co-partitioned hash at 100 TB).
+    base = cust.localCheckpoint(eager=False)
+    scored = base
+    for col, order, metric in (
+        ("r", [F.asc("recency_days"), F.asc("o_custkey")], "recency_days"),
+        ("f", [F.desc("frequency"), F.asc("o_custkey")], "frequency"),
+        ("m", [F.desc("monetary_cents"), F.asc("o_custkey")], "monetary_cents"),
     ):
-        scored = exact_global_ntile(scored, order, 5, col)
+        bucket = exact_global_ntile(
+            base.select("o_custkey", metric), order, 5, col
+        ).select("o_custkey", col)
+        scored = scored.join(bucket, "o_custkey")
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").cast("long").alias("n_customers"),
         F.expr("CAST(sum(monetary_cents) DIV count(*) AS BIGINT)").alias(

@@ -52,20 +52,22 @@ TABLES = (
 # table (many splits) this is a no-op — it never adds a shuffle at
 # 100 TB, and at the driver's lower-core bench runs the target adapts
 # to defaultParallelism. Disable with SPARK_GRAFT_SCAN_FANOUT=0.
-# Only the payload tables whose consumers are compute-heavy per row
-# (text shingling/gram hashing/codec passes; vector distance math) fan
-# out at load time: interleaved A/B at sf0.1 measured documents-based
-# heavy operators at −0.4..−1.8 s each (winnowing −1.84, minhash −1.25,
-# url_canonical −0.77) against a ≤ +0.3 s exchange tax on the trivial
-# consumers, while events/orders/lineitem scans showed a net TAX
-# (+0.4 s on every events query: their map work is too light to pay
-# for the extra stage; +0.1..+0.9 s on every embeddings query — 2000
-# bounded-vector rows never need 32 partitions). Operators with heavy
-# map compute over the other tables opt in explicitly via
-# ``scan_fanout_for`` (e.g. sampling.weighted_sample_topk: −1.4 s).
-_FANOUT_KEY = {
-    "documents": "doc_id",
-}
+# Round 10 (VERDICT r9 #2): NO table fans out at load time any more.
+# Round 9 fanned out ``documents`` globally; the driver's own r8→r9
+# numbers showed the tax on the ~10 light documents consumers
+# (word_count/vocab_*/bigram_*/bpe_* — +2.6 s across the family, 8-core
+# scaling ratios 0.3-0.5) was ~2x the builder's estimate, while every
+# heavy win (winnowing/minhash/simhash/url/gram explodes) is available
+# at the right granularity via the per-operator opt-in below: the
+# compute-heavy operators call ``scan_fanout_for`` on their own input
+# (dedup.shingles / winnowing_fingerprints / simhash /
+# substring_gram_table / _tokenized, text.ngram_novelty, multimodal
+# segment generators, sampling.weighted_sample_topk), so light
+# consumers of the same table never pay the extra exchange.
+# events/orders/lineitem/embeddings load-time fan-out stays rejected on
+# round-9 measurement (+0.4 s per events query, +0.1..+0.9 s per
+# embeddings query).
+_FANOUT_KEY: dict[str, str] = {}
 _FANOUT_MIN_BYTES = 256 << 10  # below this, single-task is the right plan
 
 
@@ -88,12 +90,19 @@ def _input_bytes(path: str, cap: int) -> int:
 
 
 def _split_bytes(spark: SparkSession) -> int:
+    """Parse spark.sql.files.maxPartitionBytes. Full byte-suffix map
+    (k/m/g/t/p — Spark accepts all of them) and a defensive fallback to
+    the 128 MiB default: a parse failure must degrade to the no-fanout
+    estimate, never raise inside load_table (ADVICE r9)."""
     raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-    low = raw.lower().rstrip("b")
-    if low and low[-1] in mult:
-        return int(low[:-1]) * mult[low[-1]]
-    return int(low)
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    low = raw.strip().lower().rstrip("b")
+    try:
+        if low and low[-1] in mult:
+            return int(low[:-1]) * mult[low[-1]]
+        return int(low)
+    except ValueError:
+        return 128 << 20
 
 
 def _scan_fanout(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFrame:
@@ -111,22 +120,45 @@ def _scan_fanout(spark: SparkSession, df: DataFrame, path: str, name: str) -> Da
     return df.repartition(target, F.col(key))
 
 
-def scan_fanout_for(df: DataFrame, *keys: str) -> DataFrame:
+def scan_fanout_for(df: DataFrame, *keys: str, min_bytes: int | None = None) -> DataFrame:
     """Operator-level fan-out: hash-repartition ``df`` by ``keys`` when
-    its current plan has fewer partitions than the session parallelism.
+    its estimated input size is big enough to deserve parallel map work
+    but small enough that the scan would read it as fewer splits than
+    the session parallelism.
 
-    For operators whose per-row map work is heavy (hash batteries,
-    weighted draws, codec passes) but whose input is a relational table
-    that must NOT fan out globally (the extra exchange is a measured
-    net tax on that table's cheap consumers). The partition probe costs
-    one physical planning of ``df`` and runs no job; at production
-    scale the scan already has >= parallelism splits and this is a
-    no-op. Same kill switch as the load-time fan-out."""
+    For operators whose per-row map work is heavy (shingle/gram
+    explodes + md5 batteries, hash batteries, weighted draws, codec
+    passes) but whose input is a relational table that must NOT fan out
+    globally (the extra exchange is a measured net tax on that table's
+    cheap consumers).
+
+    Gate (ADVICE r9: same floor + split estimate as the load-time
+    path): the size estimate comes from the OPTIMIZED LOGICAL plan's
+    statistics — one Catalyst analyze+optimize of ``df``, no physical
+    planning, no RDD conversion, no job (the previous
+    ``df.rdd.getNumPartitions()`` probe forced a full physical planning
+    per call and read pre-AQE partition counts). Estimated splits =
+    size / spark.sql.files.maxPartitionBytes; at production scale the
+    scan already has >= parallelism splits so this is a no-op, and
+    inputs whose stats are unknown (e.g. localCheckpoint leaves report
+    defaultSizeInBytes = huge) also fall through to the no-op side —
+    the safe direction. Inputs under ``min_bytes`` (default: the
+    load-time floor) stay single-task: fanning a tiny fixture adds a
+    shuffle with no win. Same kill switch as the load-time fan-out."""
     if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") == "0":
         return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    floor = _FANOUT_MIN_BYTES if min_bytes is None else min_bytes
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df
+    split = _split_bytes(spark)
+    est_splits = -(-size // split) if size > 0 else 1
+    if size < floor or est_splits >= target:
         return df
     return df.repartition(target, *[F.col(k) for k in keys])
 

@@ -136,8 +136,21 @@ def test_headline_queries_compile_without_codegen_fallback(spark, sf_dir):
     prev = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
-        for name in bench.HEADLINE:
-            q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Round 10 (VERDICT r9 #6, guide §2.6 "overlap independent
+        # jobs"): the 194 executions are independent; running them from
+        # a small thread pool back-fills the stage tails and cut this
+        # test ~3x. Job-level conf (codegen.fallback) is session-wide,
+        # so every thread still runs under the hard-failure setting.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _run(name: str) -> None:
+            q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        names = list(dict.fromkeys(bench.HEADLINE))
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(_run, names))
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
 
@@ -871,16 +884,32 @@ def test_repo_wide_plan_gates(spark, sf_dir):
         partition their windows, pre-limit (TakeOrderedAndProject),
         reduce to a bounded value-block relation first, or join the
         whitelist with a justification."""
-    rowwise, unlisted = [], []
-    for name in sorted(q.QUERIES):
+    # Round 10 (VERDICT r9 #6): planning the 312 queries is driver-side
+    # JVM work behind py4j (the GIL is released on the socket wait), so
+    # a thread pool cuts the pass ~4x without touching what is checked.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _census(name: str) -> tuple[str, bool, bool]:
         try:
             plan = plans.physical_plan(q.QUERIES[name](spark, sf_dir))
         except Exception as exc:  # pragma: no cover - surface the name
             raise AssertionError(f"{name}: plan generation failed: {exc}")
-        if "BatchEvalPython" in plan:
-            rowwise.append(name)
-        if _ordered_unpartitioned_windows(plan) and name not in _BOUNDED_GLOBAL_WINDOWS:
-            unlisted.append(name)
+        return (
+            name,
+            "BatchEvalPython" in plan,
+            _ordered_unpartitioned_windows(plan)
+            and name not in _BOUNDED_GLOBAL_WINDOWS,
+        )
+
+    rowwise, unlisted = [], []
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, is_rowwise, is_unlisted in pool.map(
+            _census, sorted(q.QUERIES)
+        ):
+            if is_rowwise:
+                rowwise.append(name)
+            if is_unlisted:
+                unlisted.append(name)
     assert not rowwise, f"row-wise Python UDFs in: {rowwise}"
     assert not unlisted, (
         f"ordered unpartitioned windows outside the bounded-domain "
