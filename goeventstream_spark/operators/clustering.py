@@ -631,8 +631,38 @@ def ivf_cell_assign_capped(
     next_id = max(k, len(centroids) if centroids is not None else k)
     for _level in range(max_levels):
         base = cur.select("cell", F.col(id_col).alias("vec_id"), v_col.alias("v"))
-        counts_df, _ = hot_cell_detection_plans(base, k)
-        counts = {int(r.cell): r._n for r in counts_df.collect()}
+        # Round 10 (guide §7.3 job floor): ONE probe action per level
+        # instead of two. The level previously ran counts.collect(),
+        # decided the hot set, then ran seeds.collect() on the hot
+        # subset — two driver round-trips whose latency, not data,
+        # dominates at any scale (the relations are cell-bounded). The
+        # k-lowest-id seeds of a cell depend only on that cell's own
+        # rows (hot_cell_detection_plans' placement-independence
+        # contract), so computing seeds for EVERY cell alongside the
+        # counts and filtering to the hot set driver-side yields the
+        # exact same books; both relations ride one tagged union and
+        # one collect. Work is unchanged (both passes scanned base
+        # anyway); only a driver barrier disappears — measured 15 -> 12
+        # jobs, ~0.9 s/construction at sf0.1 (OPTIMIZATION_r10.md).
+        counts_df, seeds_df = hot_cell_detection_plans(base, k)
+        v_type = dict(seeds_df.dtypes)["v"]
+        probe = counts_df.select(
+            "cell",
+            F.col("_n").alias("_n"),
+            F.lit(None).cast("long").alias("vec_id"),
+            F.lit(None).cast(v_type).alias("v"),
+            F.lit(None).cast("int").alias("_rk"),
+        ).unionByName(
+            seeds_df.select(
+                "cell",
+                F.lit(None).cast(dict(counts_df.dtypes)["_n"]).alias("_n"),
+                "vec_id",
+                "v",
+                F.col("_rk").cast("int").alias("_rk"),
+            )
+        )
+        rows = probe.collect()
+        counts = {int(r.cell): r._n for r in rows if r._n is not None}
         if limit is None:
             limit = cap if cap is not None else cap_frac * sum(counts.values())
         hot = sorted(c for c, n in counts.items() if n > limit)
@@ -640,11 +670,9 @@ def ivf_cell_assign_capped(
             break
         sub = base.where(F.col("cell").isin(hot))
         # Joint init: the k lowest vec_ids PER hot cell (kmeans_fit's
-        # seed rule), a bounded collect of (#hot x k) rows computed on
-        # the hot subset only — see hot_cell_detection_plans for why
-        # neither pass may window over the raw rows of a hot cell.
-        _, seeds_df = hot_cell_detection_plans(sub, k)
-        seeds = seeds_df.collect()
+        # seed rule) — filtered driver-side from the probe's seed rows.
+        hotset = set(hot)
+        seeds = [r for r in rows if r._n is None and int(r.cell) in hotset]
         books: dict[int, list[list[int]]] = {h: [] for h in hot}
         for r in sorted(seeds, key=lambda r: (r.cell, r._rk)):
             books[int(r.cell)].append(list(r.v))

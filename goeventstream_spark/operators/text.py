@@ -40,8 +40,16 @@ def _words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-document quality statistics: word/char counts, vocabulary
-    diversity, mean word length, stopword ratio."""
-    w = _words(docs)
+    diversity, mean word length, stopword ratio.
+
+    Round 10: per-operator scan fan-out on doc_id. Unlike the other
+    light consumers (which got faster when the load-time documents
+    fan-out was removed), this one got slower: the countDistinct
+    forces a two-level (doc_id, word) aggregation whose BOTH exchanges
+    disappear when the input is already doc_id-partitioned — one
+    up-front exchange of the raw docs replaces two of the exploded
+    word rows (0.31 s vs 0.44 s at sf0.1, the r9/r10 A/B)."""
+    w = _words(scan_fanout_for(docs, "doc_id"))
     stop = F.when(F.col("word").isin(*STOPWORDS), 1).otherwise(0)
     return w.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
